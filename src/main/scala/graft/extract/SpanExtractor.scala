@@ -1,0 +1,147 @@
+package graft.extract
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+
+import graft.model.{FieldRule, Line, Span}
+
+/** Deterministic field→span resolution over layout lines — the from-scratch
+  * replacement for the reference's LLM structured-output stage
+  * (`/root/reference/src/core/llm_orchestrator.py:122-249`). The ruleset
+  * plays the role of the reference's runtime `extraction_schema`
+  * (field name → natural-language description); it is broadcast once per job.
+  *
+  * Resolution rule (frozen; goldens depend on it):
+  *  1. keywords per field come in two priority tiers — name-derived
+  *     (underscore-split field-name parts) then description-derived — each
+  *     lowercased, minus the reference's Portuguese stopword set, keeping
+  *     tokens of length > 2: byte-for-byte the keyword derivation of
+  *     `filter_layout_by_keywords` (`/root/reference/src/core/extractor.py:327-355`),
+  *     split into its two sources;
+  *  2. the field resolves to the FIRST line (reading order) containing a
+  *     tier-1 keyword as a case-insensitive substring; only if NO line
+  *     matches tier 1 is the scan repeated with tier-2 keywords (the
+  *     description is the noisier signal — every reference description ends
+  *     in "do documento");
+  *  3. the matched keyword is the one with the leftmost occurrence in the
+  *     line (ties: keyword order); the value is the text after the first `:`
+  *     at/after that occurrence, truncated at the next `:`-label boundary and
+  *     at the earliest occurrence of any OTHER field's tier-1 keyword (so
+  *     `Autor: a-7 Data de emissao: ...` yields `a-7` for `autor`); a match
+  *     with no following `:` yields the whole line text;
+  *  4. normalization mirrors `_normalize_pydantic_response`
+  *     (`/root/reference/src/core/llm_orchestrator.py:218-249`): trim; empty
+  *     after trim → unresolved (null value, no span).
+  */
+object SpanExtractor {
+
+  val Stopwords: Set[String] =
+    Set("do", "da", "de", "o", "a", "para", "com", "em", "no", "na", "os", "as")
+
+  private def tokens(s: String): Vector[String] =
+    Option(s).getOrElse("").toLowerCase.split("\\s+").toVector
+      .filter(t => t.length > 2 && !Stopwords.contains(t))
+
+  /** Tier-1: field-name-derived keywords. */
+  def nameKeywords(rule: FieldRule): Vector[String] =
+    tokens(rule.name.replace("_", " ")).distinct
+
+  /** Tier-2: description-derived keywords (minus tier-1 duplicates). */
+  def descKeywords(rule: FieldRule): Vector[String] = {
+    val t1 = nameKeywords(rule).toSet
+    tokens(rule.description).distinct.filterNot(t1)
+  }
+
+  /** Combined (reference `filter_layout_by_keywords` order). */
+  def keywords(rule: FieldRule): Vector[String] =
+    (nameKeywords(rule) ++ descKeywords(rule)).distinct
+
+  /** Leftmost keyword occurrence in `lowered`; ties break on keyword order. */
+  private def leftmost(lowered: String, kws: Seq[String]): Option[(Int, String)] = {
+    var bestIdx = -1
+    var bestKw: String = null
+    kws.foreach { k =>
+      val i = lowered.indexOf(k)
+      if (i >= 0 && (bestIdx < 0 || i < bestIdx)) { bestIdx = i; bestKw = k }
+    }
+    if (bestIdx < 0) None else Some((bestIdx, bestKw))
+  }
+
+  /** Full resolution carrying source-line bboxes. */
+  def resolve(rules: Seq[FieldRule], lines: Seq[Line]): Vector[Span] = {
+    val lowered = lines.map(l => (l, l.text.toLowerCase))
+    val allRules = rules.toVector
+    allRules.iterator.flatMap { rule =>
+      val t1 = nameKeywords(rule)
+      val t2 = descKeywords(rule)
+      val othersT1 = allRules.filter(_.name != rule.name).flatMap(nameKeywords).distinct
+
+      def firstMatch(kws: Seq[String]): Option[(Line, String, Int, String)] =
+        if (kws.isEmpty) None
+        else lowered.iterator.flatMap { case (line, lt) =>
+          leftmost(lt, kws).map { case (i, k) => (line, lt, i, k) }
+        }.nextOption().map { case (line, lt, i, k) => (line, lt, i, k) }
+
+      firstMatch(t1).orElse(firstMatch(t2)) match {
+        case Some((line, lt, kwIdx, kw)) =>
+          val text = line.text
+          val colon = text.indexOf(':', kwIdx + kw.length)
+          val v =
+            if (colon < 0) text.trim
+            else {
+              val afterColon = text.substring(colon + 1)
+              // cut at the next ":"-label boundary: walk back from the next
+              // colon to the start of its label word-group is ambiguous, so
+              // the cut is at the earliest other-field tier-1 keyword, then
+              // (as a backstop) at the next colon itself.
+              val lower = afterColon.toLowerCase
+              val cutKw = leftmost(lower, othersT1).map(_._1).getOrElse(Int.MaxValue)
+              val cutColon = {
+                val c = afterColon.indexOf(':')
+                if (c < 0) Int.MaxValue else c
+              }
+              val cut = math.min(math.min(cutKw, cutColon), afterColon.length)
+              afterColon.substring(0, cut).trim
+            }
+          if (v.nonEmpty) Iterator.single(Span(rule.name, v, line.x0, line.y0, line.x1, line.y1))
+          else Iterator.empty
+        case None => Iterator.empty
+      }
+    }.toVector
+  }
+
+  /** SHA-256 hex digest — P1 (`/root/reference/src/core/extractor.py:297-299`). */
+  def sha256Hex(bytes: Array[Byte]): String = {
+    val d = MessageDigest.getInstance("SHA-256").digest(bytes)
+    val sb = new StringBuilder(64)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  /** Ruleset hash with the reference's canonical-JSON semantics — P2
+    * (`/root/reference/src/core/extractor.py:302-305`): keys sorted,
+    * `ensure_ascii=False` (raw UTF-8), Python separators `", "` / `": "`.
+    */
+  def schemaHash(rules: Seq[FieldRule]): String = {
+    val json = rules
+      .sortBy(_.name)
+      .map(r => s"${jsonStr(r.name)}: ${jsonStr(r.description)}")
+      .mkString("{", ", ", "}")
+    sha256Hex(json.getBytes(UTF_8))
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + Option(s).getOrElse("").flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case '\n'          => "\\n"
+      case '\r'          => "\\r"
+      case '\t'          => "\\t"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    } + "\""
+
+  /** Cache key — P3 (`/root/reference/src/core/pipeline.py:47`). */
+  def cacheKey(label: String, pdfHash: String, schemaHashHex: String): String =
+    s"extract:$label:$pdfHash:$schemaHashHex"
+}

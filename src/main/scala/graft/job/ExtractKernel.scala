@@ -1,0 +1,90 @@
+package graft.job
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.extract.SpanExtractor
+import graft.html.HtmlTextExtractor
+import graft.layout.{LayoutFormatter, LineClusterer}
+import graft.model._
+import graft.pdf.PdfLayoutParser
+import graft.sniff.ContentSniffer
+
+import scala.util.control.NonFatal
+
+/** The per-row extraction kernel: sniff → (PDF layout parse | HTML
+  * boilerplate strip) → layout text → span resolution. Pure (no Spark
+  * imports) so it is unit-testable without a session; the job wraps it in
+  * `mapPartitions` over `Dataset[PageRow]`.
+  *
+  * Mirrors the reference pipeline `/root/reference/src/core/pipeline.py:39-111`
+  * with the LLM stage replaced by the deterministic [[SpanExtractor]].
+  * Per-row error isolation (X3): ANY failure becomes an error row
+  * (`/root/reference/src/core/batch.py:78-88`), never an exception.
+  */
+object ExtractKernel {
+
+  /** Default broadcast ruleset — stands in for the reference's runtime
+    * `extraction_schema`; fields chosen to resolve against the synthetic
+    * corpus ([[graft.pages.PagesGen]]).
+    */
+  val DefaultRules: Vector[FieldRule] = Vector(
+    FieldRule("titulo", "Titulo principal do documento"),
+    FieldRule("autor", "Nome do autor do documento"),
+    FieldRule("data_emissao", "Data de emissao do documento"),
+    FieldRule("numero_registro", "Numero de registro do documento")
+  )
+
+  def extract(row: PageRow, rules: Seq[FieldRule], schemaHashHex: String): ExtractResult = {
+    val bytes = if (row.html == null) Array.emptyByteArray else row.html
+    val pdfHash = SpanExtractor.sha256Hex(bytes)
+    val key = SpanExtractor.cacheKey(row.url, pdfHash, schemaHashHex)
+    val doctype = ContentSniffer.sniff(bytes)
+    try {
+      doctype match {
+        case ContentSniffer.Pdf =>
+          val page = PdfLayoutParser.parse(bytes)
+          val lines = LineClusterer.cluster(page.words)
+          val layoutText = LayoutFormatter.format(lines)
+          val spans = SpanExtractor.resolve(rules, lines)
+          ExtractResult(
+            url = row.url, status = "ok", error = null, doctype = "pdf",
+            extracted_text = layoutText, spans = spans, pdf_hash = pdfHash,
+            cache_key = key, word_count = page.words.length, line_count = lines.length,
+            has_tables = false, page_width = page.pageWidth, page_height = page.pageHeight
+          )
+        case ContentSniffer.Html =>
+          val blocks = HtmlTextExtractor.contentBlocks(new String(bytes, UTF_8))
+          if (blocks.isEmpty) throw new IllegalArgumentException("Empty HTML: no content blocks")
+          val text = blocks.map(_.text).mkString("\n")
+          // HTML branch has no geometry: blocks become pseudo-lines at
+          // sentinel coords (-1) so span resolution is shared with PDF.
+          val pseudo = blocks.zipWithIndex.map { case (b, i) =>
+            Line(b.text, -1, i.toDouble, -1, i.toDouble, "NONE", b.words)
+          }
+          val spans = SpanExtractor.resolve(rules, pseudo)
+          ExtractResult(
+            url = row.url, status = "ok", error = null, doctype = "html",
+            extracted_text = text, spans = spans, pdf_hash = pdfHash,
+            cache_key = key, word_count = blocks.map(_.words).sum, line_count = blocks.length,
+            has_tables = false, page_width = -1, page_height = -1
+          )
+        case ContentSniffer.Unknown =>
+          val reason =
+            if (bytes.isEmpty) "Empty payload: zero bytes" // F3 gate as error row
+            else "Unknown content type"
+          err(row.url, pdfHash, key, "unknown", reason)
+      }
+    } catch {
+      case NonFatal(e) =>
+        err(row.url, pdfHash, key, doctype.name, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+  }
+
+  private def err(url: String, pdfHash: String, key: String, doctype: String, reason: String): ExtractResult =
+    ExtractResult(
+      url = url, status = "error", error = reason, doctype = doctype,
+      extracted_text = null, spans = Vector.empty, pdf_hash = pdfHash,
+      cache_key = key, word_count = 0, line_count = 0, has_tables = false,
+      page_width = -1, page_height = -1
+    )
+}

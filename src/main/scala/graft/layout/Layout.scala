@@ -1,0 +1,104 @@
+package graft.layout
+
+import graft.model.{Line, Word}
+
+/** 9-grid zone classification.
+  *
+  * Semantics replicate `/root/reference/src/core/extractor.py:124-165`
+  * exactly: the bbox center is bucketed into thirds of the page with strict
+  * `<` comparisons; the middle row drops the `MIDDLE-` prefix.
+  */
+object ZoneGrid {
+  def zone(x0: Double, y0: Double, x1: Double, y1: Double, pageWidth: Double, pageHeight: Double): String = {
+    val xc = (x0 + x1) / 2
+    val yc = (y0 + y1) / 2
+    val xt = pageWidth / 3
+    val yt = pageHeight / 3
+    val h =
+      if (xc < xt) "LEFT"
+      else if (xc < 2 * xt) "CENTER"
+      else "RIGHT"
+    val v =
+      if (yc < yt) "TOP"
+      else if (yc < 2 * yt) "MIDDLE"
+      else "BOTTOM"
+    if (v == "MIDDLE") h else s"$v-$h"
+  }
+}
+
+/** Greedy sequential line clustering.
+  *
+  * Semantics replicate `/root/reference/src/core/extractor.py:167-237`:
+  *  - words sorted by (y0, x0), STABLE (Python `sorted` is stable; Scala
+  *    `sortBy` uses a stable sort);
+  *  - a word joins the current line iff |word.y0 − anchorY| ≤ 5, where
+  *    anchorY is the y0 of the FIRST word of the current line (the anchor
+  *    only resets when a new line starts) — an order-dependent sequential
+  *    fold, deliberately kept in-kernel (never a window rewrite; SURVEY §7.4);
+  *  - line text = words sorted by x0 (stable) joined with a single space;
+  *  - line bbox = component-wise min/max; zone = leftmost word's zone.
+  *
+  * This is per-document, row-local logic: it never shuffles.
+  */
+object LineClusterer {
+  val YThreshold: Double = 5.0
+
+  def cluster(words: Seq[Word]): Vector[Line] = {
+    if (words.isEmpty) return Vector.empty
+    val sorted = words.sortBy(w => (w.y0, w.x0))
+    val lines = Vector.newBuilder[Line]
+    var current = List.newBuilder[Word]
+    var currentSize = 0
+    var anchorY = sorted.head.y0
+    sorted.foreach { w =>
+      if (math.abs(w.y0 - anchorY) <= YThreshold) {
+        current += w; currentSize += 1
+      } else {
+        if (currentSize > 0) lines += assemble(current.result())
+        current = List.newBuilder[Word]
+        current += w
+        currentSize = 1
+        anchorY = w.y0
+      }
+    }
+    if (currentSize > 0) lines += assemble(current.result())
+    lines.result()
+  }
+
+  /** Cf. `_create_line_dict`, `/root/reference/src/core/extractor.py:207-237`. */
+  def assemble(ws: List[Word]): Line = {
+    val byX = ws.sortBy(_.x0)
+    var x0 = Double.MaxValue; var y0 = Double.MaxValue
+    var x1 = Double.MinValue; var y1 = Double.MinValue
+    byX.foreach { w =>
+      if (w.x0 < x0) x0 = w.x0
+      if (w.y0 < y0) y0 = w.y0
+      if (w.x1 > x1) x1 = w.x1
+      if (w.y1 > y1) y1 = w.y1
+    }
+    Line(byX.iterator.map(_.text).mkString(" "), x0, y0, x1, y1, byX.head.zone, byX.size)
+  }
+}
+
+/** Layout-text formatting: `[{zone}] [x:{X0}-{X1}, y:{Y0}] {text}` per line,
+  * joined with `\n`. Cf. `/root/reference/src/core/extractor.py:239-261`.
+  *
+  * Byte-identity note: Python `int()` truncates toward zero; `Double.toInt`
+  * in Scala does the same — both print as plain decimal integers, so the
+  * formatted bytes match for any finite coordinate.
+  */
+object LayoutFormatter {
+  def formatLine(l: Line): String =
+    s"[${l.zone}] [x:${l.x0.toInt}-${l.x1.toInt}, y:${l.y0.toInt}] ${l.text}"
+
+  def format(lines: Seq[Line]): String = {
+    val sb = new StringBuilder
+    var first = true
+    lines.foreach { l =>
+      if (!first) sb.append('\n')
+      sb.append(formatLine(l))
+      first = false
+    }
+    sb.toString
+  }
+}

@@ -1,0 +1,147 @@
+package graft.pdf
+
+import java.nio.charset.StandardCharsets.ISO_8859_1
+
+import graft.layout.ZoneGrid
+import graft.model.Word
+
+import scala.collection.mutable.ArrayBuffer
+
+/** From-scratch parser for the PDF subset this engine processes:
+  * uncompressed content streams with `Tf`/`Td`/`TD`/`Tj`/`TJ` text operators
+  * inside `BT`…`ET` blocks. Replaces the reference's pdfplumber call
+  * (`/root/reference/src/core/extractor.py:65-95`) with deterministic
+  * pure-Scala glyph positioning:
+  *
+  *  - PDF space (origin bottom-left, y up) is converted to reader space
+  *    (origin top-left, y down), matching pdfplumber's `top`/`bottom`:
+  *    `top = pageHeight − yPdf − fontSize`, `bottom = top + fontSize`.
+  *  - Word width is metric-approximated as `0.6 × fontSize × textLength`
+  *    (Helvetica average advance) — deterministic, documented, and the
+  *    golden set is frozen against exactly these semantics.
+  *
+  * Malformed input throws [[PdfParseException]]; the kernel converts that to
+  * an error ROW, never a task failure (X3 in SURVEY §2.6).
+  */
+final class PdfParseException(msg: String) extends Exception(msg)
+
+object PdfLayoutParser {
+
+  final case class ParsedPage(words: Vector[Word], pageWidth: Double, pageHeight: Double)
+
+  val CharWidthRatio = 0.6
+
+  def parse(bytes: Array[Byte]): ParsedPage = {
+    val s = new String(bytes, ISO_8859_1)
+    if (!s.startsWith("%PDF-")) throw new PdfParseException("not a PDF: missing %PDF- header")
+    if (s.contains("/Count 0")) throw new PdfParseException("Empty PDF: no pages found")
+
+    val (pw, ph) = mediaBox(s)
+
+    val streamStart = s.indexOf("stream")
+    if (streamStart < 0) throw new PdfParseException("malformed PDF: no content stream")
+    var contentFrom = streamStart + "stream".length
+    if (contentFrom < s.length && s.charAt(contentFrom) == '\r') contentFrom += 1
+    if (contentFrom < s.length && s.charAt(contentFrom) == '\n') contentFrom += 1
+    val streamEnd = s.indexOf("endstream", contentFrom)
+    if (streamEnd < 0) throw new PdfParseException("malformed PDF: unterminated stream")
+    val content = s.substring(contentFrom, streamEnd)
+
+    val raw = tokenizeAndRun(content, ph)
+    if (raw.isEmpty) throw new PdfParseException("Empty PDF: no text content")
+
+    val words = raw.map { case (text, x0, top, x1, bottom) =>
+      Word(text, x0, top, x1, bottom, ZoneGrid.zone(x0, top, x1, bottom, pw, ph))
+    }.toVector
+    ParsedPage(words, pw, ph)
+  }
+
+  private def mediaBox(s: String): (Double, Double) = {
+    val i = s.indexOf("/MediaBox")
+    if (i < 0) return (MiniPdf.DefaultPageWidth, MiniPdf.DefaultPageHeight)
+    val open = s.indexOf('[', i)
+    val close = s.indexOf(']', open)
+    if (open < 0 || close < 0) return (MiniPdf.DefaultPageWidth, MiniPdf.DefaultPageHeight)
+    val nums = s.substring(open + 1, close).trim.split("\\s+").map(_.toDouble)
+    if (nums.length == 4) (nums(2) - nums(0), nums(3) - nums(1))
+    else (MiniPdf.DefaultPageWidth, MiniPdf.DefaultPageHeight)
+  }
+
+  /** Run the text operators; emit (text, x0, top, x1, bottom) per shown string. */
+  private def tokenizeAndRun(content: String, pageHeight: Double): ArrayBuffer[(String, Double, Double, Double, Double)] = {
+    val out = ArrayBuffer.empty[(String, Double, Double, Double, Double)]
+    var i = 0
+    val n = content.length
+    var fontSize = 12.0
+    var tx = 0.0
+    var ty = 0.0
+    // operand stack of numbers and the last string seen
+    val nums = ArrayBuffer.empty[Double]
+    var lastString: String = null
+    var leading = 0.0
+
+    def emit(text: String): Unit = {
+      val x0 = tx
+      val top = pageHeight - ty - fontSize
+      val x1 = x0 + CharWidthRatio * fontSize * text.length
+      out += ((text, x0, top, x1, top + fontSize))
+    }
+
+    while (i < n) {
+      val c = content.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '(') {
+        val sb = new StringBuilder
+        i += 1
+        var done = false
+        while (i < n && !done) {
+          val ch = content.charAt(i)
+          if (ch == '\\' && i + 1 < n) {
+            content.charAt(i + 1) match {
+              case '\\' => sb.append('\\'); i += 2
+              case '('  => sb.append('('); i += 2
+              case ')'  => sb.append(')'); i += 2
+              case 'n'  => sb.append('\n'); i += 2
+              case 'r'  => sb.append('\r'); i += 2
+              case 't'  => sb.append('\t'); i += 2
+              case other => sb.append(other); i += 2
+            }
+          } else if (ch == ')') { done = true; i += 1 }
+          else { sb.append(ch); i += 1 }
+        }
+        lastString = sb.toString
+      } else if (c == '[' || c == ']') {
+        i += 1 // TJ arrays: strings concatenate, kerning numbers ignored for bbox
+      } else if (c == '/') {
+        i += 1
+        while (i < n && !content.charAt(i).isWhitespace) i += 1 // name token (font)
+      } else if (c == '-' || c == '.' || c.isDigit) {
+        val start = i
+        i += 1
+        while (i < n && (content.charAt(i).isDigit || content.charAt(i) == '.')) i += 1
+        nums += content.substring(start, i).toDouble
+      } else {
+        val start = i
+        while (i < n && !content.charAt(i).isWhitespace && !"()[]/".contains(content.charAt(i))) i += 1
+        val op = content.substring(start, i)
+        op match {
+          case "BT" => tx = 0.0; ty = 0.0; nums.clear()
+          case "ET" => nums.clear()
+          case "Tf" => if (nums.nonEmpty) fontSize = nums.last; nums.clear()
+          case "Td" =>
+            if (nums.length >= 2) { tx += nums(nums.length - 2); ty += nums.last }
+            nums.clear()
+          case "TD" =>
+            if (nums.length >= 2) { tx += nums(nums.length - 2); ty += nums.last; leading = -nums.last }
+            nums.clear()
+          case "TL" => if (nums.nonEmpty) leading = nums.last; nums.clear()
+          case "T*" => ty -= leading; nums.clear()
+          case "Tj" => if (lastString != null) { emit(lastString); lastString = null }; nums.clear()
+          case "TJ" => if (lastString != null) { emit(lastString); lastString = null }; nums.clear()
+          case _    => nums.clear() // unknown operator: operands dropped
+        }
+      }
+    }
+    out
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.job.{ExtractJob, ExtractKernel}
+import graft.pages.PagesGen
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtractJobSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("end-to-end: pages → extraction → committed results, errors isolated") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-e2e").toString
+    val pages = PagesGen.pages(spark, sfDir)
+    val nPages = pages.count()
+    assert(nPages > 0)
+
+    val stats = ExtractJob.run(spark, pages, root, numPartitions = 4, commitId = "c1")
+    assert(stats.rowsIn == nPages)
+    assert(stats.rowsOk > 0 && stats.rowsError > 0) // corpus includes corrupt/empty payloads
+    assert(stats.rowsOk + stats.rowsError == stats.rowsIn)
+
+    val results = ExtractJob.resultsTable(root).read(spark).get
+    assert(results.count() == nPages)
+    // each url appears exactly once
+    assert(results.groupBy($"url").count().filter($"count" > 1).count() == 0)
+    // ok rows have extracted text; both branches exercised
+    val byType = results.filter($"status" === "ok").groupBy($"doctype").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType.getOrElse("pdf", 0L) > 0)
+    assert(byType.getOrElse("html", 0L) > 0)
+    assert(results.filter($"status" === "ok" && (length($"extracted_text") === 0 || $"extracted_text".isNull)).count() == 0)
+    // spans resolved on the synthetic corpus (autor/data/registro markers present)
+    assert(results.filter($"status" === "ok" && size($"spans") > 0).count() > 0)
+    // metrics committed alongside
+    val metrics = ExtractJob.metricsTable(root).read(spark).get
+    assert(metrics.agg(sum($"rows_in")).collect()(0).getLong(0) == nPages)
+  }
+
+  test("resume: second run over same input commits 0 new rows (no reprocessing)") {
+    val root = Files.createTempDirectory("graft-resume").toString
+    val pages = PagesGen.pages(spark, sfDir).limit(100)
+    val first = ExtractJob.run(spark, pages, root, numPartitions = 2, commitId = "c1")
+    assert(first.rowsIn == 100)
+    val second = ExtractJob.run(spark, pages, root, numPartitions = 2, commitId = "c2")
+    assert(second.rowsIn == 0)
+    assert(ExtractJob.resultsTable(root).read(spark).get.count() == 100)
+  }
+
+  test("crash before manifest publish leaves data invisible; rerun completes exactly-once") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-crash").toString
+    val pages = PagesGen.pages(spark, sfDir).limit(60)
+    val firstHalf = pages.filter(p => p.url.hashCode % 2 == 0)
+    // committed half
+    ExtractJob.run(spark, firstHalf, root, numPartitions = 2, commitId = "good")
+    val committedN = ExtractJob.resultsTable(root).read(spark).get.count()
+    // simulate crash: data written for the rest, manifest never published
+    val rest = ExtractJob.pending(spark, pages, root)
+    val (res, _) = ExtractJob.extractAll(rest, ExtractKernel.DefaultRules, "crashed")
+    ExtractJob.resultsTable(root).writeUncommitted(res.toDF(), "crashed")
+    assert(ExtractJob.resultsTable(root).read(spark).get.count() == committedN) // invisible
+    // rerun: processes exactly the uncommitted remainder
+    val stats = ExtractJob.run(spark, pages, root, numPartitions = 2, commitId = "retry")
+    assert(stats.rowsIn == 60 - committedN)
+    val fin = ExtractJob.resultsTable(root).read(spark).get
+    assert(fin.count() == 60)
+    assert(fin.groupBy($"url").count().filter($"count" > 1).count() == 0)
+  }
+
+  test("determinism: extracted_text per url is byte-identical across parallelism levels") {
+    import spark.implicits._
+    val pages = PagesGen.pages(spark, sfDir).limit(200)
+    def runAt(parts: Int) = {
+      val (res, _) = ExtractJob.extractAll(
+        ExtractJob.partitionForExtraction(pages, parts), ExtractKernel.DefaultRules, "d")
+      res.select($"url", $"extracted_text", $"pdf_hash", $"status").as[(String, String, String, String)]
+        .collect().sortBy(_._1).toVector
+    }
+    assert(runAt(1) == runAt(7))
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.extract.SpanExtractor
+import graft.model.{FieldRule, Line}
+import org.scalatest.funsuite.AnyFunSuite
+
+class SpanExtractorSpec extends AnyFunSuite {
+
+  private def line(text: String, y: Double = 0) = Line(text, 0, y, 100, y + 10, "TOP-LEFT", text.split(" ").length)
+
+  test("keyword derivation mirrors filter_layout_by_keywords (stopwords, len>2)") {
+    val kws = SpanExtractor.keywords(FieldRule("nome_completo", "Nome completo do titular"))
+    assert(kws.toSet == Set("nome", "completo", "titular")) // 'do' stopword dropped
+    // short tokens (len <= 2) dropped even when not stopwords
+    assert(!SpanExtractor.keywords(FieldRule("id", "ID do item XY")).exists(_.length <= 2))
+  }
+
+  test("resolution: first matching line wins; value after colon; trimmed") {
+    val rules = Seq(FieldRule("nome_completo", "Nome completo do titular"))
+    val lines = Seq(line("cabecalho generico", 0), line("Nome: JOÃO DA SILVA ", 20), line("Nome: OUTRO", 40))
+    val spans = SpanExtractor.resolve(rules, lines)
+    assert(spans.length == 1)
+    assert(spans.head.field == "nome_completo")
+    assert(spans.head.value == "JOÃO DA SILVA")
+    assert(spans.head.y0 == 20)
+  }
+
+  test("resolution: no colon → whole line; empty-after-trim → unresolved (P9)") {
+    val rules = Seq(FieldRule("registro", "Numero de registro"))
+    assert(SpanExtractor.resolve(rules, Seq(line("registro 12345"))).head.value == "registro 12345")
+    assert(SpanExtractor.resolve(rules, Seq(line("registro:   "))).isEmpty)
+    assert(SpanExtractor.resolve(rules, Seq(line("nothing relevant"))).isEmpty)
+  }
+
+  test("resolution: multi-field label line yields tight per-field values") {
+    val rules = Seq(
+      FieldRule("titulo", "Titulo principal do documento"),
+      FieldRule("autor", "Nome do autor do documento"),
+      FieldRule("data_emissao", "Data de emissao do documento"),
+      FieldRule("numero_registro", "Numero de registro do documento")
+    )
+    val lines = Seq(
+      line("Documento 7", 0),
+      line("conteudo principal aqui sem rotulos", 10),
+      line("Autor: author-7 Data de emissao: 2024-08-15 Numero de registro: REG-7", 20)
+    )
+    val byField = SpanExtractor.resolve(rules, lines).map(s => s.field -> s.value).toMap
+    assert(byField("autor") == "author-7")
+    assert(byField("data_emissao") == "2024-08-15")
+    assert(byField("numero_registro") == "REG-7")
+    // titulo has no tier-1 match; tier-2 'documento'/'principal' → first line, no colon → whole line
+    assert(byField("titulo") == "Documento 7")
+  }
+
+  test("resolution: tier-1 (name) keywords beat tier-2 (description) keywords") {
+    val rules = Seq(FieldRule("autor", "Nome do autor do documento"))
+    val lines = Seq(line("documento generico", 0), line("Autor: Fulano", 20))
+    val spans = SpanExtractor.resolve(rules, lines)
+    assert(spans.head.value == "Fulano" && spans.head.y0 == 20)
+  }
+
+  test("sha256 hex matches Python hashlib") {
+    assert(SpanExtractor.sha256Hex("abc".getBytes(UTF_8)) ==
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    assert(SpanExtractor.sha256Hex(Array.emptyByteArray) ==
+      "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855")
+  }
+
+  test("schemaHash reproduces Python json.dumps(sort_keys=True, ensure_ascii=False) semantics") {
+    // expected values computed with CPython hashlib/json (see Scaladoc P2)
+    val rules = Vector(
+      FieldRule("titulo", "Titulo principal do documento"),
+      FieldRule("autor", "Nome do autor do documento"),
+      FieldRule("data_emissao", "Data de emissao do documento"),
+      FieldRule("numero_registro", "Numero de registro do documento")
+    )
+    assert(SpanExtractor.schemaHash(rules) ==
+      "2e7381c7ed972a29f3d2408f9551f93a1e404cc301612de9cb5432ffd824203d")
+    // order-independence (sort_keys)
+    assert(SpanExtractor.schemaHash(rules.reverse) == SpanExtractor.schemaHash(rules))
+    // non-ASCII stays raw UTF-8 (ensure_ascii=False)
+    val accented = Vector(
+      FieldRule("nome_completo", "Nome completo do titular"),
+      FieldRule("número", "Número do cartão")
+    )
+    assert(SpanExtractor.schemaHash(accented) ==
+      "a8976b28fd959c22b659d059077ab8aed1d5491c2709e36c1771a37d42711c8c")
+  }
+
+  test("cacheKey format matches pipeline.py:47") {
+    assert(SpanExtractor.cacheKey("label1", "HASH", "SHASH") == "extract:label1:HASH:SHASH")
+  }
+}
