@@ -1,13 +1,245 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.dedup.Dedup
+import graft.extract.SpanExtractor
+import graft.job.{ExtractJob, ExtractKernel}
+import graft.media.MediaKernel
+import graft.pages.PagesGen
+import graft.sim.Similarity
+import graft.sniff.ContentSniffer
+import graft.text.TextAnalytics
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract: `queries` (Spark) and `oracleSql` (DuckDB) pairs form
+  * the per-round correctness gate. Column names and value semantics are
+  * kept engine-portable by construction (integer arithmetic, md5/sha256
+  * hex, plain string replacement — see [[graft.text.TextAnalytics]]);
+  * oracle-free entries (kernel/xxhash64-based ops DuckDB cannot express)
+  * get the driver's rows-only check and are covered by ScalaTest goldens
+  * instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  private val schemaHashHex: String = SpanExtractor.schemaHash(ExtractKernel.DefaultRules)
+
+  /** Flagship: the full extraction pipeline (sniff → PDF-layout | HTML
+    * boilerplate-strip → spans) over pages synthesized from sf0.001.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val pages = PagesGen.pages(spark, "/root/testdata/sf0.001")
+    val parted = ExtractJob.partitionForExtraction(pages, spark.sparkContext.defaultParallelism)
+    val (res, _) = ExtractJob.extractAll(parted, ExtractKernel.DefaultRules, "entry")
+    res.toDF()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- extraction pipeline (kernel ops; SURVEY §2) ----
+    "q_sniff_route" -> ((s, dir) => {
+      import s.implicits._
+      PagesGen.pages(s, dir).map(r => ContentSniffer.sniff(r.html).name)
+        .toDF("doctype").groupBy($"doctype").agg(count(lit(1)).as("n"))
+    }),
+    "q_status_counts" -> ((s, dir) => {
+      import s.implicits._
+      val (res, _) = ExtractJob.extractAll(PagesGen.pages(s, dir), ExtractKernel.DefaultRules, "verify")
+      res.groupBy($"status", $"doctype").agg(count(lit(1)).as("n"))
+    }),
+    "x_extract_results" -> ((s, dir) => {
+      import s.implicits._
+      val (res, _) = ExtractJob.extractAll(PagesGen.pages(s, dir), ExtractKernel.DefaultRules, "verify")
+      res.select($"url", $"status", $"doctype", md5($"extracted_text").as("text_md5"),
+        $"word_count".cast("long").as("word_count"), $"line_count".cast("long").as("line_count"))
+    }),
+    "p1_content_hash" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextAnalytics.contentHash(col("text")).as("h"))),
+    "p3_cache_key" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        concat_ws(":", lit("extract"), col("lang"), sha2(col("text"), 256), lit(schemaHashHex)).as("cache_key"))),
+    // ---- text analysis ----
+    "t_token_count" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextAnalytics.tokenCount(col("text")).cast("long").as("n_tokens"))),
+    "t_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextAnalytics.fingerprint(col("text")).as("fp"))),
+    "t_quality" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        length(col("text")).cast("long").as("chars"),
+        TextAnalytics.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalytics.punctChars(col("text")).cast("long").as("punct_chars"),
+        TextAnalytics.upperChars(col("text")).cast("long").as("upper_chars"),
+        TextAnalytics.digitChars(col("text")).cast("long").as("digit_chars"),
+        TextAnalytics.isQuality(col("text")).as("is_quality"))),
+    "t_lang_id" -> ((s, dir) => {
+      val cols = TextAnalytics.LangMarkers.map { case (lang, ms) =>
+        TextAnalytics.markerMass(col("text"), ms).cast("long").as(s"m_$lang")
+      }
+      docs(s, dir).select(col("doc_id") +: cols :+ TextAnalytics.langId(col("text")).as("lang_guess"): _*)
+    }),
+    // ---- deduplication ----
+    "d_exact_groups" -> ((s, dir) =>
+      Dedup.exactGroups(docs(s, dir), "doc_id", "text")),
+    "d_minhash_sig" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id") +: Dedup.minhashSig(col("text"), 8): _*)),
+    "d_lsh_pairs" -> ((s, dir) =>
+      Dedup.lshCandidatePairs(docs(s, dir), "doc_id", "text", 8, 2)),
+    "d_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardWithinGroups(docs(s, dir), "doc_id", "text", "source").filter(col("inter") > 0)),
+    "d_simhash_sig" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), Dedup.simhash64("text").as("simhash"))),
+    // ---- similarity search ----
+    "s_dot_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), 5)
+        .select(col("qid"), col("vid"), col("score").cast("long").as("score"), col("rn").cast("long").as("rn"))
+    }),
+    "s_cosine_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), 5, Similarity.cosine(_, _))
+        .select(col("qid"), col("vid"), col("score"), col("rn").cast("long").as("rn"))
+    }),
+    "s_ann_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.annTopK(e, e.filter(col("vec_id") < 10), 5)
+        .select(col("qid"), col("vid"), col("score"), col("rn").cast("long").as("rn"))
+    }),
+    // ---- multimodal (stub decode; real plumbing) ----
+    "m_media_meta" -> ((s, dir) => {
+      import s.implicits._
+      val rows = docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) =>
+          val kind = (id % 3) match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
+          MediaKernel.MediaRow(id.toString, kind, t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      MediaKernel.decodeAll(rows)(s)
+        .select(col("url").cast("long").as("doc_id"), col("kind"), col("size_bytes"),
+          col("width"), col("height"), col("channels"), col("duration_ms"),
+          col("content_md5"), col("status"))
+    })
+  )
+
+  // ---------------------------------------------------------------- oracle
+
+  private val tok = "regexp_split_to_array(trim(text), '\\s+')"
+
+  /** Shared CTE: word-3-gram shingles per doc (1-indexed, space-joined) —
+    * the SQL twin of [[Dedup.shingles]].
+    */
+  private val shingleCte =
+    s"""w AS (SELECT doc_id, source, $tok AS ws FROM documents),
+       |sh AS (SELECT doc_id, source,
+       |  unnest(list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+       |FROM w)""".stripMargin
+
+  private val minhashSelect =
+    (0 until 8).map(h => s"min(md5('$h:' || s)) AS mh$h").mkString(", ")
+
+  private def hexInt(from1: Int, len: Int): String =
+    s"CAST(('0x' || substr(md5(text), $from1, $len)) AS BIGINT)"
+
+  private def markerMassSql(markers: Seq[String]): String =
+    markers.map(m => s"(length(p) - length(replace(p, ' $m ', '')))").mkString(" + ")
+
+  def oracleSql: Map[String, String] = Map(
+    "q_sniff_route" ->
+      """SELECT CASE WHEN doc_id % 53 = 0 THEN 'unknown'
+        |            WHEN doc_id % 41 = 0 THEN 'pdf'
+        |            WHEN doc_id % 3 = 0 THEN 'pdf'
+        |            ELSE 'html' END AS doctype,
+        |       count(*) AS n
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_status_counts" ->
+      """SELECT CASE WHEN doc_id % 53 = 0 OR doc_id % 41 = 0 THEN 'error' ELSE 'ok' END AS status,
+        |       CASE WHEN doc_id % 53 = 0 THEN 'unknown'
+        |            WHEN doc_id % 41 = 0 THEN 'pdf'
+        |            WHEN doc_id % 3 = 0 THEN 'pdf'
+        |            ELSE 'html' END AS doctype,
+        |       count(*) AS n
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+    "p1_content_hash" -> "SELECT doc_id, sha256(text) AS h FROM documents",
+    "p3_cache_key" ->
+      s"SELECT doc_id, 'extract:' || lang || ':' || sha256(text) || ':$schemaHashHex' AS cache_key FROM documents",
+    "t_token_count" ->
+      s"SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tok) END AS BIGINT) AS n_tokens FROM documents",
+    "t_fingerprint" ->
+      "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM documents",
+    "t_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS chars,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tok) END AS BIGINT) AS n_tokens,
+         |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS punct_chars,
+         |  CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS upper_chars,
+         |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS digit_chars,
+         |  (n_tokens >= 5 AND punct_chars * 100 <= chars * 20
+         |   AND upper_chars * 100 <= chars * 30 AND chars <= n_tokens * 20) AS is_quality
+         |FROM documents""".stripMargin,
+    "t_lang_id" -> {
+      val masses = TextAnalytics.LangMarkers
+        .map { case (lang, ms) => s"CAST(${markerMassSql(ms)} AS BIGINT) AS m_$lang" }
+        .mkString(",\n  ")
+      val gm = "greatest(m_en, m_es, m_de, m_fr)"
+      s"""WITH n AS (SELECT doc_id, ' ' || regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') || ' ' AS p FROM documents),
+         |m AS (SELECT doc_id,
+         |  $masses
+         |FROM n)
+         |SELECT doc_id, m_en, m_es, m_de, m_fr,
+         |  CASE WHEN $gm > 0 THEN
+         |    CASE WHEN m_en = $gm THEN 'en' WHEN m_es = $gm THEN 'es'
+         |         WHEN m_de = $gm THEN 'de' ELSE 'fr' END
+         |  ELSE 'und' END AS lang_guess
+         |FROM m""".stripMargin
+    },
+    "d_exact_groups" ->
+      "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY 1",
+    "d_minhash_sig" ->
+      s"""WITH $shingleCte
+         |SELECT doc_id, $minhashSelect FROM sh GROUP BY doc_id""".stripMargin,
+    "d_lsh_pairs" ->
+      s"""WITH $shingleCte,
+         |sig AS (SELECT doc_id, $minhashSelect FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS bv FROM sig UNION ALL
+         |  SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig UNION ALL
+         |  SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig UNION ALL
+         |  SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig)
+         |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id""".stripMargin,
+    "d_jaccard_pairs" ->
+      s"""WITH $shingleCte,
+         |ds AS (SELECT DISTINCT doc_id, source, s FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+         |          FROM ds a JOIN ds b ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT id1, id2, CAST(inter AS BIGINT) AS inter,
+         |       CAST(sa.sz + sb.sz - inter AS BIGINT) AS uni
+         |FROM pairs JOIN sizes sa ON id1 = sa.doc_id JOIN sizes sb ON id2 = sb.doc_id""".stripMargin,
+    "s_dot_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |v AS (SELECT vec_id AS vid, embedding AS ve FROM embeddings),
+        |s AS (SELECT qid, vid,
+        |  CAST(list_sum(list_transform(generate_series(1, 64), i ->
+        |    CAST(floor(CAST(qe[i] AS DOUBLE) * 1000) AS BIGINT) *
+        |    CAST(floor(CAST(ve[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS score
+        |  FROM q, v WHERE qid <> vid)
+        |SELECT qid, vid, score, rn FROM (
+        |  SELECT qid, vid, score,
+        |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, vid) AS rn
+        |  FROM s) WHERE rn <= 5""".stripMargin,
+    "m_media_meta" ->
+      s"""SELECT doc_id,
+         |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         |  CAST(length(text) AS BIGINT) AS size_bytes,
+         |  CAST(CASE WHEN doc_id % 3 = 1 THEN -1 ELSE 320 + ${hexInt(1, 6)} % 1024 END AS BIGINT) AS width,
+         |  CAST(CASE WHEN doc_id % 3 = 1 THEN -1 ELSE 240 + ${hexInt(7, 6)} % 768 END AS BIGINT) AS height,
+         |  CAST(CASE WHEN doc_id % 3 = 1 THEN 1 + ${hexInt(13, 2)} % 2 ELSE 3 END AS BIGINT) AS channels,
+         |  CAST(CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 1000 + ${hexInt(15, 6)} % 600000 END AS BIGINT) AS duration_ms,
+         |  md5(text) AS content_md5,
+         |  'ok' AS status
+         |FROM documents""".stripMargin
+  )
 }

@@ -1,0 +1,170 @@
+package graft.dedup
+
+import graft.text.TextAnalytics
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a large-scale training-data pipeline:
+  * exact (hash-groupBy), MinHash+LSH near-dup candidate generation,
+  * n-gram Jaccard verification, and 64-bit SimHash.
+  *
+  * Design-for-scale notes (10^12-row design point):
+  *  - every stage is a declarative DataFrame op, so Catalyst gets column
+  *    pruning + pushdown; the only shuffles are the ones the semantics
+  *    require (groupBy on a 32/64-char key, band-equi-join);
+  *  - exact dedup shuffles md5 keys, never document bodies;
+  *  - LSH banding turns the O(n²) near-dup problem into equi-joins on
+  *    band values — each join key is a constant-width string, AQE handles
+  *    skewed buckets (a degenerate band value = a hot key) by splitting;
+  *  - signatures/fingerprints are pure `functions._` expressions
+  *    (codegen'd, no UDFs), computed in one projection pass over the text.
+  *
+  * The reference has no dedup (SURVEY §2.5); its only key-equality
+  * construct is the cache anti-join (F5). These operators are the
+  * corpus-scale generalization the north_star's training-data pipeline
+  * needs.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact-duplicate groups by content hash: one row per distinct text,
+    * with the canonical survivor (min id) and the duplicate count.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Exact dedup: keep one row per distinct text (the min-id survivor).
+    * Broadcast-ineligible at corpus scale — this is the canonical
+    * shuffle-on-short-key pattern; only (id, hash) move, not documents.
+    */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactGroups(df, idCol, textCol).select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  // ------------------------------------------------------------- shingles
+
+  /** Word n-gram shingles (space-joined), 1-indexed positions to match the
+    * portable SQL formulation; empty array when the text has < n words.
+    */
+  def shingles(c: Column, n: Int = 3): Column = {
+    val ws = TextAnalytics.tokens(c)
+    val grams = transform(
+      sequence(lit(1), size(ws) - lit(n - 1)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + lit(j))): _*)
+    )
+    when(size(ws) >= n, grams).otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct shingle set (Jaccard operates on sets). */
+  def shingleSet(c: Column, n: Int = 3): Column = array_distinct(shingles(c, n))
+
+  // -------------------------------------------------------------- minhash
+
+  /** k-permutation MinHash signature over word-3-gram shingles. Each
+    * "permutation" is md5 with a seed prefix; the signature component is
+    * the lexicographic min of the hex digests (portable across engines —
+    * hex strings compare like the underlying 128-bit value).
+    */
+  def minhashSig(c: Column, k: Int = 8, n: Int = 3): Seq[Column] = {
+    val sh = shingleSet(c, n)
+    (0 until k).map { h =>
+      array_min(transform(sh, s => md5(concat(lit(s"$h:"), s)))).as(s"mh$h")
+    }
+  }
+
+  /** (id, band, bv) exploded LSH banding of the MinHash signature:
+    * k/rowsPerBand bands, band value = concat of its signature rows.
+    * Two documents are near-dup candidates iff they collide on ≥1 band.
+    */
+  def lshBands(df: DataFrame, idCol: String, textCol: String, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val sig = df.select(col(idCol).as("id") +: minhashSig(col(textCol), k): _*)
+    val bandStructs = (0 until k / rowsPerBand).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), concat_ws("|", parts: _*).as("bv"))
+    }
+    sig.select(col("id"), explode(array(bandStructs: _*)).as("bd"))
+      .select(col("id"), col("bd.band").as("band"), col("bd.bv").as("bv"))
+  }
+
+  /** Near-dup candidate pairs (id1 < id2) via LSH band equi-join.
+    * The join key (band, bv) is a short constant-width string: at scale
+    * this is a plain shuffled equi-join; AQE skew-split handles degenerate
+    * buckets (e.g. boilerplate-only documents hashing identically).
+    */
+  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val bands = lshBands(df, idCol, textCol, k, rowsPerBand)
+    bands.as("a")
+      .join(bands.as("b"), col("a.band") === col("b.band") && col("a.bv") === col("b.bv") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+  }
+
+  // -------------------------------------------------------------- jaccard
+
+  /** n-gram Jaccard for given candidate pairs: returns integer
+    * intersection/union sizes (ratio = inter/uni, left to the caller so
+    * results stay float-free and engine-portable).
+    */
+  def jaccardForPairs(df: DataFrame, pairs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val sets = df.select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
+    pairs
+      .join(sets.withColumnRenamed("id", "id1").withColumnRenamed("sh", "sh1"), "id1")
+      .join(sets.withColumnRenamed("id", "id2").withColumnRenamed("sh", "sh2"), "id2")
+      .select(
+        col("id1"), col("id2"),
+        size(array_intersect(col("sh1"), col("sh2"))).cast("long").as("inter"),
+        size(array_union(col("sh1"), col("sh2"))).cast("long").as("uni")
+      )
+  }
+
+  /** All-pairs Jaccard within groups of `groupCol` (for bounded groups —
+    * e.g. per-source verification panels); at corpus scale use
+    * [[lshCandidatePairs]] to generate pairs instead.
+    */
+  def jaccardWithinGroups(df: DataFrame, idCol: String, textCol: String, groupCol: String, n: Int = 3): DataFrame = {
+    val sets = df.select(col(groupCol).as("g"), col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
+    sets.as("a")
+      .join(sets.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("id1"), col("b.id").as("id2"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("long").as("inter"),
+        size(array_union(col("a.sh"), col("b.sh"))).cast("long").as("uni")
+      )
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over word unigrams: per-word xxhash64, each bit
+    * position votes +1/−1, positive sums set the bit. One nested
+    * higher-order expression — stays in codegen, no UDF.
+    */
+  def simhash64(textColName: String): Column = expr(
+    s"""aggregate(
+       |  transform(sequence(0, 63), i ->
+       |    if(aggregate(transform(split(trim($textColName), '\\\\s+'), w -> xxhash64(w)),
+       |                 0L, (s, h) -> s + if((h >> i) & 1 = 1, 1, -1)) > 0,
+       |       shiftleft(1L, i), 0L)),
+       |  0L, (acc, b) -> acc | b)""".stripMargin
+  )
+
+  /** SimHash near-dup pairs: band the 64-bit hash into four 16-bit chunks
+    * (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical chunk), equi-join per chunk,
+    * then verify with `bit_count(xor) ≤ maxHamming`.
+    */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    val hashed = df.select(col(idCol).as("id"), simhash64(textCol).as("sh"))
+    val banded = hashed.select(
+      col("id"), col("sh"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"), expr(s"(sh >> ${16 * b}) & 65535").as("chunk"))): _*)).as("bd")
+    ).select(col("id"), col("sh"), col("bd.band").as("band"), col("bd.chunk").as("chunk"))
+    banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        expr("bit_count(a.sh ^ b.sh)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

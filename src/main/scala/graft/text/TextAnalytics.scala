@@ -1,0 +1,115 @@
+package graft.text
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token counting, document fingerprinting, quality scoring, and a
+  * deterministic language-ID heuristic.
+  *
+  * Everything here is a pure `Column` expression built from
+  * `org.apache.spark.sql.functions` — no UDFs — so every operator stays
+  * inside whole-stage codegen and is pushdown/pruning-friendly. Each
+  * function doubles as a DuckDB-oracle-checkable relational op (see
+  * `graft.SparkEntry.oracleSql`): the expressions use only arithmetic whose
+  * semantics are engine-portable (integer counts, md5/sha256 hex, plain
+  * string replacement), never float division.
+  *
+  * Generalizes the reference's only text heuristics — the keyword layout
+  * filter (`/root/reference/src/core/extractor.py:308-384`) and the
+  * token-count observability metric
+  * (`/root/reference/src/core/llm_orchestrator.py:98-119`) — to corpus-level
+  * operators.
+  */
+object TextAnalytics {
+
+  /** Whitespace tokens of the trimmed text. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Token count; 0 for empty/blank text (split("") would yield [""]). */
+  def tokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0)).otherwise(size(tokens(c)))
+
+  /** Canonical form for fingerprinting: lowercase, whitespace collapsed. */
+  def normalized(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Document fingerprint: md5 of the normalized text — the near-trivial
+    * but shuffle-cheap dedup key (32 hex chars instead of the document).
+    */
+  def fingerprint(c: Column): Column = md5(normalized(c))
+
+  /** Exact content hash — P1 semantics (`sha2` hex, lowercase), the
+    * relational twin of the kernel's `pdf_hash`
+    * (`/root/reference/src/core/extractor.py:297-299`).
+    */
+  def contentHash(c: Column): Column = sha2(c, 256)
+
+  /** Count of literal (non-regex) occurrences of `find`, left-to-right
+    * non-overlapping — portable `replace`-and-measure arithmetic.
+    * Returned as the number of characters removed; divide by
+    * `find.length` for the occurrence count (kept as a product-free int
+    * so oracles never do float division).
+    */
+  def removedChars(c: Column, find: String): Column =
+    length(c) - length(regexp_replace(c, Pattern.quote(find), ""))
+
+  /** Characters of punctuation. */
+  def punctChars(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[.,;:!?]", ""))
+
+  /** Characters of uppercase A-Z. */
+  def upperChars(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[A-Z]", ""))
+
+  /** Characters of digits. */
+  def digitChars(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[0-9]", ""))
+
+  /** Marker-mass for one language: total characters matched by the
+    * language's function-word markers (each counted padded with single
+    * spaces over the space-padded normalized text, so word boundaries are
+    * exact). Integer-valued and portable.
+    */
+  def markerMass(c: Column, markers: Seq[String]): Column = {
+    val padded = concat(lit(" "), normalized(c), lit(" "))
+    markers.map(m => removedChars(padded, s" $m ")).reduce(_ + _)
+  }
+
+  /** Language marker sets for the deterministic lang-ID heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "es" -> Seq("el", "la", "los", "es"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "fr" -> Seq("le", "les", "des", "et")
+  )
+
+  /** Language-ID: argmax of marker mass with fixed precedence order
+    * (earlier wins ties); all-zero → "und". Deterministic by construction.
+    */
+  def langId(c: Column): Column = {
+    val scores = LangMarkers.map { case (lang, ms) => lang -> markerMass(c, ms) }
+    val gmax = greatest(scores.map(_._2): _*)
+    val firstMax = scores.foldLeft(when(lit(false), lit(""))) { case (acc, (lang, s)) =>
+      acc.when(s === gmax, lit(lang))
+    }
+    when(gmax > 0, firstMax).otherwise(lit("und"))
+  }
+
+  /** Quality gate: word-count floor, punctuation ratio cap, uppercase ratio
+    * cap, average-word-length cap — all as integer cross-multiplications
+    * (never float division) so the predicate is engine-portable and
+    * codegen-trivial. Thresholds follow common web-corpus filters
+    * (Gopher/C4-style: enough words, not shouting, not punctuation soup).
+    */
+  def isQuality(c: Column): Column = {
+    val chars = length(c)
+    val words = tokenCount(c)
+    (words >= lit(5)) &&
+    (punctChars(c) * lit(100) <= chars * lit(20)) &&
+    (upperChars(c) * lit(100) <= chars * lit(30)) &&
+    (chars <= words * lit(20)) // mean word length ≤ 19 (+1 for separators)
+  }
+}

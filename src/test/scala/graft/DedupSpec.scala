@@ -1,0 +1,87 @@
+package graft
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import org.apache.spark.sql.DataFrame
+
+  private def df(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val longA = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+  private val longB = "the quick brown fox jumps over the lazy dog near the quiet river bank tonight" // 1-word diff
+  private val longC = "completely different content about spark catalyst optimizer rules and physical plans here"
+
+  test("exact dedup: groups by content, min-id survivor") {
+    val d = df(1L -> "aaa", 2L -> "bbb", 3L -> "aaa", 4L -> "aaa", 5L -> "bbb")
+    val groups = Dedup.exactGroups(d, "doc_id", "text").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(groups.toSeq == Seq((1L, 3L), (2L, 2L)))
+    val kept = Dedup.dropExactDuplicates(d, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 2L))
+  }
+
+  test("shingles: 3-grams in order; short text → empty") {
+    import spark.implicits._
+    val sh = Seq("a b c d e").toDF("text")
+      .select(Dedup.shingles(col("text")).as("sh")).collect()(0).getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d", "c d e"))
+    val short = Seq("a b").toDF("text")
+      .select(Dedup.shingles(col("text")).as("sh")).collect()(0).getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
+  test("minhash: identical text → identical signature; sig is deterministic") {
+    val d = df(1L -> longA, 2L -> longA, 3L -> longC)
+    val sigs = d.select(col("doc_id") +: Dedup.minhashSig(col("text"), 8): _*)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getString).toVector).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("LSH: exact duplicates always collide; near-dups (1-word suffix diff) share most bands") {
+    val d = df(1L -> longA, 2L -> longA, 3L -> longB, 4L -> longC)
+    val pairs = Dedup.lshCandidatePairs(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._2 == 4L || p._1 == 4L))
+  }
+
+  test("jaccard: inter/uni integer sizes over distinct shingle sets") {
+    import spark.implicits._
+    val d = df(1L -> "a b c d e", 2L -> "a b c d x")
+    val pairs = Seq((1L, 2L)).toDF("id1", "id2")
+    val j = Dedup.jaccardForPairs(d, pairs, "doc_id", "text").collect()(0)
+    // sets: {abc,bcd,cde} vs {abc,bcd,cdx} → inter 2, uni 4
+    assert(j.getLong(2) == 2 && j.getLong(3) == 4)
+  }
+
+  test("jaccardWithinGroups only pairs within the same group") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c d e", "g1"), (2L, "a b c d e", "g1"), (3L, "a b c d e", "g2"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.jaccardWithinGroups(d, "doc_id", "text", "source")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("simhash: identical → equal; near-dup → small hamming; pairs join finds dups") {
+    import spark.implicits._
+    val d = df(1L -> longA, 2L -> longA, 3L -> longB, 4L -> longC)
+    val h = d.select(col("doc_id"), Dedup.simhash64("text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L))
+    val hamNear = java.lang.Long.bitCount(h(1L) ^ h(3L))
+    val hamFar = java.lang.Long.bitCount(h(1L) ^ h(4L))
+    assert(hamNear < hamFar)
+    val pairs = Dedup.simhashNearDupPairs(d, "doc_id", "text", maxHamming = 3)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+}

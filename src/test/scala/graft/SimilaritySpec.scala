@@ -1,0 +1,71 @@
+package graft
+
+import graft.sim.Similarity
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def vecs(rows: (Long, Seq[Float])*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  // 4-dim corpus: v1 near v0, v2 orthogonal-ish, v3 opposite
+  private val corpus = vecs(
+    0L -> Seq(1f, 0f, 0f, 0f),
+    1L -> Seq(0.9f, 0.1f, 0f, 0f),
+    2L -> Seq(0f, 1f, 0f, 0f),
+    3L -> Seq(-1f, 0f, 0f, 0f)
+  )
+
+  test("dotQuantized: exact integer arithmetic") {
+    import spark.implicits._
+    val d = Seq((Seq(0.5f, -0.25f), Seq(2f, 4f))).toDF("a", "b")
+      .select(Similarity.dotQuantized(col("a"), col("b")).as("s")).collect()(0).getLong(0)
+    // floor(0.5*1000)*floor(2*1000) + floor(-0.25*1000)*floor(4*1000) = 500*2000 + (-250)*4000
+    assert(d == 500L * 2000 - 250L * 4000)
+  }
+
+  test("cosine ranks neighbors correctly") {
+    val top = Similarity.bruteForceTopK(corpus, corpus.filter(col("vec_id") === 0), 3, Similarity.cosine(_, _))
+      .orderBy("rn").collect().map(_.getLong(1))
+    assert(top.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("bruteForceTopK excludes the query itself and respects k") {
+    val rows = Similarity.bruteForceTopK(corpus, corpus.filter(col("vec_id") === 0), 2).collect()
+    assert(rows.length == 2)
+    assert(!rows.map(_.getLong(1)).contains(0L))
+  }
+
+  test("annTopK: identical-vector duplicate lands in the same bucket at rank 1") {
+    val withDup = vecs(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      10L -> Seq(1f, 0f, 0f, 0f), // exact duplicate of the query
+      2L -> Seq(0f, 1f, 0f, 0f),
+      3L -> Seq(-1f, 0f, 0f, 0f)
+    )
+    val got = Similarity.annTopK(withDup, withDup.filter(col("vec_id") === 0), 3, numPlanes = 4, dim = 4)
+      .orderBy("rn").collect()
+    assert(got.nonEmpty)
+    assert(got.head.getLong(1) == 10L) // the duplicate, cosine 1.0
+  }
+
+  test("hyperplanes are deterministic and in [-1,1]") {
+    val a = Similarity.hyperplanes(4, 8)
+    val b = Similarity.hyperplanes(4, 8)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.flatten.forall(v => v >= -1.0 && v <= 1.0))
+  }
+
+  test("ann results are a subset of brute-force candidates scored identically") {
+    val brute = Similarity.bruteForceTopK(corpus, corpus.filter(col("vec_id") === 0), 3, Similarity.cosine(_, _))
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    val ann = Similarity.annTopK(corpus, corpus.filter(col("vec_id") === 0), 3, numPlanes = 4, dim = 4)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    ann.foreach { case (vid, score) => assert(math.abs(brute(vid) - score) < 1e-12) }
+  }
+}

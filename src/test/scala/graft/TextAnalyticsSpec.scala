@@ -1,0 +1,55 @@
+package graft
+
+import graft.text.TextAnalytics._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextAnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def one(text: String, c: org.apache.spark.sql.Column): Any = {
+    import spark.implicits._
+    Seq(text).toDF("text").select(c).collect()(0).get(0)
+  }
+
+  test("tokenCount: words, collapsing whitespace, empty/blank → 0") {
+    assert(one("a b  c", tokenCount(col("text"))) == 3)
+    assert(one("  hello   world  ", tokenCount(col("text"))) == 2)
+    assert(one("", tokenCount(col("text"))) == 0)
+    assert(one("   ", tokenCount(col("text"))) == 0)
+  }
+
+  test("fingerprint: invariant to case and whitespace runs, sensitive to content") {
+    val a = one("Hello   World", fingerprint(col("text")))
+    val b = one("  hello world ", fingerprint(col("text")))
+    val c = one("hello worlds", fingerprint(col("text")))
+    assert(a == b)
+    assert(a != c)
+  }
+
+  test("char-class counters") {
+    assert(one("a.b,c!?", punctChars(col("text"))) == 4)
+    assert(one("AbC dE", upperChars(col("text"))) == 3)
+    assert(one("a1b22", digitChars(col("text"))) == 3)
+  }
+
+  test("markerMass counts word-boundary occurrences only") {
+    assert(one("the cat theme and then the end", markerMass(col("text"), Seq("the"))) == 10) // " the " twice: 2×5
+    assert(one("breathe other", markerMass(col("text"), Seq("the"))) == 0)
+  }
+
+  test("langId: marker argmax with precedence, und fallback") {
+    assert(one("the cat and the dog is here", langId(col("text"))) == "en")
+    assert(one("der hund und die katze und das", langId(col("text"))) == "de")
+    assert(one("le chat et les chiens et", langId(col("text"))) == "fr")
+    assert(one("xyzzy qwerty", langId(col("text"))) == "und")
+    assert(one("", langId(col("text"))) == "und")
+  }
+
+  test("isQuality: rejects too-short, shouting, punctuation soup") {
+    assert(one("this is a perfectly normal sentence with enough words", isQuality(col("text"))) == true)
+    assert(one("too short", isQuality(col("text"))) == false)
+    assert(one("AAAA BBBB CCCC DDDD EEEE FFFF", isQuality(col("text"))) == false)
+    assert(one("a.b.c. d.e.f. g.h.i. j,k,l! m?n?o? p;q;r", isQuality(col("text"))) == false)
+  }
+}
