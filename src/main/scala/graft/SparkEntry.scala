@@ -32,9 +32,8 @@ object SparkEntry {
     * boilerplate-strip → spans) over pages synthesized from sf0.001.
     */
   def entry(spark: SparkSession): DataFrame = {
-    val pages = PagesGen.pages(spark, "/root/testdata/sf0.001")
-    val parted = ExtractJob.partitionForExtraction(pages, spark.sparkContext.defaultParallelism)
-    val (res, _) = ExtractJob.extractAll(parted, ExtractKernel.DefaultRules, "entry")
+    val pages = PagesGen.pages(spark, "/root/testdata/sf0.001", spark.sparkContext.defaultParallelism)
+    val (res, _) = ExtractJob.extractAll(pages, ExtractKernel.DefaultRules, "entry")
     res.toDF()
   }
 
@@ -42,19 +41,39 @@ object SparkEntry {
     // ---- extraction pipeline (kernel ops; SURVEY §2) ----
     "q_sniff_route" -> ((s, dir) => {
       import s.implicits._
-      PagesGen.pages(s, dir).map(r => ContentSniffer.sniff(r.html).name)
+      PagesGen.pages(s, dir, s.sparkContext.defaultParallelism)
+        .map(r => ContentSniffer.sniff(r.html).name)
         .toDF("doctype").groupBy($"doctype").agg(count(lit(1)).as("n"))
     }),
     "q_status_counts" -> ((s, dir) => {
       import s.implicits._
-      val (res, _) = ExtractJob.extractAll(PagesGen.pages(s, dir), ExtractKernel.DefaultRules, "verify")
+      val (res, _) = ExtractJob.extractAll(
+        PagesGen.pages(s, dir, s.sparkContext.defaultParallelism), ExtractKernel.DefaultRules, "verify")
       res.groupBy($"status", $"doctype").agg(count(lit(1)).as("n"))
     }),
     "x_extract_results" -> ((s, dir) => {
       import s.implicits._
-      val (res, _) = ExtractJob.extractAll(PagesGen.pages(s, dir), ExtractKernel.DefaultRules, "verify")
+      val (res, _) = ExtractJob.extractAll(
+        PagesGen.pages(s, dir, s.sparkContext.defaultParallelism), ExtractKernel.DefaultRules, "verify")
       res.select($"url", $"status", $"doctype", md5($"extracted_text").as("text_md5"),
         $"word_count".cast("long").as("word_count"), $"line_count".cast("long").as("line_count"))
+    }),
+    // P6 zone grid + P7 layout formatting, relationally exposed over
+    // synthetic integer bboxes derived from (doc_id, n_chars) — the
+    // oracle-checkable twin of the kernel's ZoneGrid/LayoutFormatter
+    "p6_layout_zone" -> ((s, dir) => {
+      val x0 = (col("doc_id") % 500).cast("long")
+      val y0 = ((col("doc_id") * 7) % 700).cast("long")
+      val x1 = x0 + lit(40L) + (col("n_chars") % 60).cast("long")
+      val y1 = y0 + lit(12L)
+      val xc = (x0 + x1) / lit(2.0)
+      val yc = (y0 + y1) / lit(2.0)
+      val hz = when(xc < lit(612.0) / 3, "LEFT").when(xc < lit(612.0) / 3 * 2, "CENTER").otherwise("RIGHT")
+      val vz = when(yc < lit(792.0) / 3, "TOP").when(yc < lit(792.0) / 3 * 2, "MIDDLE").otherwise("BOTTOM")
+      val zone = when(vz === "MIDDLE", hz).otherwise(concat(vz, lit("-"), hz))
+      docs(s, dir).select(col("doc_id"), zone.as("zone"),
+        concat(lit("["), zone, lit("] [x:"), x0.cast("string"), lit("-"), x1.cast("string"),
+          lit(", y:"), y0.cast("string"), lit("] "), substring(col("text"), 1, 20)).as("layout_line"))
     }),
     "p1_content_hash" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextAnalytics.contentHash(col("text")).as("h"))),
@@ -84,7 +103,8 @@ object SparkEntry {
     "d_exact_groups" -> ((s, dir) =>
       Dedup.exactGroups(docs(s, dir), "doc_id", "text")),
     "d_minhash_sig" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id") +: Dedup.minhashSig(col("text"), 8): _*)),
+      Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", 8)
+        .withColumnRenamed("id", "doc_id")),
     "d_lsh_pairs" -> ((s, dir) =>
       Dedup.lshCandidatePairs(docs(s, dir), "doc_id", "text", 8, 2)),
     "d_jaccard_pairs" -> ((s, dir) =>
@@ -160,6 +180,24 @@ object SparkEntry {
         |            ELSE 'html' END AS doctype,
         |       count(*) AS n
         |FROM documents GROUP BY 1, 2""".stripMargin,
+    "p6_layout_zone" ->
+      """WITH c AS (SELECT doc_id, text,
+        |  CAST(doc_id % 500 AS BIGINT) AS x0,
+        |  CAST((doc_id * 7) % 700 AS BIGINT) AS y0,
+        |  CAST(doc_id % 500 + 40 + n_chars % 60 AS BIGINT) AS x1,
+        |  CAST((doc_id * 7) % 700 + 12 AS BIGINT) AS y1
+        |FROM documents),
+        |z AS (SELECT doc_id, text, x0, y0, x1, y1,
+        |  (x0 + x1) / 2.0 AS xc, (y0 + y1) / 2.0 AS yc FROM c),
+        |zz AS (SELECT doc_id, text, x0, x1, y0,
+        |  CASE WHEN xc < 612.0/3 THEN 'LEFT' WHEN xc < 612.0/3*2 THEN 'CENTER' ELSE 'RIGHT' END AS hz,
+        |  CASE WHEN yc < 792.0/3 THEN 'TOP' WHEN yc < 792.0/3*2 THEN 'MIDDLE' ELSE 'BOTTOM' END AS vz
+        |FROM z)
+        |SELECT doc_id,
+        |  CASE WHEN vz = 'MIDDLE' THEN hz ELSE vz || '-' || hz END AS zone,
+        |  '[' || CASE WHEN vz = 'MIDDLE' THEN hz ELSE vz || '-' || hz END ||
+        |  '] [x:' || x0 || '-' || x1 || ', y:' || y0 || '] ' || substr(text, 1, 20) AS layout_line
+        |FROM zz""".stripMargin,
     "p1_content_hash" -> "SELECT doc_id, sha256(text) AS h FROM documents",
     "p3_cache_key" ->
       s"SELECT doc_id, 'extract:' || lang || ':' || sha256(text) || ':$schemaHashHex' AS cache_key FROM documents",

@@ -48,14 +48,23 @@ object Dedup {
 
   /** Word n-gram shingles (space-joined), 1-indexed positions to match the
     * portable SQL formulation; empty array when the text has < n words.
+    *
+    * The token array is LAMBDA-BOUND (`transform(array(tokens), ws -> …)`)
+    * rather than referenced from inside the gram lambda: higher-order
+    * functions evaluate interpreted (outside codegen) with no common-
+    * subexpression elimination, so a captured `split(...)` would re-run
+    * per gram element — O(words²) regex splits per document. Binding it as
+    * a lambda variable evaluates it exactly once per row.
     */
   def shingles(c: Column, n: Int = 3): Column = {
-    val ws = TextAnalytics.tokens(c)
-    val grams = transform(
-      sequence(lit(1), size(ws) - lit(n - 1)),
-      i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + lit(j))): _*)
-    )
-    when(size(ws) >= n, grams).otherwise(array().cast("array<string>"))
+    val grams = transform(array(TextAnalytics.tokens(c)), ws =>
+      when(size(ws) >= n,
+        transform(
+          sequence(lit(1), size(ws) - lit(n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + lit(j))): _*)
+        )
+      ).otherwise(array().cast("array<string>")))
+    element_at(grams, 1)
   }
 
   /** Distinct shingle set (Jaccard operates on sets). */
@@ -67,12 +76,20 @@ object Dedup {
     * "permutation" is md5 with a seed prefix; the signature component is
     * the lexicographic min of the hex digests (portable across engines —
     * hex strings compare like the underlying 128-bit value).
+    *
+    * Shape chosen for scale: explode shingles → k codegen'd `min(md5(…))`
+    * aggregates. `min` is algebraic, so the partial aggregate runs
+    * map-side and only (id, k×32-char) partials shuffle — at 10^12 rows
+    * this is a partial-agg-dominated plan, never a document shuffle.
+    * (An `array_min(transform(…))` per column would run interpreted and
+    * re-traverse the shingle array k times per row.)
+    * Documents with < n words have no shingles and drop out, matching the
+    * SQL `GROUP BY` oracle semantics.
     */
-  def minhashSig(c: Column, k: Int = 8, n: Int = 3): Seq[Column] = {
-    val sh = shingleSet(c, n)
-    (0 until k).map { h =>
-      array_min(transform(sh, s => md5(concat(lit(s"$h:"), s)))).as(s"mh$h")
-    }
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, k: Int = 8, n: Int = 3): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"), explode(shingleSet(col(textCol), n)).as("s"))
+    val aggs = (0 until k).map(h => min(md5(concat(lit(s"$h:"), col("s")))).as(s"mh$h"))
+    exploded.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** (id, band, bv) exploded LSH banding of the MinHash signature:
@@ -80,7 +97,7 @@ object Dedup {
     * Two documents are near-dup candidates iff they collide on ≥1 band.
     */
   def lshBands(df: DataFrame, idCol: String, textCol: String, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val sig = df.select(col(idCol).as("id") +: minhashSig(col(textCol), k): _*)
+    val sig = minhashSignatures(df, idCol, textCol, k)
     val bandStructs = (0 until k / rowsPerBand).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), concat_ws("|", parts: _*).as("bv"))
@@ -120,34 +137,48 @@ object Dedup {
       )
   }
 
-  /** All-pairs Jaccard within groups of `groupCol` (for bounded groups —
-    * e.g. per-source verification panels); at corpus scale use
-    * [[lshCandidatePairs]] to generate pairs instead.
+  /** Overlapping-pairs Jaccard within groups of `groupCol`: every same-
+    * group pair sharing ≥ 1 shingle, with integer inter/union sizes.
+    *
+    * Shape: explode distinct shingles → equi-join on (group, shingle) →
+    * count per pair. Fully codegen'd (an array_intersect per pair would run
+    * interpreted per output row), and the join key is (group, shingle) so
+    * the corpus shuffles once by shingle — the same plan DuckDB's oracle
+    * uses and the shape that survives scale-up. Pairs with zero overlap
+    * are (deliberately) absent — at corpus scale emitting the quadratic
+    * zero-overlap set is never what you want; use [[jaccardForPairs]] with
+    * an explicit candidate list when you need specific pairs regardless.
     */
   def jaccardWithinGroups(df: DataFrame, idCol: String, textCol: String, groupCol: String, n: Int = 3): DataFrame = {
-    val sets = df.select(col(groupCol).as("g"), col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
-    sets.as("a")
-      .join(sets.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-      .select(
-        col("a.id").as("id1"), col("b.id").as("id2"),
-        size(array_intersect(col("a.sh"), col("b.sh"))).cast("long").as("inter"),
-        size(array_union(col("a.sh"), col("b.sh"))).cast("long").as("uni")
-      )
+    val ds = df
+      .select(col(groupCol).as("g"), col(idCol).as("id"), explode(shingleSet(col(textCol), n)).as("s"))
+    val sizes = ds.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = ds.as("a")
+      .join(ds.as("b"), col("a.g") === col("b.g") && col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), "id1")
+      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2"), "id2")
+      .select(col("id1"), col("id2"), col("inter"),
+        (col("sz1") + col("sz2") - col("inter")).as("uni"))
   }
 
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over word unigrams: per-word xxhash64, each bit
-    * position votes +1/−1, positive sums set the bit. One nested
-    * higher-order expression — stays in codegen, no UDF.
+    * position votes +1/−1, positive sums set the bit. The word-hash array
+    * is lambda-bound (same trick as [[shingles]]) so the split+hash pass
+    * runs once per row, not once per bit.
     */
   def simhash64(textColName: String): Column = expr(
-    s"""aggregate(
-       |  transform(sequence(0, 63), i ->
-       |    if(aggregate(transform(split(trim($textColName), '\\\\s+'), w -> xxhash64(w)),
-       |                 0L, (s, h) -> s + if((h >> i) & 1 = 1, 1, -1)) > 0,
-       |       shiftleft(1L, i), 0L)),
-       |  0L, (acc, b) -> acc | b)""".stripMargin
+    s"""element_at(transform(
+       |  array(transform(split(trim($textColName), '\\\\s+'), w -> xxhash64(w))),
+       |  hs -> aggregate(
+       |    transform(sequence(0, 63), i ->
+       |      if(aggregate(hs, 0L, (s, h) -> s + if(bit_get(h, i) = 1, 1, -1)) > 0,
+       |         shiftleft(1L, i), 0L)),
+       |    0L, (acc, b) -> acc | b)), 1)""".stripMargin
   )
 
   /** SimHash near-dup pairs: band the 64-bit hash into four 16-bit chunks

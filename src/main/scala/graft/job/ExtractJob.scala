@@ -35,15 +35,50 @@ object ExtractJob {
   def resultsTable(root: String) = new SnapshotTable(s"$root/results")
   def metricsTable(root: String) = new SnapshotTable(s"$root/metrics")
 
-  /** Pending = pages minus committed urls (left anti-join; AQE turns it into
-    * a broadcast join when the committed key set is small).
+  /** Committed-key-set size above which the resume filter switches from a
+    * plain anti-join to a bloom-filter pre-pass (see [[pending]]).
     */
-  def pending(spark: SparkSession, pages: Dataset[PageRow], tableRoot: String): Dataset[PageRow] = {
+  val BloomThreshold: Long = 10L * 1000 * 1000
+
+  /** Pending = pages minus committed urls.
+    *
+    * Two regimes, chosen from the snapshot's row count (free — it is in
+    * the manifest, no scan needed):
+    *
+    *  - small committed set: plain left anti-join on the projected `url`
+    *    column; AQE turns it into a broadcast join, so the pages scan
+    *    never shuffles (and column pruning keeps the wide `html` column
+    *    out of the committed side entirely);
+    *  - huge committed set (resuming a 10^12-row run): a sort-merge
+    *    anti-join would shuffle every page INCLUDING its payload. Instead,
+    *    build a bloom filter over committed urls (driver-aggregated once,
+    *    broadcast): pages the filter rejects are DEFINITELY uncommitted —
+    *    kept with no shuffle at all; only the "maybe committed" sliver
+    *    (true hits + fpp≈1% false positives) goes through the exact
+    *    anti-join. False positives land in the exact join and come back if
+    *    genuinely pending — never dropped, so the per-row invariant holds.
+    */
+  def pending(
+      spark: SparkSession,
+      pages: Dataset[PageRow],
+      tableRoot: String,
+      bloomThreshold: Long = BloomThreshold
+  ): Dataset[PageRow] = {
     import spark.implicits._
-    resultsTable(tableRoot).read(spark) match {
-      case Some(committed) =>
-        pages.join(committed.select($"url"), Seq("url"), "left_anti").as[PageRow]
+    val rt = resultsTable(tableRoot)
+    rt.latest() match {
       case None => pages
+      case Some(snap) =>
+        val committed = rt.read(spark).get.select($"url")
+        if (snap.rowCount <= bloomThreshold) {
+          pages.join(committed, Seq("url"), "left_anti").as[PageRow]
+        } else {
+          val bf = committed.stat.bloomFilter("url", math.max(snap.rowCount, 1L), 0.01)
+          val bfB = spark.sparkContext.broadcast(bf)
+          val definitelyNew = pages.filter(p => !bfB.value.mightContainString(p.url))
+          val maybeCommitted = pages.filter(p => bfB.value.mightContainString(p.url))
+          definitelyNew.union(maybeCommitted.join(committed, Seq("url"), "left_anti").as[PageRow])
+        }
     }
   }
 
@@ -109,11 +144,16 @@ object ExtractJob {
       tableRoot: String,
       rules: Seq[FieldRule] = ExtractKernel.DefaultRules,
       numPartitions: Int = 0,
-      commitId: String = s"c${System.currentTimeMillis()}"
+      commitId: String = s"c${System.currentTimeMillis()}",
+      alreadyPartitioned: Boolean = false
   ): JobStats = {
     import spark.implicits._
     val parts = if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism
-    val todo = partitionForExtraction(pending(spark, pages, tableRoot), parts)
+    val pend = pending(spark, pages, tableRoot)
+    // skip the payload shuffle when the source was pre-partitioned on the
+    // same key upstream of the binary column (PagesGen.pages(_, _, parts))
+    // and the resume filter preserved it (broadcast anti-join / bloom pass)
+    val todo = if (alreadyPartitioned) pend else partitionForExtraction(pend, parts)
     val (results, _) = extractAll(todo, rules, commitId)
 
     val rt = resultsTable(tableRoot)
@@ -135,13 +175,12 @@ object ExtractJob {
       .withColumn("commit_id", lit(commitId))
     metricsTable(tableRoot).append(m, commitId)
 
-    val agg = committedInc
-      .agg(
-        count("*"),
-        sum(when($"status" === "ok", 1L).otherwise(0L)),
-        sum(when($"status" === "error", 1L).otherwise(0L))
-      )
+    // job stats roll up from the committed METRICS increment (a handful of
+    // rows) — the wide results increment is never re-read
+    val agg = spark.read.parquet(s"$tableRoot/metrics/data/$commitId")
+      .agg(sum($"rows_in"), sum($"rows_ok"), sum($"rows_error"))
       .collect()(0)
-    JobStats(version, agg.getLong(0), Option(agg.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L), Option(agg.get(2)).map(_.asInstanceOf[Long]).getOrElse(0L))
+    def l(i: Int): Long = Option(agg.get(i)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    JobStats(version, l(0), l(1), l(2))
   }
 }

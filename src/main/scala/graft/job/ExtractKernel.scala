@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 
 import graft.extract.SpanExtractor
 import graft.html.HtmlTextExtractor
-import graft.layout.{LayoutFormatter, LineClusterer}
+import graft.layout.{LayoutFormatter, LineClusterer, TableDetector}
 import graft.model._
 import graft.pdf.PdfLayoutParser
 import graft.sniff.ContentSniffer
@@ -43,14 +43,15 @@ object ExtractKernel {
       doctype match {
         case ContentSniffer.Pdf =>
           val page = PdfLayoutParser.parse(bytes)
-          val lines = LineClusterer.cluster(page.words)
+          val groups = LineClusterer.clusterGroups(page.words)
+          val lines = groups.map(LineClusterer.assemble)
           val layoutText = LayoutFormatter.format(lines)
           val spans = SpanExtractor.resolve(rules, lines)
           ExtractResult(
             url = row.url, status = "ok", error = null, doctype = "pdf",
             extracted_text = layoutText, spans = spans, pdf_hash = pdfHash,
             cache_key = key, word_count = page.words.length, line_count = lines.length,
-            has_tables = false, page_width = page.pageWidth, page_height = page.pageHeight
+            has_tables = TableDetector.detect(groups), page_width = page.pageWidth, page_height = page.pageHeight
           )
         case ContentSniffer.Html =>
           val blocks = HtmlTextExtractor.contentBlocks(new String(bytes, UTF_8))

@@ -34,10 +34,12 @@ object ExtractMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val pages0 = PagesGen.pages(spark, sfDir)
+    val parts = if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism
+    val pages0 = PagesGen.pages(spark, sfDir, if (limit > 0) 0 else parts)
     val pages = if (limit > 0) pages0.limit(limit) else pages0
     val t0 = System.nanoTime()
-    val stats = ExtractJob.run(spark, pages, tableRoot, numPartitions = numPartitions)
+    val stats = ExtractJob.run(spark, pages, tableRoot, numPartitions = parts,
+      alreadyPartitioned = limit <= 0)
     val sec = (System.nanoTime() - t0) / 1e9
     println(
       f"""{"job":"extract","version":${stats.version},"rows_in":${stats.rowsIn},"rows_ok":${stats.rowsOk},"rows_error":${stats.rowsError},"sec":$sec%.3f,"docs_per_sec":${if (sec > 0) stats.rowsIn / sec else 0.0}%.1f}"""

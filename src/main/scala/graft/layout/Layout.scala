@@ -43,10 +43,16 @@ object ZoneGrid {
 object LineClusterer {
   val YThreshold: Double = 5.0
 
-  def cluster(words: Seq[Word]): Vector[Line] = {
+  def cluster(words: Seq[Word]): Vector[Line] =
+    clusterGroups(words).map(assemble)
+
+  /** The raw clustered word groups (same fold as [[cluster]]); exposed for
+    * operators that need per-line word geometry, e.g. [[TableDetector]].
+    */
+  def clusterGroups(words: Seq[Word]): Vector[List[Word]] = {
     if (words.isEmpty) return Vector.empty
     val sorted = words.sortBy(w => (w.y0, w.x0))
-    val lines = Vector.newBuilder[Line]
+    val groups = Vector.newBuilder[List[Word]]
     var current = List.newBuilder[Word]
     var currentSize = 0
     var anchorY = sorted.head.y0
@@ -54,15 +60,15 @@ object LineClusterer {
       if (math.abs(w.y0 - anchorY) <= YThreshold) {
         current += w; currentSize += 1
       } else {
-        if (currentSize > 0) lines += assemble(current.result())
+        if (currentSize > 0) groups += current.result()
         current = List.newBuilder[Word]
         current += w
         currentSize = 1
         anchorY = w.y0
       }
     }
-    if (currentSize > 0) lines += assemble(current.result())
-    lines.result()
+    if (currentSize > 0) groups += current.result()
+    groups.result()
   }
 
   /** Cf. `_create_line_dict`, `/root/reference/src/core/extractor.py:207-237`. */
@@ -100,5 +106,44 @@ object LayoutFormatter {
       first = false
     }
     sb.toString
+  }
+}
+
+/** Table detection — P8 (`/root/reference/src/core/extractor.py:98-99`,
+  * `page.find_tables()` → `has_tables` metadata, never alters text).
+  *
+  * The reference detects ruled tables via pdfplumber's line intersections;
+  * our PDF subset carries no ruling geometry, so detection uses the other
+  * classic signal (pdfplumber's "text" strategy): COLUMN ALIGNMENT. A page
+  * has a table iff ≥ `MinRows` clustered lines share ≥ `MinCols` common
+  * word-start x positions (within `XTolerance`) — flowing text re-wraps at
+  * ragged x offsets and never aligns columns across that many rows.
+  * Metadata-only, exactly like the reference.
+  */
+object TableDetector {
+  val MinRows = 3
+  val MinCols = 2
+  val XTolerance = 2.0
+
+  def detect(lineGroups: Seq[Seq[Word]]): Boolean = {
+    if (lineGroups.length < MinRows) return false
+    // bucket word-start x to the tolerance grid
+    def buckets(ws: Seq[Word]): Set[Long] =
+      ws.iterator.map(w => math.round(w.x0 / XTolerance)).toSet
+    val perLine = lineGroups.map(buckets)
+    // column candidates: x buckets appearing in >= MinRows lines
+    val freq = scala.collection.mutable.Map.empty[Long, Int]
+    perLine.foreach(_.foreach(b => freq(b) = freq.getOrElse(b, 0) + 1))
+    val columns = freq.collect { case (b, n) if n >= MinRows => b }.toSet
+    if (columns.size < MinCols) return false
+    // require MinRows CONSECUTIVE lines each hitting >= MinCols candidates
+    var streak = 0
+    perLine.foreach { bs =>
+      if (bs.count(columns.contains) >= MinCols) {
+        streak += 1
+        if (streak >= MinRows) return true
+      } else streak = 0
+    }
+    false
   }
 }

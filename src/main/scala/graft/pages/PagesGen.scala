@@ -106,11 +106,40 @@ $body
 
   /** Distributed generation: documents.parquet → Dataset[PageRow]. The map is
     * row-local (no shuffle); payload bytes are built inside executors.
+    *
+    * With `numPartitions > 0` the SLIM projection (doc_id, text, lang) is
+    * range-partitioned BEFORE payload synthesis, on the same composite key
+    * the extraction job uses — (giant-doc size class, xxhash64(url)) — so
+    * (a) the shuffle moves kilobytes of text, never the synthesized binary
+    * payloads, and (b) the result needs no further repartition before the
+    * kernel. This mirrors the real 10^12-row layout decision: partition on
+    * cheap derivable keys upstream of the wide binary column.
     */
-  def pages(spark: SparkSession, sfDir: String): Dataset[PageRow] = {
+  /** `replicate > 1` expands the corpus deterministically (replica r gets
+    * doc_id + r·10⁶ → distinct urls/payloads, same text distribution) —
+    * used by the bench to size the workload, never by correctness runs.
+    */
+  def pages(spark: SparkSession, sfDir: String, numPartitions: Int = 0, replicate: Int = 1): Dataset[PageRow] = {
+    import org.apache.spark.sql.functions._
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text", "lang")
+    val slim =
+      if (replicate <= 1) base
+      else base
+        .withColumn("rep", explode(sequence(lit(0), lit(replicate - 1))))
+        .withColumn("doc_id", col("doc_id") + col("rep") * lit(1000000L))
+        .drop("rep")
+    val parted =
+      if (numPartitions <= 0) slim
+      else {
+        // url + giant-class are pure functions of (doc_id, lang) — compute
+        // the range key pre-shuffle, drop it after
+        val urlCol = format_string("https://synth.example/%s/doc%08d", col("lang"), col("doc_id"))
+        val giant = when(col("doc_id") % 97 === 0, lit(1)).otherwise(lit(0))
+        slim.repartitionByRange(numPartitions, giant, xxhash64(urlCol))
+      }
+    parted
       .as[(Long, String, String)]
       .map { case (id, text, lang) => row(id, Option(text).getOrElse(""), Option(lang).getOrElse("und")) }
   }

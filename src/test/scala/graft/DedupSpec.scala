@@ -39,7 +39,7 @@ class DedupSpec extends AnyFunSuite {
 
   test("minhash: identical text → identical signature; sig is deterministic") {
     val d = df(1L -> longA, 2L -> longA, 3L -> longC)
-    val sigs = d.select(col("doc_id") +: Dedup.minhashSig(col("text"), 8): _*)
+    val sigs = Dedup.minhashSignatures(d, "doc_id", "text", 8)
       .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getString).toVector).toMap
     assert(sigs(1L) == sigs(2L))
     assert(sigs(1L) != sigs(3L))

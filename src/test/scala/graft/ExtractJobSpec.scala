@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import graft.job.{ExtractJob, ExtractKernel}
+import graft.model.PageRow
 import graft.pages.PagesGen
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -69,6 +70,57 @@ class ExtractJobSpec extends AnyFunSuite {
     val fin = ExtractJob.resultsTable(root).read(spark).get
     assert(fin.count() == 60)
     assert(fin.groupBy($"url").count().filter($"count" > 1).count() == 0)
+  }
+
+  test("bloom resume path: huge-committed-set regime yields the exact same pending set") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-bloom").toString
+    val pages = PagesGen.pages(spark, sfDir).limit(120)
+    val firstHalf = pages.filter(p => p.url.hashCode % 2 == 0)
+    ExtractJob.run(spark, firstHalf, root, numPartitions = 2, commitId = "c1")
+    val viaAntiJoin = ExtractJob.pending(spark, pages, root)
+      .select($"url").as[String].collect().sorted.toVector
+    // threshold 0 forces the bloom pre-filter + exact-join-on-maybe regime
+    val viaBloom = ExtractJob.pending(spark, pages, root, bloomThreshold = 0L)
+      .select($"url").as[String].collect().sorted.toVector
+    assert(viaBloom == viaAntiJoin)
+    assert(viaBloom.nonEmpty && viaBloom.size < 120)
+    // end-to-end through the bloom path: nothing lost, nothing duplicated
+    val stats = ExtractJob.run(spark, pages, root, numPartitions = 2, commitId = "c2")
+    assert(stats.rowsIn == viaBloom.size)
+    assert(ExtractJob.resultsTable(root).read(spark).get.count() == 120)
+  }
+
+  test("salting: giant-payload rows are range-isolated from small-row partitions") {
+    import spark.implicits._
+    val pages = PagesGen.pages(spark, sfDir) // doc_id % 97 == 0 → ~25× payload
+    val parted = ExtractJob.partitionForExtraction(pages, 8)
+    val dist = parted.mapPartitions { it =>
+      var small = 0L; var giant = 0L
+      it.foreach(p => if (p.html.length >= 10000) giant += 1 else small += 1)
+      Iterator.single((small, giant))
+    }.collect()
+    val giantParts = dist.filter(_._2 > 0)
+    assert(giantParts.nonEmpty)
+    // every giant row lives in the top range partitions, after all small rows
+    // (sizeClass is the leading range key) — here giants are < 1 MiB so the
+    // 1 MiB class boundary keeps them with small rows; verify the mechanism
+    // directly with a lowered boundary via the raw expression:
+    val lowered = pages
+      .repartitionByRange(8,
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.length($"html") >= 10000,
+          org.apache.spark.sql.functions.lit(1)
+        ).otherwise(org.apache.spark.sql.functions.lit(0)),
+        org.apache.spark.sql.functions.xxhash64($"url"))
+      .as[PageRow]
+    val dist2 = lowered.mapPartitions { it =>
+      var small = 0L; var giant = 0L
+      it.foreach(p => if (p.html.length >= 10000) giant += 1 else small += 1)
+      Iterator.single((small, giant))
+    }.collect()
+    val mixed = dist2.count(d => d._1 > 0 && d._2 > 0)
+    assert(mixed <= 1) // at most the single boundary partition mixes classes
   }
 
   test("determinism: extracted_text per url is byte-identical across parallelism levels") {

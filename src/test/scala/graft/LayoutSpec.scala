@@ -1,6 +1,6 @@
 package graft
 
-import graft.layout.{LayoutFormatter, LineClusterer, ZoneGrid}
+import graft.layout.{LayoutFormatter, LineClusterer, TableDetector, ZoneGrid}
 import graft.model.Word
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -129,5 +129,42 @@ class LayoutSpec extends AnyFunSuite {
   test("format: multiple lines joined with \\n, no trailing newline") {
     val lines = LineClusterer.cluster(Seq(w("a", 0, 0, 5, 10, "TOP-LEFT"), w("b", 0, 50, 5, 60, "LEFT")))
     assert(LayoutFormatter.format(lines) == "[TOP-LEFT] [x:0-5, y:0] a\n[LEFT] [x:0-5, y:50] b")
+  }
+
+  // --- TableDetector: P8, /root/reference/src/core/extractor.py:98-99 ---
+
+  private def gridRow(y: Double, cols: Seq[Double]): Seq[graft.model.Word] =
+    cols.zipWithIndex.map { case (x, i) => w(s"c$i", x, y, x + 30, y + 10) }
+
+  test("table detection: 3 rows sharing 3 aligned columns → true") {
+    val words = (0 until 3).flatMap(r => gridRow(100 + r * 20, Seq(72.0, 200.0, 340.0)))
+    assert(TableDetector.detect(LineClusterer.clusterGroups(words)))
+  }
+
+  test("table detection: flowing ragged text → false") {
+    // word starts drift per line (re-wrapped prose): no common columns
+    val words = (0 until 6).flatMap { r =>
+      val jitter = r * 7.0
+      Seq(w("lorem", 72 + jitter, 100 + r * 20, 120 + jitter, 110 + r * 20),
+        w("ipsum", 130 + jitter * 1.3, 100 + r * 20, 180 + jitter * 1.3, 110 + r * 20))
+    }
+    assert(!TableDetector.detect(LineClusterer.clusterGroups(words)))
+  }
+
+  test("table detection: single aligned column (left margin) is not a table") {
+    val words = (0 until 5).flatMap { r =>
+      Seq(w("start", 72, 100 + r * 20, 120, 110 + r * 20),
+        w("rest", 130 + r * 11.0, 100 + r * 20, 180 + r * 11.0, 110 + r * 20))
+    }
+    assert(!TableDetector.detect(LineClusterer.clusterGroups(words)))
+  }
+
+  test("table detection: interrupted streaks don't count; resumed grid does") {
+    val grid = (0 until 2).flatMap(r => gridRow(100 + r * 20, Seq(72.0, 200.0)))
+    val breaker = Seq(w("prose", 95, 150, 150, 160))
+    val grid2 = (0 until 2).flatMap(r => gridRow(180 + r * 20, Seq(72.0, 200.0)))
+    assert(!TableDetector.detect(LineClusterer.clusterGroups(grid ++ breaker ++ grid2)))
+    val grid3 = (0 until 3).flatMap(r => gridRow(300 + r * 20, Seq(72.0, 200.0)))
+    assert(TableDetector.detect(LineClusterer.clusterGroups(grid ++ breaker ++ grid3)))
   }
 }
