@@ -57,9 +57,7 @@ object Bench {
       val warm = PagesGen.pages(spark, sfDir).limit(500)
       val (w, _) = ExtractJob.extractAll(warm, ExtractKernel.DefaultRules, "warm")
       w.toDF().agg(count(lit(1))).collect()
-      val r1 = timedExtract(spark, sfDir, cores, replicate)
-      val r2 = timedExtract(spark, sfDir, cores, replicate)
-      (r1._1, math.min(r1._2, r2._2))
+      timedExtract(spark, sfDir, cores, replicate)
     } finally spark.stop()
   }
 
@@ -69,9 +67,16 @@ object Bench {
     val replicate = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPL", "200").toInt
     val n4 = 4 * n
 
-    // scaling runs (small cores first; each session owns the machine)
-    val (docs, secN) = extractAtCores(n, sfDir, replicate)
-    val (_, secN4) = extractAtCores(n4, sfDir, replicate)
+    // scaling runs: ALTERNATE the two parallelism levels (N, 4N, N, 4N) and
+    // take the min per level — both levels see the same JVM age (JIT, heap
+    // expansion), which back-to-back ordering would bias toward whichever
+    // level runs second
+    val (docs, secNa) = extractAtCores(n, sfDir, replicate)
+    val (_, secN4a) = extractAtCores(n4, sfDir, replicate)
+    val (_, secNb) = extractAtCores(n, sfDir, replicate)
+    val (_, secN4b) = extractAtCores(n4, sfDir, replicate)
+    val secN = math.min(secNa, secNb)
+    val secN4 = math.min(secN4a, secN4b)
     val thrN = docs / secN
     val thrN4 = docs / secN4
     val eff = thrN4 / (4.0 * thrN)

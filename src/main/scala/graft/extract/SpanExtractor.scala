@@ -110,6 +110,29 @@ object SpanExtractor {
     }.toVector
   }
 
+  /** F4 — the reference's keyword layout filter, byte-exact semantics of
+    * `filter_layout_by_keywords` (`/root/reference/src/core/extractor.py:308-384`):
+    * `maxLines == 0` or empty schema → passthrough; keywords = union of
+    * name-parts + description-parts (lowercased, stopwords removed,
+    * length > 2); keep lines containing any keyword as a case-insensitive
+    * substring; no keywords or no matches → first `maxLines` lines;
+    * matched lines truncated to `maxLines`.
+    * (Dead in the reference's prod path — config-wired-but-unused, SURVEY
+    * §2.4 F4 — but exercised by its test suite, so kept for parity; the
+    * production-path generalization is the HTML boilerplate strip.)
+    */
+  def filterLayoutByKeywords(layoutText: String, rules: Seq[FieldRule], maxLines: Int = 0): String = {
+    if (rules.isEmpty || maxLines == 0) return layoutText
+    val kws = rules.flatMap(keywords).toSet
+    val lines = layoutText.split("\n", -1) // Python split keeps trailing empties
+    if (kws.isEmpty) return lines.take(maxLines).mkString("\n")
+    val relevant = lines.filter { l =>
+      val ll = l.toLowerCase
+      kws.exists(ll.contains)
+    }
+    (if (relevant.isEmpty) lines.take(maxLines) else relevant.take(maxLines)).mkString("\n")
+  }
+
   /** SHA-256 hex digest — P1 (`/root/reference/src/core/extractor.py:297-299`). */
   def sha256Hex(bytes: Array[Byte]): String = {
     val d = MessageDigest.getInstance("SHA-256").digest(bytes)

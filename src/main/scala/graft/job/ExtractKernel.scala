@@ -49,7 +49,8 @@ object ExtractKernel {
           val spans = SpanExtractor.resolve(rules, lines)
           ExtractResult(
             url = row.url, status = "ok", error = null, doctype = "pdf",
-            extracted_text = layoutText, spans = spans, pdf_hash = pdfHash,
+            extracted_text = layoutText, spans = spans,
+            unresolved = unresolvedOf(rules, spans), pdf_hash = pdfHash,
             cache_key = key, word_count = page.words.length, line_count = lines.length,
             has_tables = TableDetector.detect(groups), page_width = page.pageWidth, page_height = page.pageHeight
           )
@@ -65,7 +66,8 @@ object ExtractKernel {
           val spans = SpanExtractor.resolve(rules, pseudo)
           ExtractResult(
             url = row.url, status = "ok", error = null, doctype = "html",
-            extracted_text = text, spans = spans, pdf_hash = pdfHash,
+            extracted_text = text, spans = spans,
+            unresolved = unresolvedOf(rules, spans), pdf_hash = pdfHash,
             cache_key = key, word_count = blocks.map(_.words).sum, line_count = blocks.length,
             has_tables = false, page_width = -1, page_height = -1
           )
@@ -73,18 +75,26 @@ object ExtractKernel {
           val reason =
             if (bytes.isEmpty) "Empty payload: zero bytes" // F3 gate as error row
             else "Unknown content type"
-          err(row.url, pdfHash, key, "unknown", reason)
+          err(row.url, pdfHash, key, "unknown", reason, rules)
       }
     } catch {
       case NonFatal(e) =>
-        err(row.url, pdfHash, key, doctype.name, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        err(row.url, pdfHash, key, doctype.name, s"${e.getClass.getSimpleName}: ${e.getMessage}", rules)
     }
   }
 
-  private def err(url: String, pdfHash: String, key: String, doctype: String, reason: String): ExtractResult =
+  /** G4: fields resolved vs unresolved — mirrors the trace partition of
+    * `/root/reference/src/core/pipeline.py:92-95`. */
+  private def unresolvedOf(rules: Seq[FieldRule], spans: Seq[graft.model.Span]): Vector[String] = {
+    val resolved = spans.iterator.map(_.field).toSet
+    rules.iterator.map(_.name).filterNot(resolved).toVector
+  }
+
+  private def err(url: String, pdfHash: String, key: String, doctype: String, reason: String, rules: Seq[FieldRule]): ExtractResult =
     ExtractResult(
       url = url, status = "error", error = reason, doctype = doctype,
-      extracted_text = null, spans = Vector.empty, pdf_hash = pdfHash,
+      extracted_text = null, spans = Vector.empty,
+      unresolved = rules.map(_.name).toVector, pdf_hash = pdfHash,
       cache_key = key, word_count = 0, line_count = 0, has_tables = false,
       page_width = -1, page_height = -1
     )

@@ -74,6 +74,8 @@ final case class ExtractResult(
     doctype: String, // "pdf" | "html" | "unknown"
     extracted_text: String, // the byte-identity invariant target
     spans: Seq[Span],
+    unresolved: Seq[String], // fields with no resolved span — the trace
+    // partition of `/root/reference/src/core/pipeline.py:92-95` (G4)
     pdf_hash: String, // sha256 hex of payload bytes (P1)
     cache_key: String, // extract:{label}:{pdf_hash}:{schema_hash} (P3)
     word_count: Int,

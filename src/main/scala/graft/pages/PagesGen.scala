@@ -122,8 +122,14 @@ $body
   def pages(spark: SparkSession, sfDir: String, numPartitions: Int = 0, replicate: Int = 1): Dataset[PageRow] = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    val base0 = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text", "lang")
+    // documents.parquet is one file = ONE input split; without an early
+    // spread the whole explode/synthesis stage runs on a single task and
+    // caps scaling no matter how many cores downstream stages get
+    val base =
+      if (numPartitions > 0 && replicate > 1) base0.repartition(numPartitions)
+      else base0
     val slim =
       if (replicate <= 1) base
       else base

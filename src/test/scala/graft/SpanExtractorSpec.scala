@@ -92,4 +92,54 @@ class SpanExtractorSpec extends AnyFunSuite {
   test("cacheKey format matches pipeline.py:47") {
     assert(SpanExtractor.cacheKey("label1", "HASH", "SHASH") == "extract:label1:HASH:SHASH")
   }
+
+  // --- F4: filter_layout_by_keywords, extractor.py:308-384 ---
+
+  test("keyword filter: keeps matching lines, case-insensitive substring") {
+    val rules = Vector(FieldRule("nome_completo", "Nome do titular"))
+    val layout = "linha com NOME aqui\nsem nada relevante\noutra com titular presente"
+    assert(SpanExtractor.filterLayoutByKeywords(layout, rules, 150) ==
+      "linha com NOME aqui\noutra com titular presente")
+  }
+
+  test("keyword filter: maxLines 0 or empty schema → passthrough") {
+    val layout = "a\nb\nc"
+    assert(SpanExtractor.filterLayoutByKeywords(layout, Vector(FieldRule("x_yz", "w")), 0) == layout)
+    assert(SpanExtractor.filterLayoutByKeywords(layout, Vector.empty, 150) == layout)
+  }
+
+  test("keyword filter: no matches → first maxLines fallback; matches truncated to maxLines") {
+    val rules = Vector(FieldRule("inscricao", "Numero da inscricao"))
+    val layout = (1 to 5).map(i => s"line $i").mkString("\n")
+    assert(SpanExtractor.filterLayoutByKeywords(layout, rules, 2) == "line 1\nline 2")
+    val matching = (1 to 5).map(i => s"inscricao $i").mkString("\n")
+    assert(SpanExtractor.filterLayoutByKeywords(matching, rules, 2) == "inscricao 1\ninscricao 2")
+  }
+
+  test("keyword filter: stopword/len>2 keyword derivation (no keywords → first maxLines)") {
+    // every token is a stopword or too short → keyword set is empty
+    val rules = Vector(FieldRule("de_o_a", "do da em no na"))
+    val layout = "x\ny\nz"
+    assert(SpanExtractor.filterLayoutByKeywords(layout, rules, 2) == "x\ny")
+  }
+
+  // --- G4: resolved/unresolved trace partition (pipeline.py:92-95) ---
+
+  test("kernel emits the unresolved-field complement of spans") {
+    import graft.job.ExtractKernel
+    import graft.pages.PagesGen
+    val schemaHash = SpanExtractor.schemaHash(ExtractKernel.DefaultRules)
+    // doc 7 is an HTML doc whose footer line resolves autor/data/registro + h2 titulo
+    val row = PagesGen.row(7L, "some body text that is long enough to be content here", "pt")
+    val r = ExtractKernel.extract(row, ExtractKernel.DefaultRules, schemaHash)
+    assert(r.status == "ok")
+    val resolved = r.spans.map(_.field).toSet
+    assert((resolved ++ r.unresolved.toSet) == ExtractKernel.DefaultRules.map(_.name).toSet)
+    assert(resolved.intersect(r.unresolved.toSet).isEmpty)
+    // error rows: everything unresolved
+    val bad = PagesGen.row(53L, "whatever", "pt") // empty payload
+    val rb = ExtractKernel.extract(bad, ExtractKernel.DefaultRules, schemaHash)
+    assert(rb.status == "error")
+    assert(rb.unresolved == ExtractKernel.DefaultRules.map(_.name))
+  }
 }
