@@ -109,8 +109,10 @@ object SparkEntry {
       Dedup.lshCandidatePairs(docs(s, dir), "doc_id", "text", 8, 2)),
     "d_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardWithinGroups(docs(s, dir), "doc_id", "text", "source").filter(col("inter") > 0)),
-    "d_simhash_sig" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id"), Dedup.simhash64("text").as("simhash"))),
+    "d_simhash_sig" -> ((s, dir) => {
+      val d = docs(s, dir)
+      d.select(col("doc_id"), Dedup.simhash64Native(d, "text").as("simhash"))
+    }),
     // ---- similarity search ----
     "s_dot_topk" -> ((s, dir) => {
       val e = embs(s, dir)

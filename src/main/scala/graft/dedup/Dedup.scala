@@ -181,12 +181,23 @@ object Dedup {
        |    0L, (acc, b) -> acc | b)), 1)""".stripMargin
   )
 
+  /** [[simhash64]] via the native codegen'd Catalyst expression
+    * ([[graft.functions.SimHash64Expression]]) — bit-exact with the HOF
+    * formulation (proven in SimHashExpressionSpec) but stays inside
+    * whole-stage codegen. Registers the function on the df's session
+    * (idempotent).
+    */
+  def simhash64Native(df: DataFrame, textColName: String): Column = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    expr(s"${graft.functions.GraftFunctions.SimHashName}($textColName)")
+  }
+
   /** SimHash near-dup pairs: band the 64-bit hash into four 16-bit chunks
     * (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical chunk), equi-join per chunk,
     * then verify with `bit_count(xor) ≤ maxHamming`.
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
-    val hashed = df.select(col(idCol).as("id"), simhash64(textCol).as("sh"))
+    val hashed = df.select(col(idCol).as("id"), simhash64Native(df, textCol).as("sh"))
     val banded = hashed.select(
       col("id"), col("sh"),
       explode(array((0 until 4).map(b => struct(lit(b).as("band"), expr(s"(sh >> ${16 * b}) & 65535").as("chunk"))): _*)).as("bd")
