@@ -90,10 +90,13 @@ object Bench {
     }
     spark.stop()
 
-    val qs = queries.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    // Locale.ROOT: a comma-decimal default locale would break the JSON
+    def d(v: Double, dec: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
+    val qs = queries.map { case (k, v) => s""""$k":${d(v, 3)}""" }.mkString("{", ",", "}")
     val total = secN4 + queries.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract":{"docs":$docs,"docs_per_sec":$thrN4%.1f,"sec":$secN4%.3f},"scaling":{"cores_n":$n,"cores_4n":$n4,"sec_n":$secN%.3f,"sec_4n":$secN4%.3f,"docs_per_sec_n":$thrN%.1f,"docs_per_sec_4n":$thrN4%.1f,"efficiency":$eff%.3f}}"""
+      s"""{"metric":"total","value":${d(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir","extract":{"docs":$docs,"docs_per_sec":${d(thrN4, 1)},"sec":${d(secN4, 3)}},"scaling":{"cores_n":$n,"cores_4n":$n4,"sec_n":${d(secN, 3)},"sec_4n":${d(secN4, 3)},"docs_per_sec_n":${d(thrN, 1)},"docs_per_sec_4n":${d(thrN4, 1)},"efficiency":${d(eff, 3)}}}"""
     )
   }
 }

@@ -79,14 +79,18 @@ object GraftFunctions {
   val SimHashName = "graft_simhash64"
 
   private val info = new ExpressionInfo(classOf[SimHash64Expression].getName, SimHashName)
-  private val builder: Seq[Expression] => Expression = { children =>
-    require(children.length == 1, s"$SimHashName takes exactly 1 argument")
+
+  /** Shared by the imperative and spark.sql.extensions paths — both must
+    * reject wrong arity at analysis time, not silently drop arguments.
+    */
+  val expressionBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 1, s"$SimHashName takes exactly 1 argument, got ${children.length}")
     SimHash64Expression(children.head)
   }
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry
-      .registerFunction(FunctionIdentifier(SimHashName), info, builder)
+      .registerFunction(FunctionIdentifier(SimHashName), info, expressionBuilder)
 }
 
 /** `SparkSessionExtensions` injector (spark.sql.extensions). */
@@ -95,6 +99,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier(GraftFunctions.SimHashName),
         new ExpressionInfo(classOf[SimHash64Expression].getName, GraftFunctions.SimHashName),
-        { children: Seq[Expression] => SimHash64Expression(children.head) })
+        GraftFunctions.expressionBuilder)
     )
 }

@@ -53,10 +53,12 @@ object ExtractJob {
     *    anti-join would shuffle every page INCLUDING its payload. Instead,
     *    build a bloom filter over committed urls (driver-aggregated once,
     *    broadcast): pages the filter rejects are DEFINITELY uncommitted —
-    *    kept with no shuffle at all; only the "maybe committed" sliver
-    *    (true hits + fpp≈1% false positives) goes through the exact
-    *    anti-join. False positives land in the exact join and come back if
-    *    genuinely pending — never dropped, so the per-row invariant holds.
+    *    kept with no shuffle at all; pages the filter accepts (true hits +
+    *    false positives) go through the exact anti-join. False positives
+    *    come back from the join if genuinely pending — never dropped, so
+    *    the per-row invariant holds. The win is proportional to the share
+    *    of NEW pages in the input; already-committed pages still pay the
+    *    join (but were never going to be extracted).
     */
   def pending(
       spark: SparkSession,
@@ -73,7 +75,19 @@ object ExtractJob {
         if (snap.rowCount <= bloomThreshold) {
           pages.join(committed, Seq("url"), "left_anti").as[PageRow]
         } else {
-          val bf = committed.stat.bloomFilter("url", math.max(snap.rowCount, 1L), 0.01)
+          // cap the filter at 8e9 bits (~1 GB broadcast; well under the
+          // Long-indexed BitArray ceiling) — an uncapped build at 10^10+
+          // keys would exceed BloomFilter's allocatable size and OOM/throw.
+          // Past the cap the fpp degrades gracefully: false positives only
+          // route more rows through the exact anti-join (slower, never
+          // wrong). Cost note: the two typed filters evaluate the source
+          // twice, and committed rows still flow through the exact join —
+          // the no-shuffle win applies to the NEW rows, which is the bulk
+          // of a fresh-heavy ingest and the rows that actually get
+          // extracted.
+          val n = math.max(snap.rowCount, 1L)
+          val numBits = math.min(n * 10L, 8L * 1000 * 1000 * 1000)
+          val bf = committed.stat.bloomFilter("url", n, numBits)
           val bfB = spark.sparkContext.broadcast(bf)
           val definitelyNew = pages.filter(p => !bfB.value.mightContainString(p.url))
           val maybeCommitted = pages.filter(p => bfB.value.mightContainString(p.url))

@@ -35,14 +35,20 @@ object ExtractMain {
     spark.sparkContext.setLogLevel("WARN")
 
     val parts = if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism
+    // only claim the pre-partitioned layout on a FRESH run: on resume the
+    // anti-join may re-shuffle (sort-merge regime), so run() must restore
+    // the giant-doc range isolation itself
+    val fresh = ExtractJob.resultsTable(tableRoot).isEmpty
     val pages0 = PagesGen.pages(spark, sfDir, if (limit > 0) 0 else parts)
     val pages = if (limit > 0) pages0.limit(limit) else pages0
     val t0 = System.nanoTime()
     val stats = ExtractJob.run(spark, pages, tableRoot, numPartitions = parts,
-      alreadyPartitioned = limit <= 0)
+      alreadyPartitioned = limit <= 0 && fresh)
     val sec = (System.nanoTime() - t0) / 1e9
+    def d(v: Double, dec: Int): String = // Locale.ROOT keeps the JSON valid on comma-decimal locales
+      String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
     println(
-      f"""{"job":"extract","version":${stats.version},"rows_in":${stats.rowsIn},"rows_ok":${stats.rowsOk},"rows_error":${stats.rowsError},"sec":$sec%.3f,"docs_per_sec":${if (sec > 0) stats.rowsIn / sec else 0.0}%.1f}"""
+      s"""{"job":"extract","version":${stats.version},"rows_in":${stats.rowsIn},"rows_ok":${stats.rowsOk},"rows_error":${stats.rowsError},"sec":${d(sec, 3)},"docs_per_sec":${d(if (sec > 0) stats.rowsIn / sec else 0.0, 1)}}"""
     )
     spark.stop()
   }

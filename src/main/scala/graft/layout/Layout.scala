@@ -131,7 +131,11 @@ object TableDetector {
     def buckets(ws: Seq[Word]): Set[Long] =
       ws.iterator.map(w => math.round(w.x0 / XTolerance)).toSet
     val perLine = lineGroups.map(buckets)
-    // column candidates: x buckets appearing in >= MinRows lines
+    // column candidates: x buckets appearing in >= MinRows lines.
+    // Known limitation (shared with pdfplumber's "text" strategy): text
+    // whose words are all the same width wraps to identical offsets and is
+    // indistinguishable from a grid — such pages flag true. Metadata-only,
+    // so a false positive never affects extracted_text/spans.
     val freq = scala.collection.mutable.Map.empty[Long, Int]
     perLine.foreach(_.foreach(b => freq(b) = freq.getOrElse(b, 0) + 1))
     val columns = freq.collect { case (b, n) if n >= MinRows => b }.toSet

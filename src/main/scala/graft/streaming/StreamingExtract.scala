@@ -33,8 +33,10 @@ object StreamingExtract {
       inputDir: String,
       tableRoot: String,
       rules: Seq[FieldRule] = ExtractKernel.DefaultRules,
-      trigger: Trigger = Trigger.AvailableNow()
+      trigger: Trigger = Trigger.AvailableNow(),
+      checkpointDir: String = null // default: co-located with the table
   ): StreamingQuery = {
+    val checkpoint = Option(checkpointDir).getOrElse(s"$tableRoot/_stream_checkpoint")
     import spark.implicits._
     val pages = spark.readStream
       .schema(PageSchema)
@@ -43,16 +45,32 @@ object StreamingExtract {
 
     pages.writeStream
       .foreachBatch { (batch: Dataset[PageRow], batchId: Long) =>
-        val commitId = s"epoch-$batchId"
+        val session = batch.sparkSession
+        // commit id = epoch + content digest: an exact replay of the same
+        // micro-batch (restart) maps to the same id and is skipped, while a
+        // DIFFERENT batch that reuses a batchId (checkpoint reset, second
+        // stream on the same tableRoot) gets a fresh id and is processed —
+        // never silently dropped
+        val fp = batch.agg(
+          count(lit(1)), coalesce(min(col("url")), lit("")), coalesce(max(col("url")), lit(""))
+        ).collect()(0)
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${fp.get(0)}|${fp.get(1)}|${fp.get(2)}".getBytes("UTF-8"))
+          .take(6).map(b => f"${b & 0xff}%02x").mkString
+        val commitId = s"epoch-$batchId-$digest"
         val rt = ExtractJob.resultsTable(tableRoot)
         val alreadyCommitted = rt.latest().exists(_.dataDirs.exists(_.endsWith(commitId)))
         if (!alreadyCommitted) {
-          val (res, _) = ExtractJob.extractAll(batch, rules, commitId)
+          // per-url exactly-once ACROSS batches too: a re-crawled url that
+          // arrives in a later micro-batch anti-joins against the committed
+          // snapshot exactly like the batch job's resume path
+          val todo = ExtractJob.pending(session, batch, tableRoot)
+          val (res, _) = ExtractJob.extractAll(todo, rules, commitId)
           rt.append(res.toDF(), commitId)
         }
         ()
       }
-      .option("checkpointLocation", s"$tableRoot/_stream_checkpoint")
+      .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
   }

@@ -51,6 +51,47 @@ class StreamingExtractSpec extends AnyFunSuite {
     assert(streamed == batchRun)
   }
 
+  test("re-crawled url in a later batch is not extracted twice (cross-batch anti-join)") {
+    import spark.implicits._
+    val inputDir = Files.createTempDirectory("graft-stream-dup-in").toString
+    val tableRoot = Files.createTempDirectory("graft-stream-dup-tbl").toString
+    val all = PagesGen.pages(spark, sfDir).limit(40).collect()
+
+    spark.createDataset(all.take(30).toSeq).coalesce(1).write.mode("append").parquet(inputDir)
+    StreamingExtract.start(spark, inputDir, tableRoot).awaitTermination()
+
+    // second batch: 10 new pages + 10 RE-CRAWLED urls from batch 1
+    spark.createDataset((all.drop(30) ++ all.take(10)).toSeq).coalesce(1)
+      .write.mode("append").parquet(inputDir)
+    StreamingExtract.start(spark, inputDir, tableRoot).awaitTermination()
+
+    val res = ExtractJob.resultsTable(tableRoot).read(spark).get
+    assert(res.count() == 40)
+    assert(res.groupBy($"url").count().filter($"count" > 1).count() == 0)
+  }
+
+  test("checkpoint reset with NEW data is processed, not skipped (content-keyed commit ids)") {
+    import spark.implicits._
+    val inputDirA = Files.createTempDirectory("graft-stream-ckA").toString
+    val inputDirB = Files.createTempDirectory("graft-stream-ckB").toString
+    val tableRoot = Files.createTempDirectory("graft-stream-ck-tbl").toString
+    val all = PagesGen.pages(spark, sfDir).limit(60).collect()
+
+    // stream 1 over dir A: its first batch is id 0
+    spark.createDataset(all.take(30).toSeq).coalesce(1).write.mode("append").parquet(inputDirA)
+    StreamingExtract.start(spark, inputDirA, tableRoot,
+      checkpointDir = s"$tableRoot/_ck_a").awaitTermination()
+    // stream 2: FRESH checkpoint (different input dir), so its first batch
+    // is ALSO id 0 — different content must still be processed
+    spark.createDataset(all.drop(30).toSeq).coalesce(1).write.mode("append").parquet(inputDirB)
+    StreamingExtract.start(spark, inputDirB, tableRoot,
+      checkpointDir = s"$tableRoot/_ck_b").awaitTermination()
+
+    val res = ExtractJob.resultsTable(tableRoot).read(spark).get
+    assert(res.count() == 60)
+    assert(res.groupBy($"url").count().filter($"count" > 1).count() == 0)
+  }
+
   test("windowed metrics: event-time windows by lang, counts and bytes add up") {
     import spark.implicits._
     val pages = PagesGen.pages(spark, sfDir).limit(120)
