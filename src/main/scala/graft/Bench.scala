@@ -21,14 +21,20 @@ import org.apache.spark.sql.functions._
 object Bench {
 
   private def session(cores: Int): SparkSession = {
-    val s = SparkSession.builder()
+    // shuffle spill on tmpfs when available: disk I/O variance at high
+    // core counts otherwise dominates the scaling measurement
+    val localDir = {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) "/dev/shm/graft-spark-bench" else null
+    }
+    val b = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val s = (if (localDir != null) b.config("spark.local.dir", localDir) else b).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
@@ -64,19 +70,24 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "8").toInt
-    val replicate = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPL", "200").toInt
+    // 400 × sf0.1 = 2M pages: large enough that fixed per-job costs
+    // (scheduling, range-sampling pass, final agg) amortize below the
+    // noise floor of the scaling comparison
+    val replicate = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPL", "400").toInt
     val n4 = 4 * n
 
-    // scaling runs: ALTERNATE the two parallelism levels (N, 4N, N, 4N) and
+    // scaling runs: ALTERNATE the two parallelism levels (N, 4N, ×3) and
     // take the min per level — both levels see the same JVM age (JIT, heap
     // expansion), which back-to-back ordering would bias toward whichever
-    // level runs second
-    val (docs, secNa) = extractAtCores(n, sfDir, replicate)
-    val (_, secN4a) = extractAtCores(n4, sfDir, replicate)
-    val (_, secNb) = extractAtCores(n, sfDir, replicate)
-    val (_, secN4b) = extractAtCores(n4, sfDir, replicate)
-    val secN = math.min(secNa, secNb)
-    val secN4 = math.min(secN4a, secN4b)
+    // level runs second; 3 samples bound scheduler/GC noise
+    val pairs = (1 to 3).map { _ =>
+      val (d, sN) = extractAtCores(n, sfDir, replicate)
+      val (_, sN4) = extractAtCores(n4, sfDir, replicate)
+      (d, sN, sN4)
+    }
+    val docs = pairs.head._1
+    val secN = pairs.map(_._2).min
+    val secN4 = pairs.map(_._3).min
     val thrN = docs / secN
     val thrN4 = docs / secN4
     val eff = thrN4 / (4.0 * thrN)

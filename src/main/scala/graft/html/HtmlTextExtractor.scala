@@ -75,6 +75,9 @@ object HtmlTextExtractor {
 
   /** Tokenize + segment into blocks with link-density stats. */
   def blocks(html: String): Vector[Block] = {
+    // lowercased once: the raw-text skip below searches it per script/style
+    // element — lowercasing inside the loop would be O(n · elements)
+    lazy val lowerHtml = html.toLowerCase
     val out = ArrayBuffer.empty[Block]
     val text = new StringBuilder
     val linkText = new StringBuilder
@@ -114,7 +117,7 @@ object HtmlTextExtractor {
               if (closing) { if (skipDepth > 0) skipDepth -= 1 }
               else if (!selfClosing) {
                 // raw-text elements: jump straight to the matching close tag
-                val close = html.toLowerCase.indexOf(s"</$name", i)
+                val close = lowerHtml.indexOf(s"</$name", i)
                 if (close >= 0) {
                   val gt = html.indexOf('>', close)
                   i = if (gt < 0) n else gt + 1
