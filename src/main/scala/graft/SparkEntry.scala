@@ -129,6 +129,10 @@ object SparkEntry {
       Similarity.annTopK(e, e.filter(col("vec_id") < 10), 5)
         .select(col("qid"), col("vid"), col("score"), col("rn").cast("long").as("rn"))
     }),
+    "s_embed_neardup" -> ((s, dir) =>
+      // vec_id cap bounds the exact self-join at bench scale; the sf0.01
+      // correctness table has 500 vectors, all under the cap
+      Similarity.nearDupPairs(embs(s, dir).filter(col("vec_id") < 1000), 400000L)),
     // ---- multimodal (stub decode; real plumbing) ----
     "m_media_meta" -> ((s, dir) => {
       import s.implicits._
@@ -270,6 +274,15 @@ object SparkEntry {
         |  SELECT qid, vid, score,
         |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, vid) AS rn
         |  FROM s) WHERE rn <= 5""".stripMargin,
+    "s_embed_neardup" ->
+      """WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000),
+        |scored AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    CAST(list_sum(list_transform(generate_series(1, 64), i ->
+        |      CAST(floor(CAST(a.embedding[i] AS DOUBLE) * 1000) AS BIGINT) *
+        |      CAST(floor(CAST(b.embedding[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS qdot
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        |SELECT id1, id2, qdot FROM scored WHERE qdot >= 400000""".stripMargin,
     "m_media_meta" ->
       s"""SELECT doc_id,
          |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -67,6 +67,39 @@ object Similarity {
       when(dot(e, planeCol) > 0, lit(1 << idx)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Embedding near-duplicate pairs (the embedding-cosine dedup op): all
+    * pairs (id1 < id2) whose QUANTIZED dot product reaches `minQDot`.
+    * Inputs are unit-norm embeddings, so quantized-dot ≈ cosine × scale².
+    * Integer scoring keeps the op oracle-exact across engines. This is the
+    * exact baseline; at corpus scale generate candidates with
+    * [[nearDupPairsLsh]] instead of the full self-join.
+    */
+  def nearDupPairs(corpus: DataFrame, minQDot: Long, scale: Int = 1000): DataFrame = {
+    val a = corpus.select(col("vec_id").as("id1"), col("embedding").as("e1"))
+    val b = corpus.select(col("vec_id").as("id2"), col("embedding").as("e2"))
+    a.join(b, col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), dotQuantized(col("e1"), col("e2"), scale).as("qdot"))
+      .filter(col("qdot") >= minQDot)
+  }
+
+  /** Scale path for [[nearDupPairs]]: LSH sign-bucket candidates first,
+    * then the exact quantized-dot verify — same output contract, but the
+    * corpus shuffles once by bucket instead of self-joining in full.
+    * Approximate: pairs whose members land in different buckets are missed
+    * (recall grows with fewer planes).
+    */
+  def nearDupPairsLsh(corpus: DataFrame, minQDot: Long, numPlanes: Int = 4, dim: Int = 64, scale: Int = 1000): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val sig = corpus.select(col("vec_id"), col("embedding"),
+      lshSignature(col("embedding"), planes).as("sig"))
+    val a = sig.select(col("sig"), col("vec_id").as("id1"), col("embedding").as("e1"))
+    val b = sig.select(col("sig"), col("vec_id").as("id2"), col("embedding").as("e2"))
+    a.join(b, Seq("sig")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), dotQuantized(col("e1"), col("e2"), scale).as("qdot"))
+      .filter(col("qdot") >= minQDot)
+      .distinct()
+  }
+
   /** LSH-bucketed approximate top-k: candidates = same-bucket vectors,
     * ranked by exact cosine. At corpus scale the signature is computed in
     * the scan projection and the bucket join shuffles each vector once;

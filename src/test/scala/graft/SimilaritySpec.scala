@@ -54,6 +54,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.head.getLong(1) == 10L) // the duplicate, cosine 1.0
   }
 
+  test("nearDupPairs: exact quantized threshold; LSH variant ⊆ exact with same scores") {
+    val withDup = vecs(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      1L -> Seq(0.99f, 0.05f, 0f, 0f), // near-dup of 0
+      2L -> Seq(0f, 1f, 0f, 0f),
+      3L -> Seq(-1f, 0f, 0f, 0f)
+    )
+    val exact = Similarity.nearDupPairs(withDup, 900000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(exact.keySet == Set((0L, 1L))) // only the near-dup pair clears 0.9
+    val lsh = Similarity.nearDupPairsLsh(withDup, 900000L, numPlanes = 4, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(lsh.keySet.subsetOf(exact.keySet))
+    lsh.foreach { case (k, v) => assert(exact(k) == v) }
+    assert(lsh.contains((0L, 1L))) // near-identical vectors share all sign buckets
+  }
+
   test("hyperplanes are deterministic and in [-1,1]") {
     val a = Similarity.hyperplanes(4, 8)
     val b = Similarity.hyperplanes(4, 8)
