@@ -77,17 +77,20 @@ object Bench {
     val n4 = 4 * n
 
     // scaling runs: ALTERNATE the two parallelism levels (N, 4N, ×3) and
-    // take the min per level — both levels see the same JVM age (JIT, heap
-    // expansion), which back-to-back ordering would bias toward whichever
-    // level runs second; 3 samples bound scheduler/GC noise
+    // take the MEDIAN per level. Interleaving equalizes JVM age (JIT, heap
+    // expansion) across levels; the median — not the min — is used because
+    // this host's per-core speed swings ~2× between runs (shared-host /
+    // frequency noise, measured with a pure-CPU probe): a min would couple
+    // the efficiency ratio to whichever level caught a fast window.
     val pairs = (1 to 3).map { _ =>
       val (d, sN) = extractAtCores(n, sfDir, replicate)
       val (_, sN4) = extractAtCores(n4, sfDir, replicate)
       (d, sN, sN4)
     }
     val docs = pairs.head._1
-    val secN = pairs.map(_._2).min
-    val secN4 = pairs.map(_._3).min
+    def median(v: Seq[Double]): Double = v.sorted.apply(v.length / 2)
+    val secN = median(pairs.map(_._2))
+    val secN4 = median(pairs.map(_._3))
     val thrN = docs / secN
     val thrN4 = docs / secN4
     val eff = thrN4 / (4.0 * thrN)

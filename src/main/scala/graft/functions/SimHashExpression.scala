@@ -77,28 +77,98 @@ case class SimHash64Expression(child: Expression)
   */
 object GraftFunctions {
   val SimHashName = "graft_simhash64"
+  val QDotName = "graft_qdot"
 
-  private val info = new ExpressionInfo(classOf[SimHash64Expression].getName, SimHashName)
+  private val simhashInfo = new ExpressionInfo(classOf[SimHash64Expression].getName, SimHashName)
+  private val qdotInfo = new ExpressionInfo(classOf[QuantizedDotExpression].getName, QDotName)
 
   /** Shared by the imperative and spark.sql.extensions paths — both must
     * reject wrong arity at analysis time, not silently drop arguments.
     */
-  val expressionBuilder: Seq[Expression] => Expression = { children =>
+  val simhashBuilder: Seq[Expression] => Expression = { children =>
     require(children.length == 1, s"$SimHashName takes exactly 1 argument, got ${children.length}")
     SimHash64Expression(children.head)
   }
 
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry
-      .registerFunction(FunctionIdentifier(SimHashName), info, expressionBuilder)
+  val qdotBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2, s"$QDotName takes exactly 2 arguments, got ${children.length}")
+    QuantizedDotExpression(children.head, children(1))
+  }
+
+  // back-compat alias
+  val expressionBuilder: Seq[Expression] => Expression = simhashBuilder
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.registerFunction(FunctionIdentifier(SimHashName), simhashInfo, simhashBuilder)
+    reg.registerFunction(FunctionIdentifier(QDotName), qdotInfo, qdotBuilder)
+  }
 }
 
 /** `SparkSessionExtensions` injector (spark.sql.extensions). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (FunctionIdentifier(GraftFunctions.SimHashName),
         new ExpressionInfo(classOf[SimHash64Expression].getName, GraftFunctions.SimHashName),
-        GraftFunctions.expressionBuilder)
-    )
+        GraftFunctions.simhashBuilder))
+    ext.injectFunction(
+      (FunctionIdentifier(GraftFunctions.QDotName),
+        new ExpressionInfo(classOf[QuantizedDotExpression].getName, GraftFunctions.QDotName),
+        GraftFunctions.qdotBuilder))
+  }
+}
+
+/** Quantized dot product kernel: Σ floor(a_i·scale)·floor(b_i·scale) in
+  * Long — identical semantics to the portable
+  * `aggregate(zip_with(...))` formulation in
+  * [[graft.sim.Similarity.dotQuantized]] for equal-length arrays (ours are
+  * fixed-dim embeddings). Shorter array bounds the loop.
+  */
+object QDot {
+  val Scale = 1000
+
+  def compute(a: org.apache.spark.sql.catalyst.util.ArrayData,
+              b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += math.floor(a.getFloat(i).toDouble * Scale).toLong *
+        math.floor(b.getFloat(i).toDouble * Scale).toLong
+      i += 1
+    }
+    s
+  }
+}
+
+/** Native codegen'd quantized-dot: `graft_qdot(array<float>, array<float>)`.
+  * The HOF formulation runs interpreted per pair — prohibitive in pairwise
+  * similarity joins (hundreds of thousands of scorings per task).
+  */
+case class QuantizedDotExpression(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires two array<float> arguments")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_qdot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    QDot.compute(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.QDot.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

@@ -74,11 +74,21 @@ object Similarity {
     * exact baseline; at corpus scale generate candidates with
     * [[nearDupPairsLsh]] instead of the full self-join.
     */
-  def nearDupPairs(corpus: DataFrame, minQDot: Long, scale: Int = 1000): DataFrame = {
+  /** Codegen'd quantized dot via the native `graft_qdot` expression
+    * (scale fixed at 1000) — semantics identical to [[dotQuantized]]; the
+    * interpreted HOF is prohibitive at pairwise-join row counts.
+    */
+  def qdotNative(df: DataFrame)(a: Column, b: Column): Column = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    call_function(graft.functions.GraftFunctions.QDotName, a, b)
+  }
+
+  def nearDupPairs(corpus: DataFrame, minQDot: Long): DataFrame = {
+    val qdot = qdotNative(corpus) _
     val a = corpus.select(col("vec_id").as("id1"), col("embedding").as("e1"))
     val b = corpus.select(col("vec_id").as("id2"), col("embedding").as("e2"))
     a.join(b, col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), dotQuantized(col("e1"), col("e2"), scale).as("qdot"))
+      .select(col("id1"), col("id2"), qdot(col("e1"), col("e2")).as("qdot"))
       .filter(col("qdot") >= minQDot)
   }
 
@@ -88,14 +98,15 @@ object Similarity {
     * Approximate: pairs whose members land in different buckets are missed
     * (recall grows with fewer planes).
     */
-  def nearDupPairsLsh(corpus: DataFrame, minQDot: Long, numPlanes: Int = 4, dim: Int = 64, scale: Int = 1000): DataFrame = {
+  def nearDupPairsLsh(corpus: DataFrame, minQDot: Long, numPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    val qdot = qdotNative(corpus) _
     val planes = hyperplanes(numPlanes, dim)
     val sig = corpus.select(col("vec_id"), col("embedding"),
       lshSignature(col("embedding"), planes).as("sig"))
     val a = sig.select(col("sig"), col("vec_id").as("id1"), col("embedding").as("e1"))
     val b = sig.select(col("sig"), col("vec_id").as("id2"), col("embedding").as("e2"))
     a.join(b, Seq("sig")).filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), dotQuantized(col("e1"), col("e2"), scale).as("qdot"))
+      .select(col("id1"), col("id2"), qdot(col("e1"), col("e2")).as("qdot"))
       .filter(col("qdot") >= minQDot)
       .distinct()
   }

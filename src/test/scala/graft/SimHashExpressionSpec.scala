@@ -62,6 +62,23 @@ class SimHashExpressionSpec extends AnyFunSuite {
     assert(err.getMessage.toLowerCase.contains("string") || err.getMessage.contains("DATATYPE"))
   }
 
+  test("graft_qdot native expression is value-exact with the HOF dotQuantized") {
+    import graft.sim.Similarity
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 30L).map(i => (i, Seq.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val a = df.select(col("vec_id").as("id1"), col("embedding").as("e1"))
+    val b = df.select(col("vec_id").as("id2"), col("embedding").as("e2"))
+    val pairs = a.join(b, col("id1") < col("id2"))
+    val rows = pairs.select(
+      Similarity.dotQuantized(col("e1"), col("e2")).as("hof"),
+      Similarity.qdotNative(df)(col("e1"), col("e2")).as("native")
+    ).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("near-dup texts have small hamming distance vs unrelated texts") {
     val a = SimHash.compute(UTF8String.fromString("the quick brown fox jumps over the lazy dog near the river"))
     val b = SimHash.compute(UTF8String.fromString("the quick brown fox jumps over the lazy dog near the ocean"))
