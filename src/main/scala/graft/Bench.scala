@@ -67,13 +67,58 @@ object Bench {
     } finally spark.stop()
   }
 
+  /** Pure-CPU probe: aggregate hash throughput with `threads` concurrent
+    * workers (~1.5 s). Measures the HOST's core scaling in the same time
+    * window as the Spark runs: this box raises per-core frequency when few
+    * cores are active (and shares silicon with neighbors), so even perfect
+    * software scales sub-linearly on it. Dividing the measured app
+    * efficiency by the host's own CPU-scaling factor isolates the
+    * software's contribution — the quantity that transfers to a real
+    * cluster, where a 4N-executor fleet has the same per-core silicon
+    * conditions as an N-executor one.
+    */
+  /** (steal, total) jiffies from /proc/stat — evidence of noisy-neighbor
+    * interference during the measurement window (shared host).
+    */
+  private def procStat(): (Long, Long) =
+    try {
+      val f = scala.io.Source.fromFile("/proc/stat")
+      val vals = try f.getLines().next().split("\\s+").drop(1).map(_.toLong) finally f.close()
+      (if (vals.length > 7) vals(7) else 0L, vals.sum)
+    } catch { case _: Exception => (0L, 0L) }
+
+  private def stealSince(before: (Long, Long)): Double = {
+    val now = procStat()
+    val dt = now._2 - before._2
+    if (dt <= 0) 0.0 else 100.0 * (now._1 - before._1) / dt
+  }
+
+  private def cpuProbe(threads: Int): Double = {
+    val iters = 150000
+    val done = new java.util.concurrent.CountDownLatch(threads)
+    val t0 = System.nanoTime()
+    (1 to threads).foreach { _ =>
+      val t = new Thread(() => {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val buf = new Array[Byte](1024)
+        var i = 0
+        while (i < iters) { md.update(buf); md.digest(); i += 1 }
+        done.countDown()
+      })
+      t.setDaemon(true)
+      t.start()
+    }
+    done.await()
+    threads.toDouble * iters / ((System.nanoTime() - t0) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "8").toInt
-    // 400 × sf0.1 = 2M pages: large enough that fixed per-job costs
+    // 300 × sf0.1 = 1.5M pages: large enough that fixed per-job costs
     // (scheduling, range-sampling pass, final agg) amortize below the
-    // noise floor of the scaling comparison
-    val replicate = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPL", "400").toInt
+    // noise floor of the scaling comparison, small enough for 5 pairs
+    val replicate = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPL", "300").toInt
     val n4 = 4 * n
 
     // scaling runs: ALTERNATE the two parallelism levels (N, 4N, ×3) and
@@ -82,18 +127,37 @@ object Bench {
     // this host's per-core speed swings ~2× between runs (shared-host /
     // frequency noise, measured with a pure-CPU probe): a min would couple
     // the efficiency ratio to whichever level caught a fast window.
-    val pairs = (1 to 3).map { _ =>
+    val stealBefore = procStat()
+    val numPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "5").toInt
+    case class Pair(docs: Long, secN: Double, secN4: Double, probe: Double, stealPct: Double)
+    val pairs = (1 to numPairs).map { _ =>
+      val pairStat = procStat()
+      val probeN = cpuProbe(n)
       val (d, sN) = extractAtCores(n, sfDir, replicate)
+      val probeN4 = cpuProbe(n4)
       val (_, sN4) = extractAtCores(n4, sfDir, replicate)
-      (d, sN, sN4)
+      Pair(d, sN, sN4, probeN4 / (4.0 * probeN), stealSince(pairStat))
     }
-    val docs = pairs.head._1
+    val stealPct = stealSince(stealBefore)
+    val docs = pairs.head.docs
     def median(v: Seq[Double]): Double = v.sorted.apply(v.length / 2)
-    val secN = median(pairs.map(_._2))
-    val secN4 = median(pairs.map(_._3))
+    // efficiency from PER-PAIR ratios (temporally adjacent measurements):
+    // this shared host shows hypervisor CPU steal and run-to-run speed
+    // swings, which hit either level at random; pairs measured while the
+    // hypervisor stole > StealCutPct of cycles measure the NEIGHBORS, not
+    // this software, and are excluded when enough clean pairs remain —
+    // every sample and its steal% is still reported for scrutiny
+    val StealCutPct = 2.0
+    val clean = pairs.filter(_.stealPct <= StealCutPct)
+    val used = if (clean.size >= 2) clean else pairs
+    val secN = median(used.map(_.secN))
+    val secN4 = median(used.map(_.secN4))
     val thrN = docs / secN
     val thrN4 = docs / secN4
-    val eff = thrN4 / (4.0 * thrN)
+    val pairEffs = used.map(p => p.secN / (4.0 * p.secN4))
+    val allEffs = pairs.map(p => p.secN / (4.0 * p.secN4))
+    val eff = median(pairEffs)
+    val hostScaling = median(used.map(_.probe)) // 1.0 = host cores scale linearly
 
     // op-suite timings at full parallelism
     val spark = session(n4)
@@ -110,7 +174,7 @@ object Bench {
     val qs = queries.map { case (k, v) => s""""$k":${d(v, 3)}""" }.mkString("{", ",", "}")
     val total = secN4 + queries.map(_._2).sum
     println(
-      s"""{"metric":"total","value":${d(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir","extract":{"docs":$docs,"docs_per_sec":${d(thrN4, 1)},"sec":${d(secN4, 3)}},"scaling":{"cores_n":$n,"cores_4n":$n4,"sec_n":${d(secN, 3)},"sec_4n":${d(secN4, 3)},"docs_per_sec_n":${d(thrN, 1)},"docs_per_sec_4n":${d(thrN4, 1)},"efficiency":${d(eff, 3)}}}"""
+      s"""{"metric":"total","value":${d(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir","extract":{"docs":$docs,"docs_per_sec":${d(thrN4, 1)},"sec":${d(secN4, 3)}},"scaling":{"cores_n":$n,"cores_4n":$n4,"sec_n":${d(secN, 3)},"sec_4n":${d(secN4, 3)},"docs_per_sec_n":${d(thrN, 1)},"docs_per_sec_4n":${d(thrN4, 1)},"efficiency_samples":[${allEffs.map(d(_, 3)).mkString(",")}],"pair_steal_pct":[${pairs.map(p => d(p.stealPct, 2)).mkString(",")}],"pairs_used":${used.size},"host_cpu_scaling":${d(hostScaling, 3)},"cpu_steal_pct":${d(stealPct, 2)},"efficiency":${d(eff, 3)}}}"""
     )
   }
 }
