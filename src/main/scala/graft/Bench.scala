@@ -10,13 +10,18 @@ import org.apache.spark.sql.functions._
   *    materialization of `extracted_text`);
   *  - the north_rule scaling evidence: the SAME job on the SAME input at
   *    two parallelism levels (local[N] vs local[4N] — the sandbox analog
-  *    of N vs 4N executors), with efficiency = thr(4N) / (4 × thr(N));
+  *    of N vs 4N executors), efficiency = thr(4N) / (4 × thr(N));
   *  - per-query wall times for the SparkEntry op suite.
   *
-  * Methodology: each session gets a JIT/IO warmup pass over a slice
-  * before timing; timed runs take the best of two (steady-state, less
-  * scheduler noise). Sessions are created/stopped sequentially so each
-  * parallelism level owns the whole machine.
+  * Methodology (each step exists because its absence was a measured
+  * bias — see BASELINE.md "Measurement noise"): sessions are created and
+  * stopped sequentially so each level owns the machine; each session gets
+  * a JIT/IO warmup slice; the two levels run as INTERLEAVED pairs so JVM
+  * aging is shared; efficiency is the MEDIAN of per-pair ratios; pairs
+  * measured while the hypervisor stole > 2 % of cycles are excluded
+  * (telemetry for every pair is printed); a pure-CPU probe records the
+  * host's own core-scaling factor alongside (`host_cpu_scaling` — context
+  * for the reader, not applied to the efficiency figure).
   */
 object Bench {
 
@@ -67,16 +72,6 @@ object Bench {
     } finally spark.stop()
   }
 
-  /** Pure-CPU probe: aggregate hash throughput with `threads` concurrent
-    * workers (~1.5 s). Measures the HOST's core scaling in the same time
-    * window as the Spark runs: this box raises per-core frequency when few
-    * cores are active (and shares silicon with neighbors), so even perfect
-    * software scales sub-linearly on it. Dividing the measured app
-    * efficiency by the host's own CPU-scaling factor isolates the
-    * software's contribution — the quantity that transfers to a real
-    * cluster, where a 4N-executor fleet has the same per-core silicon
-    * conditions as an N-executor one.
-    */
   /** (steal, total) jiffies from /proc/stat — evidence of noisy-neighbor
     * interference during the measurement window (shared host).
     */
@@ -93,6 +88,13 @@ object Bench {
     if (dt <= 0) 0.0 else 100.0 * (now._1 - before._1) / dt
   }
 
+  /** Pure-CPU probe: aggregate hash throughput with `threads` concurrent
+    * workers (~1.5 s), measuring the HOST's own core-scaling in the same
+    * time window as the Spark runs (shared silicon, neighbor load). When
+    * `host_cpu_scaling` in the output is well below 1.0, even perfect
+    * software could not measure linear on this box in that window. It is
+    * REPORTED as context, not divided into the efficiency figure.
+    */
   private def cpuProbe(threads: Int): Double = {
     val iters = 150000
     val done = new java.util.concurrent.CountDownLatch(threads)
@@ -121,12 +123,10 @@ object Bench {
     val replicate = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPL", "300").toInt
     val n4 = 4 * n
 
-    // scaling runs: ALTERNATE the two parallelism levels (N, 4N, ×3) and
-    // take the MEDIAN per level. Interleaving equalizes JVM age (JIT, heap
-    // expansion) across levels; the median — not the min — is used because
-    // this host's per-core speed swings ~2× between runs (shared-host /
-    // frequency noise, measured with a pure-CPU probe): a min would couple
-    // the efficiency ratio to whichever level caught a fast window.
+    // scaling runs: the two parallelism levels ALTERNATE as pairs —
+    // interleaving equalizes JVM age (JIT, heap expansion) across levels;
+    // per-pair steal telemetry + the median estimator below handle the
+    // shared-host noise (see class doc + BASELINE.md)
     val stealBefore = procStat()
     val numPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "5").toInt
     case class Pair(docs: Long, secN: Double, secN4: Double, probe: Double, stealPct: Double)
@@ -140,7 +140,14 @@ object Bench {
     }
     val stealPct = stealSince(stealBefore)
     val docs = pairs.head.docs
-    def median(v: Seq[Double]): Double = v.sorted.apply(v.length / 2)
+    // true median: even-length input averages the two middles — taking the
+    // upper-middle would systematically pick the better sample when the
+    // steal filter leaves an even number of clean pairs
+    def median(v: Seq[Double]): Double = {
+      val s = v.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
     // efficiency from PER-PAIR ratios (temporally adjacent measurements):
     // this shared host shows hypervisor CPU steal and run-to-run speed
     // swings, which hit either level at random; pairs measured while the
@@ -168,9 +175,7 @@ object Bench {
     }
     spark.stop()
 
-    // Locale.ROOT: a comma-decimal default locale would break the JSON
-    def d(v: Double, dec: Int): String =
-      String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
+    import graft.util.JsonFmt.d
     val qs = queries.map { case (k, v) => s""""$k":${d(v, 3)}""" }.mkString("{", ",", "}")
     val total = secN4 + queries.map(_._2).sum
     println(

@@ -39,7 +39,7 @@ object SpanExtractor {
     Set("do", "da", "de", "o", "a", "para", "com", "em", "no", "na", "os", "as")
 
   private def tokens(s: String): Vector[String] =
-    Option(s).getOrElse("").toLowerCase.split("\\s+").toVector
+    Option(s).getOrElse("").toLowerCase(java.util.Locale.ROOT).split("\\s+").toVector
       .filter(t => t.length > 2 && !Stopwords.contains(t))
 
   /** Tier-1: field-name-derived keywords. */
@@ -69,7 +69,7 @@ object SpanExtractor {
 
   /** Full resolution carrying source-line bboxes. */
   def resolve(rules: Seq[FieldRule], lines: Seq[Line]): Vector[Span] = {
-    val lowered = lines.map(l => (l, l.text.toLowerCase))
+    val lowered = lines.map(l => (l, l.text.toLowerCase(java.util.Locale.ROOT)))
     val allRules = rules.toVector
     allRules.iterator.flatMap { rule =>
       val t1 = nameKeywords(rule)
@@ -94,7 +94,7 @@ object SpanExtractor {
               // colon to the start of its label word-group is ambiguous, so
               // the cut is at the earliest other-field tier-1 keyword, then
               // (as a backstop) at the next colon itself.
-              val lower = afterColon.toLowerCase
+              val lower = afterColon.toLowerCase(java.util.Locale.ROOT)
               val cutKw = leftmost(lower, othersT1).map(_._1).getOrElse(Int.MaxValue)
               val cutColon = {
                 val c = afterColon.indexOf(':')
@@ -127,7 +127,7 @@ object SpanExtractor {
     val lines = layoutText.split("\n", -1) // Python split keeps trailing empties
     if (kws.isEmpty) return lines.take(maxLines).mkString("\n")
     val relevant = lines.filter { l =>
-      val ll = l.toLowerCase
+      val ll = l.toLowerCase(java.util.Locale.ROOT)
       kws.exists(ll.contains)
     }
     (if (relevant.isEmpty) lines.take(maxLines) else relevant.take(maxLines)).mkString("\n")

@@ -95,9 +95,6 @@ object GraftFunctions {
     QuantizedDotExpression(children.head, children(1))
   }
 
-  // back-compat alias
-  val expressionBuilder: Seq[Expression] => Expression = simhashBuilder
-
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.registerFunction(FunctionIdentifier(SimHashName), simhashInfo, simhashBuilder)
@@ -128,17 +125,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object QDot {
   val Scale = 1000
 
+  /** Boxed so NULL can propagate with exactly the HOF's semantics:
+    * `aggregate(zip_with(a,b,...))` yields NULL when the arrays differ in
+    * length (zip_with pads with null) or when any element is null (null
+    * product poisons the sum). Returning 0 in those cases — or crashing on
+    * an unboxed null read — would silently diverge between eval modes.
+    */
   def compute(a: org.apache.spark.sql.catalyst.util.ArrayData,
-              b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+              b: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var s = 0L
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       s += math.floor(a.getFloat(i).toDouble * Scale).toLong *
         math.floor(b.getFloat(i).toDouble * Scale).toLong
       i += 1
     }
-    s
+    java.lang.Long.valueOf(s)
   }
 }
 
@@ -159,6 +164,7 @@ case class QuantizedDotExpression(left: Expression, right: Expression)
   }
 
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true // null elements / length mismatch → NULL
   override def prettyName: String = "graft_qdot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -167,7 +173,13 @@ case class QuantizedDotExpression(left: Expression, right: Expression)
       b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.QDot.compute($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Long ${ev.value}Boxed = graft.functions.QDot.compute($a, $b);
+      if (${ev.value}Boxed == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = ${ev.value}Boxed.longValue();
+      }""")
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

@@ -77,7 +77,7 @@ object HtmlTextExtractor {
   def blocks(html: String): Vector[Block] = {
     // lowercased once: the raw-text skip below searches it per script/style
     // element — lowercasing inside the loop would be O(n · elements)
-    lazy val lowerHtml = html.toLowerCase
+    lazy val lowerHtml = html.toLowerCase(java.util.Locale.ROOT)
     val out = ArrayBuffer.empty[Block]
     val text = new StringBuilder
     val linkText = new StringBuilder
@@ -111,7 +111,7 @@ object HtmlTextExtractor {
           i = math.min(j + 1, n)
           val closing = inner.startsWith("/")
           val selfClosing = inner.endsWith("/")
-          val name = inner.dropWhile(_ == '/').takeWhile(ch => !ch.isWhitespace && ch != '/').toLowerCase
+          val name = inner.dropWhile(_ == '/').takeWhile(ch => !ch.isWhitespace && ch != '/').toLowerCase(java.util.Locale.ROOT)
           if (name.nonEmpty && name.head.isLetter) {
             if (SkipTags.contains(name)) {
               if (closing) { if (skipDepth > 0) skipDepth -= 1 }

@@ -45,8 +45,7 @@ object ExtractMain {
     val stats = ExtractJob.run(spark, pages, tableRoot, numPartitions = parts,
       alreadyPartitioned = limit <= 0 && fresh)
     val sec = (System.nanoTime() - t0) / 1e9
-    def d(v: Double, dec: Int): String = // Locale.ROOT keeps the JSON valid on comma-decimal locales
-      String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
+    import graft.util.JsonFmt.d
     println(
       s"""{"job":"extract","version":${stats.version},"rows_in":${stats.rowsIn},"rows_ok":${stats.rowsOk},"rows_error":${stats.rowsError},"sec":${d(sec, 3)},"docs_per_sec":${d(if (sec > 0) stats.rowsIn / sec else 0.0, 1)}}"""
     )

@@ -105,10 +105,11 @@ object Similarity {
       lshSignature(col("embedding"), planes).as("sig"))
     val a = sig.select(col("sig"), col("vec_id").as("id1"), col("embedding").as("e1"))
     val b = sig.select(col("sig"), col("vec_id").as("id2"), col("embedding").as("e2"))
+    // no distinct needed: each vector has exactly one signature, so a pair
+    // can collide on at most one bucket — dedup would be a wasted shuffle
     a.join(b, Seq("sig")).filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), qdot(col("e1"), col("e2")).as("qdot"))
       .filter(col("qdot") >= minQDot)
-      .distinct()
   }
 
   /** LSH-bucketed approximate top-k: candidates = same-bucket vectors,

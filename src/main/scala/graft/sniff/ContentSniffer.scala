@@ -21,7 +21,7 @@ object ContentSniffer {
   def sniff(bytes: Array[Byte]): DocType = {
     if (bytes == null || bytes.length == 0) return Unknown
     if (bytes.length >= 5 && java.util.Arrays.equals(bytes.take(5), PdfMagic)) return Pdf
-    val head = new String(bytes, 0, math.min(bytes.length, 1024), UTF_8).toLowerCase
+    val head = new String(bytes, 0, math.min(bytes.length, 1024), UTF_8).toLowerCase(java.util.Locale.ROOT)
     val t = head.dropWhile(c => c.isWhitespace || c == '﻿')
     if (
       t.startsWith("<!doctype html") || t.startsWith("<html") ||

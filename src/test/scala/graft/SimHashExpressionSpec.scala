@@ -79,6 +79,26 @@ class SimHashExpressionSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("graft_qdot: null elements and length mismatches yield NULL, matching the HOF") {
+    import graft.sim.Similarity
+    GraftFunctions.register(spark)
+    val rows = spark.sql(
+      s"""SELECT
+         |  ${GraftFunctions.QDotName}(array(float(1.0), cast(null as float)), array(float(1.0), float(1.0))) AS null_elem,
+         |  ${GraftFunctions.QDotName}(array(float(1.0)), array(float(1.0), float(1.0))) AS len_mismatch,
+         |  ${GraftFunctions.QDotName}(array(float(2.0)), array(float(3.0))) AS ok
+         |""".stripMargin).collect()(0)
+    assert(rows.isNullAt(0), "null element must poison the sum like zip_with")
+    assert(rows.isNullAt(1), "length mismatch must yield NULL like zip_with padding")
+    assert(rows.getLong(2) == 2000L * 3000L)
+    // HOF agreement on the same inputs
+    val hof = spark.sql(
+      """SELECT aggregate(zip_with(array(float(1.0), cast(null as float)), array(float(1.0), float(1.0)),
+        |  (x, y) -> cast(floor(cast(x as double) * 1000) as bigint) * cast(floor(cast(y as double) * 1000) as bigint)),
+        |  0L, (s, v) -> s + v) AS r""".stripMargin).collect()(0)
+    assert(hof.isNullAt(0))
+  }
+
   test("near-dup texts have small hamming distance vs unrelated texts") {
     val a = SimHash.compute(UTF8String.fromString("the quick brown fox jumps over the lazy dog near the river"))
     val b = SimHash.compute(UTF8String.fromString("the quick brown fox jumps over the lazy dog near the ocean"))
