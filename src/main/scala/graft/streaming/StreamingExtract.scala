@@ -50,12 +50,16 @@ object StreamingExtract {
         // micro-batch (restart) maps to the same id and is skipped, while a
         // DIFFERENT batch that reuses a batchId (checkpoint reset, second
         // stream on the same tableRoot) gets a fresh id and is processed —
-        // never silently dropped
+        // never silently dropped. The digest covers the full url SET
+        // (count + order-independent sum of 64-bit url hashes + min/max),
+        // so batches agreeing only on count/min/max cannot collide.
         val fp = batch.agg(
-          count(lit(1)), coalesce(min(col("url")), lit("")), coalesce(max(col("url")), lit(""))
+          count(lit(1)),
+          coalesce(sum(xxhash64(col("url"))), lit(0L)),
+          coalesce(min(col("url")), lit("")), coalesce(max(col("url")), lit(""))
         ).collect()(0)
         val digest = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"${fp.get(0)}|${fp.get(1)}|${fp.get(2)}".getBytes("UTF-8"))
+          .digest(s"${fp.get(0)}|${fp.get(1)}|${fp.get(2)}|${fp.get(3)}".getBytes("UTF-8"))
           .take(6).map(b => f"${b & 0xff}%02x").mkString
         val commitId = s"epoch-$batchId-$digest"
         val rt = ExtractJob.resultsTable(tableRoot)
