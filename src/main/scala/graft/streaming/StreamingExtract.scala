@@ -51,11 +51,12 @@ object StreamingExtract {
         // DIFFERENT batch that reuses a batchId (checkpoint reset, second
         // stream on the same tableRoot) gets a fresh id and is processed —
         // never silently dropped. The digest covers the full url SET
-        // (count + order-independent sum of 64-bit url hashes + min/max),
-        // so batches agreeing only on count/min/max cannot collide.
+        // (count + order-independent XOR of 64-bit url hashes + min/max —
+        // bit_xor cannot overflow under ANSI mode), so batches agreeing
+        // only on count/min/max cannot collide.
         val fp = batch.agg(
           count(lit(1)),
-          coalesce(sum(xxhash64(col("url"))), lit(0L)),
+          coalesce(bit_xor(xxhash64(col("url"))), lit(0L)),
           coalesce(min(col("url")), lit("")), coalesce(max(col("url")), lit(""))
         ).collect()(0)
         val digest = java.security.MessageDigest.getInstance("MD5")
