@@ -53,7 +53,7 @@ object Bench {
     */
   private def timedExtract(spark: SparkSession, sfDir: String, cores: Int, replicate: Int): (Long, Double) = {
     val pages = PagesGen.pages(spark, sfDir, cores * 8, replicate)
-    val (res, _) = ExtractJob.extractAll(pages, ExtractKernel.DefaultRules, "bench")
+    val res = ExtractJob.extractAll(pages, ExtractKernel.DefaultRules, "bench")
     val t0 = System.nanoTime()
     val row = res.toDF()
       .agg(count(lit(1)), sum(length(coalesce(col("extracted_text"), lit("")))))
@@ -66,7 +66,7 @@ object Bench {
     try {
       // warmup: JIT + parquet footer/page cache, over a slice
       val warm = PagesGen.pages(spark, sfDir).limit(500)
-      val (w, _) = ExtractJob.extractAll(warm, ExtractKernel.DefaultRules, "warm")
+      val w = ExtractJob.extractAll(warm, ExtractKernel.DefaultRules, "warm")
       w.toDF().agg(count(lit(1))).collect()
       timedExtract(spark, sfDir, cores, replicate)
     } finally spark.stop()

@@ -33,7 +33,7 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame = {
     val pages = PagesGen.pages(spark, "/root/testdata/sf0.001", spark.sparkContext.defaultParallelism)
-    val (res, _) = ExtractJob.extractAll(pages, ExtractKernel.DefaultRules, "entry")
+    val res = ExtractJob.extractAll(pages, ExtractKernel.DefaultRules, "entry")
     res.toDF()
   }
 
@@ -47,13 +47,13 @@ object SparkEntry {
     }),
     "q_status_counts" -> ((s, dir) => {
       import s.implicits._
-      val (res, _) = ExtractJob.extractAll(
+      val res = ExtractJob.extractAll(
         PagesGen.pages(s, dir, s.sparkContext.defaultParallelism), ExtractKernel.DefaultRules, "verify")
       res.groupBy($"status", $"doctype").agg(count(lit(1)).as("n"))
     }),
     "x_extract_results" -> ((s, dir) => {
       import s.implicits._
-      val (res, _) = ExtractJob.extractAll(
+      val res = ExtractJob.extractAll(
         PagesGen.pages(s, dir, s.sparkContext.defaultParallelism), ExtractKernel.DefaultRules, "verify")
       res.select($"url", $"status", $"doctype", md5($"extracted_text").as("text_md5"),
         $"word_count".cast("long").as("word_count"), $"line_count".cast("long").as("line_count"))
@@ -283,16 +283,21 @@ object SparkEntry {
         |      CAST(floor(CAST(b.embedding[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS qdot
         |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
         |SELECT id1, id2, qdot FROM scored WHERE qdot >= 400000""".stripMargin,
+    // size_bytes is the UTF-8 BYTE length (octet_length over encoded text,
+    // not character length), and empty payloads mirror decodeMeta's error
+    // row (-1 dims, status='error') — the gate stays valid on non-ASCII or
+    // empty-text corpora, not just the current ASCII fixture set
     "m_media_meta" ->
-      s"""SELECT doc_id,
+      s"""WITH b AS (SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS nb FROM documents)
+         |SELECT doc_id,
          |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-         |  CAST(length(text) AS BIGINT) AS size_bytes,
-         |  CAST(CASE WHEN doc_id % 3 = 1 THEN -1 ELSE 320 + ${hexInt(1, 6)} % 1024 END AS BIGINT) AS width,
-         |  CAST(CASE WHEN doc_id % 3 = 1 THEN -1 ELSE 240 + ${hexInt(7, 6)} % 768 END AS BIGINT) AS height,
-         |  CAST(CASE WHEN doc_id % 3 = 1 THEN 1 + ${hexInt(13, 2)} % 2 ELSE 3 END AS BIGINT) AS channels,
-         |  CAST(CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 1000 + ${hexInt(15, 6)} % 600000 END AS BIGINT) AS duration_ms,
+         |  nb AS size_bytes,
+         |  CAST(CASE WHEN nb = 0 THEN -1 WHEN doc_id % 3 = 1 THEN -1 ELSE 320 + ${hexInt(1, 6)} % 1024 END AS BIGINT) AS width,
+         |  CAST(CASE WHEN nb = 0 THEN -1 WHEN doc_id % 3 = 1 THEN -1 ELSE 240 + ${hexInt(7, 6)} % 768 END AS BIGINT) AS height,
+         |  CAST(CASE WHEN nb = 0 THEN -1 WHEN doc_id % 3 = 1 THEN 1 + ${hexInt(13, 2)} % 2 ELSE 3 END AS BIGINT) AS channels,
+         |  CAST(CASE WHEN nb = 0 THEN -1 WHEN doc_id % 3 = 0 THEN -1 ELSE 1000 + ${hexInt(15, 6)} % 600000 END AS BIGINT) AS duration_ms,
          |  md5(text) AS content_md5,
-         |  'ok' AS status
-         |FROM documents""".stripMargin
+         |  CASE WHEN nb = 0 THEN 'error' ELSE 'ok' END AS status
+         |FROM b""".stripMargin
   )
 }

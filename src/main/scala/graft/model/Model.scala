@@ -82,11 +82,26 @@ final case class ExtractResult(
     line_count: Int,
     has_tables: Boolean,
     page_width: Double,
-    page_height: Double
+    page_height: Double,
+    // per-row lineage, stamped by the job's mapPartitions wrapper (NOT by
+    // the pure kernel): the extraction task's partition id, the payload
+    // size, and the kernel wall time for THIS row. Committed with the
+    // results, so per-partition metrics derive from the same single kernel
+    // pass that produced the data (no second kernel execution, no
+    // reconstructed values) — cf. the reference's per-document
+    // `timings_seconds` (`/root/reference/src/core/pipeline.py:92-105`).
+    partition_id: Int = -1,
+    bytes_in: Long = 0L,
+    kernel_ns: Long = 0L
 )
 
 /** Per-partition lineage/metrics row, written alongside results on every
   * snapshot commit (north_rule: "per-partition lineage + metrics").
+  * Aggregated from the per-row lineage columns of the committed results
+  * increment — `partition_id` is the extraction task's id, `bytes_in` the
+  * real payload bytes, `kernel_us` the cumulative kernel wall time in
+  * microseconds (µs, not ms: small partitions finish in sub-ms and must
+  * not round to zero).
   */
 final case class PartitionMetrics(
     commit_id: String,
@@ -95,7 +110,7 @@ final case class PartitionMetrics(
     rows_ok: Long,
     rows_error: Long,
     bytes_in: Long,
-    wall_ms: Long,
+    kernel_us: Long,
     min_url: String,
     max_url: String
 )

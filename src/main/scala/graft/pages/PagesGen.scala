@@ -133,6 +133,14 @@ $body
     val slim =
       if (replicate <= 1) base
       else base
+        // replica stride is 10^6: a base doc_id at or above it would collide
+        // with replica 1's id space (duplicate urls/payloads) — fail loudly
+        // per row instead of silently corrupting the bench corpus
+        .withColumn("doc_id",
+          when(col("doc_id") < 1000000L, col("doc_id"))
+            .otherwise(raise_error(concat(
+              lit("PagesGen.replicate requires doc_id < 1000000, got "),
+              col("doc_id").cast("string"))).cast("long")))
         .withColumn("rep", explode(sequence(lit(0), lit(replicate - 1))))
         .withColumn("doc_id", col("doc_id") + col("rep") * lit(1000000L))
         .drop("rep")

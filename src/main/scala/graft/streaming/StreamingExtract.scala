@@ -50,17 +50,19 @@ object StreamingExtract {
         // micro-batch (restart) maps to the same id and is skipped, while a
         // DIFFERENT batch that reuses a batchId (checkpoint reset, second
         // stream on the same tableRoot) gets a fresh id and is processed —
-        // never silently dropped. The digest covers the full url SET
-        // (count + order-independent XOR of 64-bit url hashes + min/max —
-        // bit_xor cannot overflow under ANSI mode), so batches agreeing
-        // only on count/min/max cannot collide.
+        // never silently dropped. The digest covers the full url set AND
+        // the payload bytes (count + order-independent XOR of 64-bit
+        // url / (url, html) hashes + min/max — bit_xor cannot overflow
+        // under ANSI mode), so a same-url batch with different payloads
+        // also gets a fresh id.
         val fp = batch.agg(
           count(lit(1)),
           coalesce(bit_xor(xxhash64(col("url"))), lit(0L)),
+          coalesce(bit_xor(xxhash64(col("url"), col("html"))), lit(0L)),
           coalesce(min(col("url")), lit("")), coalesce(max(col("url")), lit(""))
         ).collect()(0)
         val digest = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"${fp.get(0)}|${fp.get(1)}|${fp.get(2)}|${fp.get(3)}".getBytes("UTF-8"))
+          .digest(s"${fp.get(0)}|${fp.get(1)}|${fp.get(2)}|${fp.get(3)}|${fp.get(4)}".getBytes("UTF-8"))
           .take(6).map(b => f"${b & 0xff}%02x").mkString
         val commitId = s"epoch-$batchId-$digest"
         val rt = ExtractJob.resultsTable(tableRoot)
@@ -70,8 +72,11 @@ object StreamingExtract {
           // arrives in a later micro-batch anti-joins against the committed
           // snapshot exactly like the batch job's resume path
           val todo = ExtractJob.pending(session, batch, tableRoot)
-          val (res, _) = ExtractJob.extractAll(todo, rules, commitId)
+          val res = ExtractJob.extractAll(todo, rules, commitId)
           rt.append(res.toDF(), commitId)
+          // per-epoch lineage parity with the batch job: partition metrics
+          // derived from the committed increment's per-row lineage columns
+          ExtractJob.commitMetrics(session, tableRoot, commitId)
         }
         ()
       }

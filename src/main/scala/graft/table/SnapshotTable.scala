@@ -41,10 +41,15 @@ final class SnapshotTable(val root: String) {
 
   def latest(): Option[Snapshot] = {
     if (!Files.isDirectory(snapDir)) return None
-    val versions = Files.list(snapDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case n if n.startsWith("v") && n.endsWith(".manifest") => n.substring(1, 9).toInt }
-      .toVector
+    // Files.list holds an open directory fd until closed — streaming polls
+    // this per micro-batch, so an unclosed stream leaks fds
+    val stream = Files.list(snapDir)
+    val versions =
+      try stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.startsWith("v") && n.endsWith(".manifest") => n.substring(1, 9).toInt }
+        .toVector
+      finally stream.close()
     if (versions.isEmpty) None else Some(parseManifest(manifestPath(versions.max)))
   }
 

@@ -18,8 +18,14 @@ class ExtractJobSpec extends AnyFunSuite {
     val pages = PagesGen.pages(spark, sfDir)
     val nPages = pages.count()
     assert(nPages > 0)
+    val totalPayloadBytes = pages.map(p => if (p.html == null) 0L else p.html.length.toLong)
+      .reduce(_ + _)
 
+    val invocationsBefore = ExtractKernel.invocations.sum()
     val stats = ExtractJob.run(spark, pages, root, numPartitions = 4, commitId = "c1")
+    // the metrics pass must NOT re-run the kernel: exactly one execution
+    // per row across the whole run (extract + commit + metrics)
+    assert(ExtractKernel.invocations.sum() - invocationsBefore == nPages)
     assert(stats.rowsIn == nPages)
     assert(stats.rowsOk > 0 && stats.rowsError > 0) // corpus includes corrupt/empty payloads
     assert(stats.rowsOk + stats.rowsError == stats.rowsIn)
@@ -36,9 +42,16 @@ class ExtractJobSpec extends AnyFunSuite {
     assert(results.filter($"status" === "ok" && (length($"extracted_text") === 0 || $"extracted_text".isNull)).count() == 0)
     // spans resolved on the synthetic corpus (autor/data/registro markers present)
     assert(results.filter($"status" === "ok" && size($"spans") > 0).count() > 0)
-    // metrics committed alongside
+    // metrics committed alongside, carrying REAL lineage from the kernel
+    // pass (not reconstructed): payload bytes match the input exactly,
+    // kernel time is non-zero, partition ids are the extraction tasks'
     val metrics = ExtractJob.metricsTable(root).read(spark).get
-    assert(metrics.agg(sum($"rows_in")).collect()(0).getLong(0) == nPages)
+    val mrow = metrics.agg(sum($"rows_in"), sum($"bytes_in"), sum($"kernel_us")).collect()(0)
+    assert(mrow.getLong(0) == nPages)
+    assert(mrow.getLong(1) == totalPayloadBytes)
+    assert(mrow.getLong(2) > 0)
+    val pids = metrics.select($"partition_id").as[Int].collect().toSet
+    assert(pids.size > 1 && pids.forall(p => p >= 0 && p < 4))
   }
 
   test("resume: second run over same input commits 0 new rows (no reprocessing)") {
@@ -61,7 +74,7 @@ class ExtractJobSpec extends AnyFunSuite {
     val committedN = ExtractJob.resultsTable(root).read(spark).get.count()
     // simulate crash: data written for the rest, manifest never published
     val rest = ExtractJob.pending(spark, pages, root)
-    val (res, _) = ExtractJob.extractAll(rest, ExtractKernel.DefaultRules, "crashed")
+    val res = ExtractJob.extractAll(rest, ExtractKernel.DefaultRules, "crashed")
     ExtractJob.resultsTable(root).writeUncommitted(res.toDF(), "crashed")
     assert(ExtractJob.resultsTable(root).read(spark).get.count() == committedN) // invisible
     // rerun: processes exactly the uncommitted remainder
@@ -127,7 +140,7 @@ class ExtractJobSpec extends AnyFunSuite {
     import spark.implicits._
     val pages = PagesGen.pages(spark, sfDir).limit(200)
     def runAt(parts: Int) = {
-      val (res, _) = ExtractJob.extractAll(
+      val res = ExtractJob.extractAll(
         ExtractJob.partitionForExtraction(pages, parts), ExtractKernel.DefaultRules, "d")
       res.select($"url", $"extracted_text", $"pdf_hash", $"status").as[(String, String, String, String)]
         .collect().sortBy(_._1).toVector

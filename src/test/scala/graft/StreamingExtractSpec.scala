@@ -43,7 +43,7 @@ class StreamingExtractSpec extends AnyFunSuite {
 
     // streaming output matches the batch kernel per url (same invariant)
     val batchRun = {
-      val (res, _) = ExtractJob.extractAll(
+      val res = ExtractJob.extractAll(
         spark.createDataset(all.toSeq), graft.job.ExtractKernel.DefaultRules, "batch")
       res.select($"url", $"extracted_text").as[(String, String)].collect().toMap
     }
