@@ -113,40 +113,101 @@ object SparkEntry {
       val d = docs(s, dir)
       d.select(col("doc_id"), Dedup.simhash64Native(d, "text").as("simhash"))
     }),
+    // D5 pair stage (the 100-TB shape: banded chunk equi-join → distinct →
+    // bit_count verify). The sf corpus has no exact duplicates, so the
+    // input is the corpus UNIONed with an identical-text copy (ids offset
+    // by 10^6): 500 hamming-0 pairs exist by construction, plus any
+    // organic ones — deterministic rows for the driver's gate; bit-level
+    // semantics are proven by brute-force parity in DedupSpec. xxhash64
+    // keeps this oracle-free (rows+schema check only).
+    "d_simhash_pairs" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val copies = d.select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+      Dedup.simhashNearDupPairs(d.union(copies), "doc_id", "text", 3)
+    }),
+    // D3 → D4 chain: LSH candidates verified with exact shingle Jaccard —
+    // the near-dup plan you actually run at corpus scale
+    "d_lsh_jaccard" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cand = Dedup.lshCandidatePairs(d, "doc_id", "text", 8, 2)
+      Dedup.jaccardForPairs(d, cand, "doc_id", "text")
+    }),
     // ---- similarity search ----
     "s_dot_topk" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), 5)
         .select(col("qid"), col("vid"), col("score").cast("long").as("score"), col("rn").cast("long").as("rn"))
     }),
+    // quantized cosine: every arithmetic step is a single IEEE rounding on
+    // exactly-representable integers, so the DOUBLE score — and its rank
+    // order — is bit-identical in DuckDB; output quantized to a long so
+    // the driver's value hash sees integers only
     "s_cosine_topk" -> ((s, dir) => {
       val e = embs(s, dir)
-      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), 5, Similarity.cosine(_, _))
-        .select(col("qid"), col("vid"), col("score"), col("rn").cast("long").as("rn"))
+      val cq = Similarity.cosineQ(e) _
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), 5, cq)
+        .select(col("qid"), col("vid"),
+          floor(col("score") * lit(1e9)).cast("long").as("score_q"), col("rn").cast("long").as("rn"))
     }),
     "s_ann_topk" -> ((s, dir) => {
       val e = embs(s, dir)
-      Similarity.annTopK(e, e.filter(col("vec_id") < 10), 5)
-        .select(col("qid"), col("vid"), col("score"), col("rn").cast("long").as("rn"))
+      Similarity.annTopK(e, e.filter(col("vec_id") < 10), 5, numPlanes = 8, probeHamming = 2)
+        .select(col("qid"), col("vid"),
+          floor(col("score") * lit(1e9)).cast("long").as("score_q"), col("rn").cast("long").as("rn"))
     }),
     "s_embed_neardup" -> ((s, dir) =>
       // vec_id cap bounds the exact self-join at bench scale; the sf0.01
       // correctness table has 500 vectors, all under the cap
       Similarity.nearDupPairs(embs(s, dir).filter(col("vec_id") < 1000), 400000L)),
+    // the scale path for the same op: multi-table banded LSH candidates +
+    // exact verify (slim id pairs shuffle, embeddings move once)
+    "s_embed_neardup_lsh" -> ((s, dir) =>
+      Similarity.nearDupPairsLsh(embs(s, dir).filter(col("vec_id") < 1000), 400000L)),
     // ---- multimodal (stub decode; real plumbing) ----
-    "m_media_meta" -> ((s, dir) => {
-      import s.implicits._
-      val rows = docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
-        .map { case (id, t) =>
-          val kind = (id % 3) match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
-          MediaKernel.MediaRow(id.toString, kind, t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        }
-      MediaKernel.decodeAll(rows)(s)
+    "m_media_meta" -> ((s, dir) =>
+      MediaKernel.decodeAll(mediaRows(s, dir))(s)
         .select(col("url").cast("long").as("doc_id"), col("kind"), col("size_bytes"),
           col("width"), col("height"), col("channels"), col("duration_ms"),
-          col("content_md5"), col("status"))
-    })
+          col("content_md5"), col("status"))),
+    // M2: digest-derived unit-norm feature vector; components quantized to
+    // longs (floor of the FLOAT value × 10^6) so the driver hashes integers
+    "m_features" -> ((s, dir) => {
+      import s.implicits._
+      MediaKernel.featuresAll(mediaRows(s, dir), 16)(s)
+        .map { mf =>
+          val q = mf.feature.map(f => math.floor(f.toDouble * 1e6).toLong)
+          (mf.url.toLong, mf.kind, q(0), q(8), q(15), q.sum)
+        }
+        .toDF("doc_id", "kind", "f0_q", "f8_q", "f15_q", "fsum_q")
+    }),
+    // M4: aspect-preserving integer resize of the decoded dimensions
+    "m_resize" -> ((s, dir) => {
+      import s.implicits._
+      MediaKernel.decodeAll(mediaRows(s, dir))(s)
+        .map { m =>
+          val (w, h) = MediaKernel.resizeDims(m, 256)
+          (m.url.toLong, m.width, m.height, w, h)
+        }
+        .toDF("doc_id", "width", "height", "out_w", "out_h")
+    }),
+    // M3: frame fan-out (typed flatMap). Frame identity goes through
+    // md5(lower(hex(bytes))) — byte-exact and engine-portable (DuckDB 1.0
+    // cannot slice BLOBs, but hex strings slice at 2 chars/byte)
+    "m_frames" -> ((s, dir) =>
+      MediaKernel.framesAll(mediaRows(s, dir), 4)(s)
+        .select(col("url").cast("long").as("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          length(col("frame")).cast("long").as("frame_bytes"),
+          md5(lower(hex(col("frame")))).as("frame_hex_md5")))
   )
+
+  private def mediaRows(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[MediaKernel.MediaRow] = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        val kind = (id % 3) match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
+        MediaKernel.MediaRow(id.toString, kind, t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+  }
 
   // ---------------------------------------------------------------- oracle
 
@@ -166,6 +227,36 @@ object SparkEntry {
 
   private def hexInt(from1: Int, len: Int): String =
     s"CAST(('0x' || substr(md5(text), $from1, $len)) AS BIGINT)"
+
+  /** SQL twin of the native `graft_qdot` (scale 1000, 64-dim). */
+  private def qdotSql(a: String, b: String): String =
+    s"""list_sum(list_transform(generate_series(1, 64), i ->
+       |    CAST(floor(CAST($a[i] AS DOUBLE) * 1000) AS BIGINT) *
+       |    CAST(floor(CAST($b[i] AS DOUBLE) * 1000) AS BIGINT)))""".stripMargin
+
+  /** SQL twin of [[Similarity.cosineQ]] — bit-identical DOUBLE (every step
+    * one IEEE rounding on exact integers; qdot products < 2^52).
+    */
+  private def cosQSql(a: String, b: String): String =
+    s"CAST(${qdotSql(a, b)} AS DOUBLE) / sqrt(CAST(${qdotSql(a, a)} * ${qdotSql(b, b)} AS DOUBLE))"
+
+  /** SQL twin of the native `graft_lshsig(e, planes, offset)`; `offsetExpr`
+    * may be a column (multi-table banding uses `t * planesPerTable`).
+    */
+  private def lshSigSql(e: String, planes: Int, offsetExpr: String): String =
+    s"""list_sum(list_transform(generate_series(0, ${planes - 1}), p ->
+       |  CASE WHEN list_sum(list_transform(generate_series(1, 64), j ->
+       |    CAST(floor(CAST($e[j] AS DOUBLE) * 1000) AS BIGINT) *
+       |    (((CAST(($offsetExpr) + p AS BIGINT) * 1315423911 + CAST(j - 1 AS BIGINT) * 2654435761 + 97531) % 1000003) - 500001)))
+       |  > 0 THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END))""".stripMargin
+
+  /** Top-k window wrapper shared by the similarity oracles. */
+  private def topkSql(scoredCte: String): String =
+    s"""$scoredCte
+       |SELECT qid, vid, CAST(floor(score * 1000000000.0) AS BIGINT) AS score_q, rn FROM (
+       |  SELECT qid, vid, score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, vid) AS rn
+       |  FROM s) WHERE rn <= 5""".stripMargin
 
   private def markerMassSql(markers: Seq[String]): String =
     markers.map(m => s"(length(p) - length(replace(p, ' $m ', '')))").mkString(" + ")
@@ -252,6 +343,25 @@ object SparkEntry {
          |  SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig)
          |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
          |FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id""".stripMargin,
+    "d_lsh_jaccard" ->
+      s"""WITH $shingleCte,
+         |sig AS (SELECT doc_id, $minhashSelect FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS bv FROM sig UNION ALL
+         |  SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig UNION ALL
+         |  SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig UNION ALL
+         |  SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |         FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |ds AS (SELECT DISTINCT doc_id, s FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY 1),
+         |ints AS (SELECT c.id1, c.id2, count(*) AS i
+         |         FROM cand c JOIN ds a ON a.doc_id = c.id1 JOIN ds b ON b.doc_id = c.id2 AND a.s = b.s
+         |         GROUP BY 1, 2)
+         |SELECT c.id1, c.id2, CAST(coalesce(i.i, 0) AS BIGINT) AS inter,
+         |       CAST(sa.sz + sb.sz - coalesce(i.i, 0) AS BIGINT) AS uni
+         |FROM cand c JOIN sizes sa ON c.id1 = sa.doc_id JOIN sizes sb ON c.id2 = sb.doc_id
+         |LEFT JOIN ints i ON c.id1 = i.id1 AND c.id2 = i.id2""".stripMargin,
     "d_jaccard_pairs" ->
       s"""WITH $shingleCte,
          |ds AS (SELECT DISTINCT doc_id, source, s FROM sh),
@@ -283,6 +393,65 @@ object SparkEntry {
         |      CAST(floor(CAST(b.embedding[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS qdot
         |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
         |SELECT id1, id2, qdot FROM scored WHERE qdot >= 400000""".stripMargin,
+    "s_cosine_topk" -> topkSql(
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |v AS (SELECT vec_id AS vid, embedding AS ve FROM embeddings),
+         |s AS (SELECT qid, vid, ${cosQSql("qe", "ve")} AS score FROM q, v WHERE qid <> vid)""".stripMargin),
+    "s_ann_topk" -> topkSql(
+      s"""WITH q0 AS (SELECT vec_id AS qid, embedding AS qe, ${lshSigSql("embedding", 8, "0")} AS sig
+         |            FROM embeddings WHERE vec_id < 10),
+         |q AS (SELECT qid, qe, xor(sig, CAST(m AS BIGINT)) AS sig
+         |      FROM q0, (SELECT unnest([${graft.sim.Similarity.probeMasks(8, 2).mkString(", ")}]) AS m) mm),
+         |v AS (SELECT vec_id AS vid, embedding AS ve, ${lshSigSql("embedding", 8, "0")} AS sig FROM embeddings),
+         |s AS (SELECT qid, vid, ${cosQSql("qe", "ve")} AS score FROM q JOIN v USING (sig) WHERE qid <> vid)""".stripMargin),
+    "s_embed_neardup_lsh" ->
+      s"""WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000),
+         |bands AS (SELECT vec_id, tt.t AS t, ${lshSigSql("embedding", 4, "tt.t * 4")} AS sig
+         |          FROM v, (SELECT unnest(generate_series(0, 11)) AS t) tt),
+         |cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+         |         FROM bands a JOIN bands b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id),
+         |scored AS (SELECT id1, id2, CAST(${qdotSql("va.embedding", "vb.embedding")} AS BIGINT) AS qdot
+         |           FROM cand JOIN v va ON id1 = va.vec_id JOIN v vb ON id2 = vb.vec_id)
+         |SELECT id1, id2, qdot FROM scored WHERE qdot >= 400000""".stripMargin,
+    "m_features" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  list_transform(generate_series(0, 15), i ->
+        |    2 * CAST(('0x' || substr(sha256(text), 2 * i + 1, 2)) AS BIGINT) - 255) AS d2
+        |FROM documents),
+        |n AS (SELECT doc_id, kind, d2,
+        |  sqrt(CAST(list_sum(list_transform(d2, v -> v * v)) AS DOUBLE)) AS nrm FROM d),
+        |q AS (SELECT doc_id, kind,
+        |  list_transform(d2, v -> CAST(floor(CAST(CAST(v / nrm AS FLOAT) AS DOUBLE) * 1000000.0) AS BIGINT)) AS fq
+        |FROM n)
+        |SELECT doc_id, kind, fq[1] AS f0_q, fq[9] AS f8_q, fq[16] AS f15_q,
+        |       CAST(list_sum(fq) AS BIGINT) AS fsum_q
+        |FROM q""".stripMargin,
+    "m_resize" -> {
+      val w = s"CASE WHEN octet_length(encode(text)) = 0 THEN -1 WHEN doc_id % 3 = 1 THEN -1 ELSE 320 + ${hexInt(1, 6)} % 1024 END"
+      val h = s"CASE WHEN octet_length(encode(text)) = 0 THEN -1 WHEN doc_id % 3 = 1 THEN -1 ELSE 240 + ${hexInt(7, 6)} % 768 END"
+      s"""WITH m AS (SELECT doc_id, CAST($w AS BIGINT) AS width, CAST($h AS BIGINT) AS height FROM documents)
+         |SELECT doc_id, width, height,
+         |  CAST(CASE WHEN width <= 0 OR height <= 0 THEN width
+         |            WHEN width <= 256 AND height <= 256 THEN width
+         |            WHEN width >= height THEN 256
+         |            ELSE greatest(1, width * 256 // height) END AS BIGINT) AS out_w,
+         |  CAST(CASE WHEN width <= 0 OR height <= 0 THEN height
+         |            WHEN width <= 256 AND height <= 256 THEN height
+         |            WHEN width >= height THEN greatest(1, height * 256 // width)
+         |            ELSE 256 END AS BIGINT) AS out_h
+         |FROM m""".stripMargin
+    },
+    "m_frames" ->
+      """WITH b AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+        |                  CAST(octet_length(encode(text)) AS BIGINT) AS len FROM documents),
+        |p AS (SELECT doc_id, hx, len, greatest(1, len // 4) AS step,
+        |             unnest(generate_series(0, least(4, len) - 1)) AS i FROM b)
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |       CAST(least(len, i * step + step) - i * step AS BIGINT) AS frame_bytes,
+        |       md5(substr(hx, CAST(2 * i * step + 1 AS BIGINT),
+        |                  CAST(2 * (least(len, i * step + step) - i * step) AS BIGINT))) AS frame_hex_md5
+        |FROM p""".stripMargin,
     // size_bytes is the UTF-8 BYTE length (octet_length over encoded text,
     // not character length), and empty payloads mirror decodeMeta's error
     // row (-1 dims, status='error') — the gate stays valid on non-ASCII or

@@ -78,9 +78,11 @@ case class SimHash64Expression(child: Expression)
 object GraftFunctions {
   val SimHashName = "graft_simhash64"
   val QDotName = "graft_qdot"
+  val LshSigName = "graft_lshsig"
 
   private val simhashInfo = new ExpressionInfo(classOf[SimHash64Expression].getName, SimHashName)
   private val qdotInfo = new ExpressionInfo(classOf[QuantizedDotExpression].getName, QDotName)
+  private val lshsigInfo = new ExpressionInfo(classOf[LshSigExpression].getName, LshSigName)
 
   /** Shared by the imperative and spark.sql.extensions paths — both must
     * reject wrong arity at analysis time, not silently drop arguments.
@@ -95,10 +97,16 @@ object GraftFunctions {
     QuantizedDotExpression(children.head, children(1))
   }
 
+  val lshsigBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 3, s"$LshSigName takes exactly 3 arguments, got ${children.length}")
+    LshSigExpression(children.head, children(1), children(2))
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.registerFunction(FunctionIdentifier(SimHashName), simhashInfo, simhashBuilder)
     reg.registerFunction(FunctionIdentifier(QDotName), qdotInfo, qdotBuilder)
+    reg.registerFunction(FunctionIdentifier(LshSigName), lshsigInfo, lshsigBuilder)
   }
 }
 
@@ -113,6 +121,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier(GraftFunctions.QDotName),
         new ExpressionInfo(classOf[QuantizedDotExpression].getName, GraftFunctions.QDotName),
         GraftFunctions.qdotBuilder))
+    ext.injectFunction(
+      (FunctionIdentifier(GraftFunctions.LshSigName),
+        new ExpressionInfo(classOf[LshSigExpression].getName, GraftFunctions.LshSigName),
+        GraftFunctions.lshsigBuilder))
   }
 }
 

@@ -80,12 +80,18 @@ object MediaKernel {
 
   /** STUB feature extraction: a unit-normalized dim-length vector derived
     * from the content digest (stands in for a CLIP/wav2vec embedding).
+    *
+    * Engine-portable by construction: raw components are the ODD integers
+    * `2·byte − 255` (never zero → norm > 0), the norm is a double sqrt of
+    * an exact integer sum, and each component is one double division
+    * rounded to float — every step a single IEEE rounding on exact inputs,
+    * so a DuckDB oracle reproduces the floats bit-for-bit (m_features).
     */
   def feature(bytes: Array[Byte], dim: Int = 16): Array[Float] = {
     val d = MessageDigest.getInstance("SHA-256").digest(if (bytes == null) Array.emptyByteArray else bytes)
-    val raw = Array.tabulate(dim)(i => ((d(i % d.length) & 0xff) - 127.5).toFloat)
-    val n = math.sqrt(raw.foldLeft(0.0)((s, v) => s + v.toDouble * v)).toFloat
-    if (n == 0f) raw else raw.map(_ / n)
+    val raw = Array.tabulate(dim)(i => (2 * (d(i % d.length) & 0xff) - 255).toLong)
+    val n = math.sqrt(raw.foldLeft(0.0)((s, v) => s + v.toDouble * v))
+    raw.map(v => (v / n).toFloat)
   }
 
   /** STUB resize: recomputes target dims preserving aspect ratio (integer

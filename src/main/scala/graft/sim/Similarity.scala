@@ -5,15 +5,23 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`):
-  * brute-force top-k as the exact baseline, and an LSH-bucketed
-  * (random-hyperplane) approximate variant as the scale path.
+  * brute-force top-k as the exact baseline, an LSH-bucketed
+  * (random-hyperplane) multi-probe approximate variant as the top-k scale
+  * path, and multi-table banded LSH for near-duplicate pair mining.
   *
-  * All scoring is `zip_with`/`aggregate` higher-order expressions — no
-  * UDFs, stays in codegen. Scale design: the query side is small and
-  * explicitly `broadcast()`; brute force is a broadcast nested loop
-  * (embarrassingly parallel, no shuffle of the corpus); the LSH variant
-  * replaces the full scan with an equi-join on a bucket signature so the
-  * corpus shuffles once by bucket instead of being scanned per query.
+  * Scoring and bucketing are INTEGER arithmetic throughout (quantized
+  * components, integer plane weights): bit-exact across engines — every op
+  * here is DuckDB-oracle-checkable — and across parallelism. The hot paths
+  * use native codegen'd Catalyst expressions (`graft_qdot`,
+  * `graft_lshsig`); portable HOF formulations are kept as parity
+  * references.
+  *
+  * Scale design (10^9+ vectors): the query side is small and explicitly
+  * `broadcast()`; brute force is a broadcast nested loop (embarrassingly
+  * parallel, no corpus shuffle); ANN replaces the full scan with an
+  * equi-join on a bucket signature so the corpus shuffles once by bucket;
+  * near-dup banding shuffles slim (table, sig, id) tuples, never
+  * embeddings, with a candidate re-join for exact verification.
   */
 object Similarity {
 
@@ -35,6 +43,63 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Codegen'd quantized dot via the native `graft_qdot` expression
+    * (scale fixed at 1000) — semantics identical to [[dotQuantized]]; the
+    * interpreted HOF is prohibitive at pairwise-join row counts.
+    */
+  def qdotNative(df: DataFrame)(a: Column, b: Column): Column = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    call_function(graft.functions.GraftFunctions.QDotName, a, b)
+  }
+
+  /** Quantized cosine: qdot(a,b) / √(qdot(a,a)·qdot(b,b)), every step an
+    * IEEE-754 single-rounding on exactly-representable integers (qdot
+    * products stay < 2^52), so the resulting DOUBLE is bit-identical in
+    * any IEEE engine — unlike float-accumulated cosine, whose
+    * summation-order sensitivity defies cross-engine hash checks.
+    */
+  def cosineQ(df: DataFrame)(a: Column, b: Column): Column = {
+    val qd = qdotNative(df) _
+    qd(a, b).cast("double") / sqrt((qd(a, a) * qd(b, b)).cast("double"))
+  }
+
+  // ------------------------------------------------------------ signatures
+
+  /** Integer hyperplane weight — see [[graft.functions.LshSig.weight]]. */
+  def planeWeight(p: Int, j: Int): Long = graft.functions.LshSig.weight(p.toLong, j.toLong)
+
+  /** Portable HOF formulation of the integer sign-bucket signature: bit p
+    * set iff Σ_j floor(e_j·1000)·w(planeOffset+p, j) > 0. Parity reference
+    * for [[lshSigNative]] (LshSigExpressionSpec proves bit-equality); use
+    * the native expression in real plans — this one runs interpreted.
+    */
+  def lshSignatureInt(e: Column, numPlanes: Int, planeOffset: Int = 0, dim: Int = 64): Column =
+    (0 until numPlanes).map { p =>
+      val weights = array((0 until dim).map(j => lit(planeWeight(planeOffset + p, j))): _*)
+      val idot = aggregate(
+        zip_with(e, weights, (x, w) => floor(x.cast("double") * 1000).cast("long") * w),
+        lit(0L), (s, v) => s + v)
+      when(idot > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Codegen'd signature via the native `graft_lshsig` expression. */
+  def lshSigNative(df: DataFrame)(e: Column, numPlanes: Int, planeOffset: Int = 0): Column = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    call_function(graft.functions.GraftFunctions.LshSigName, e, lit(numPlanes), lit(planeOffset))
+  }
+
+  /** Bucket-count heuristic: planes ≈ log2(corpus / targetBucketSize),
+    * clamped to [4, 20]. At 10^9 vectors and a 10^4-row target bucket this
+    * gives 17 planes (~130k buckets) — the signature must GROW with the
+    * corpus or every bucket becomes a mega-hot join key.
+    */
+  def planesFor(corpusSize: Long, targetBucketSize: Long = 10000L): Int = {
+    val ratio = math.max(2.0, corpusSize.toDouble / math.max(1L, targetBucketSize))
+    math.min(20, math.max(4, math.ceil(math.log(ratio) / math.log(2.0)).toInt))
+  }
+
+  // -------------------------------------------------------------- brute force
+
   /** Brute-force top-k by `scoreFn` for each query vector: broadcast the
     * (small) query side, score the corpus in place, keep k per query via a
     * window. Ties break on vid — fully deterministic.
@@ -51,38 +116,15 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
-  /** Deterministic pseudo-random hyperplanes (no RNG state — pure
-    * arithmetic on (plane, component), reproducible at any parallelism).
-    */
-  def hyperplanes(numPlanes: Int, dim: Int): Array[Array[Double]] =
-    Array.tabulate(numPlanes, dim) { (p, j) =>
-      val h = (p * 1315423911L + j * 2654435761L + 97531L) % 1000003L
-      (h.toDouble / 1000003.0) * 2.0 - 1.0
-    }
-
-  /** Sign-bucket signature: bit p set iff dot(e, plane_p) > 0. */
-  def lshSignature(e: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, idx) =>
-      val planeCol = array(p.map(lit): _*)
-      when(dot(e, planeCol) > 0, lit(1 << idx)).otherwise(lit(0))
-    }.reduce(_ + _)
+  // ---------------------------------------------------------------- near-dup
 
   /** Embedding near-duplicate pairs (the embedding-cosine dedup op): all
     * pairs (id1 < id2) whose QUANTIZED dot product reaches `minQDot`.
     * Inputs are unit-norm embeddings, so quantized-dot ≈ cosine × scale².
     * Integer scoring keeps the op oracle-exact across engines. This is the
-    * exact baseline; at corpus scale generate candidates with
+    * exact O(n²) baseline — at corpus scale generate candidates with
     * [[nearDupPairsLsh]] instead of the full self-join.
     */
-  /** Codegen'd quantized dot via the native `graft_qdot` expression
-    * (scale fixed at 1000) — semantics identical to [[dotQuantized]]; the
-    * interpreted HOF is prohibitive at pairwise-join row counts.
-    */
-  def qdotNative(df: DataFrame)(a: Column, b: Column): Column = {
-    graft.functions.GraftFunctions.register(df.sparkSession)
-    call_function(graft.functions.GraftFunctions.QDotName, a, b)
-  }
-
   def nearDupPairs(corpus: DataFrame, minQDot: Long): DataFrame = {
     val qdot = qdotNative(corpus) _
     val a = corpus.select(col("vec_id").as("id1"), col("embedding").as("e1"))
@@ -92,41 +134,119 @@ object Similarity {
       .filter(col("qdot") >= minQDot)
   }
 
-  /** Scale path for [[nearDupPairs]]: LSH sign-bucket candidates first,
-    * then the exact quantized-dot verify — same output contract, but the
-    * corpus shuffles once by bucket instead of self-joining in full.
-    * Approximate: pairs whose members land in different buckets are missed
-    * (recall grows with fewer planes).
+  /** Exact quantized-dot verification of candidate `(id1, id2)` pairs:
+    * re-join embeddings by id and keep pairs clearing `minQDot`. Candidate
+    * generators emit slim id pairs; embeddings move only here, keyed by id.
     */
-  def nearDupPairsLsh(corpus: DataFrame, minQDot: Long, numPlanes: Int = 4, dim: Int = 64): DataFrame = {
+  def verifyPairs(corpus: DataFrame, pairs: DataFrame, minQDot: Long): DataFrame = {
     val qdot = qdotNative(corpus) _
-    val planes = hyperplanes(numPlanes, dim)
-    val sig = corpus.select(col("vec_id"), col("embedding"),
-      lshSignature(col("embedding"), planes).as("sig"))
-    val a = sig.select(col("sig"), col("vec_id").as("id1"), col("embedding").as("e1"))
-    val b = sig.select(col("sig"), col("vec_id").as("id2"), col("embedding").as("e2"))
-    // no distinct needed: each vector has exactly one signature, so a pair
-    // can collide on at most one bucket — dedup would be a wasted shuffle
-    a.join(b, Seq("sig")).filter(col("id1") < col("id2"))
+    val e = corpus.select(col("vec_id"), col("embedding"))
+    pairs
+      .join(e.select(col("vec_id").as("id1"), col("embedding").as("e1")), "id1")
+      .join(e.select(col("vec_id").as("id2"), col("embedding").as("e2")), "id2")
       .select(col("id1"), col("id2"), qdot(col("e1"), col("e2")).as("qdot"))
       .filter(col("qdot") >= minQDot)
   }
 
-  /** LSH-bucketed approximate top-k: candidates = same-bucket vectors,
-    * ranked by exact cosine. At corpus scale the signature is computed in
-    * the scan projection and the bucket join shuffles each vector once;
-    * skewed buckets are ordinary hot join keys (AQE skew-split applies).
+  /** Scale path for [[nearDupPairs]]: MULTI-TABLE banded LSH candidates,
+    * then exact quantized-dot verification — same output contract, but the
+    * quadratic self-join is replaced by `numTables` equi-joins on
+    * (table, signature), the cosine analog of MinHash bands
+    * ([[graft.dedup.Dedup.lshBands]]). Recall for pairs at cosine c is
+    * 1 − (1 − p^b)^L with p = 1 − arccos(c)/π, b planes per table, L
+    * tables: the defaults (12 tables × 4 planes) give ~0.87 at the gated
+    * threshold c = 0.4 (p = 0.63 — LOW thresholds are the hard LSH regime;
+    * measured 0.87 on the sf0.01 corpus, SimilaritySpec) and ~1.0 at
+    * c ≥ 0.9. At billion-vector scale raise `planesPerTable` (smaller
+    * buckets) and `numTables` together — recall holds while per-bucket
+    * candidate counts shrink. The band join
+    * shuffles slim (table, sig, id) tuples — embeddings move once, in the
+    * verification re-join. Candidate multiplicity across tables is removed
+    * by `distinct` BEFORE verification (never score a pair twice).
+    * Approximate: a pair in no shared bucket is missed (measured in
+    * SimilarityRecallSpec; recall floor asserted).
     */
-  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int, numPlanes: Int = 4, dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(numPlanes, dim)
+  def nearDupPairsLsh(
+      corpus: DataFrame, minQDot: Long,
+      numTables: Int = 12, planesPerTable: Int = 4
+  ): DataFrame = {
+    val sigOf = lshSigNative(corpus) _
+    val banded = corpus.select(
+      col("vec_id").as("id"),
+      explode(array((0 until numTables).map { t =>
+        struct(lit(t).as("tbl"), sigOf(col("embedding"), planesPerTable, t * planesPerTable).as("sig"))
+      }: _*)).as("bd"))
+      .select(col("id"), col("bd.tbl").as("tbl"), col("bd.sig").as("sig"))
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    verifyPairs(corpus, candidates, minQDot)
+  }
+
+  // --------------------------------------------------------------------- ANN
+
+  /** LSH-bucketed approximate top-k with MULTI-PROBE: corpus vectors carry
+    * one signature; each query probes every bucket within Hamming distance
+    * `probeHamming` of its own (bit flips of the plane signs most likely
+    * to disagree near the neighbor boundary) — probing is exploded on the
+    * small broadcast query side, so recall rises steeply at zero extra
+    * corpus cost (radius 2 on 8 planes = 37 probes/query, each a constant
+    * join key). Candidates are ranked by exact quantized cosine.
+    *
+    * At corpus scale the signature is computed in the scan projection
+    * (native expression, stays in codegen) and the bucket join shuffles
+    * each vector once; skewed buckets are ordinary hot join keys (AQE
+    * skew-split applies). Size `numPlanes` with [[planesFor]] — more
+    * planes = smaller buckets = cheaper scoring, lower recall (recovered
+    * by probing).
+    */
+  def annTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      numPlanes: Int = 8, probeHamming: Int = 2
+  ): DataFrame = {
+    val sigOf = lshSigNative(corpus) _
+    val cq = cosineQ(corpus) _
+    val baseSig = sigOf(col("embedding"), numPlanes, 0)
+    val masks = probeMasks(numPlanes, probeHamming)
+    val probes = array(masks.map(m => baseSig.bitwiseXOR(lit(m))): _*)
     val q = broadcast(
       queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        lshSignature(col("embedding"), planes).as("sig")))
+        explode(probes).as("sig")))
     val v = corpus.select(col("vec_id").as("vid"), col("embedding").as("ve"),
-      lshSignature(col("embedding"), planes).as("sig"))
+      sigOf(col("embedding"), numPlanes, 0).as("sig"))
+    // no dedup needed: a corpus vector has exactly ONE signature and a
+    // query's probe signatures are pairwise distinct, so each (qid, vid)
+    // pair survives at most one probe
     val scored = v.join(q, Seq("sig")).filter(col("qid") =!= col("vid"))
-      .select(col("qid"), col("vid"), cosine(col("qe"), col("ve")).as("score"))
+      .select(col("qid"), col("vid"), cq(col("qe"), col("ve")).as("score"))
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vid"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** Recall@k of [[annTopK]] against [[bruteForceTopK]] with the same
+    * quantized-cosine scoring: |ann ∩ brute| / |brute|. Driver-side sizes
+    * only (k × #queries pairs).
+    */
+  /** All XOR masks of Hamming weight ≤ `radius` over `numPlanes` bits
+    * (weight-0 mask first — the query's own bucket).
+    */
+  def probeMasks(numPlanes: Int, radius: Int): Seq[Long] = {
+    def combos(weight: Int): Seq[Long] =
+      (0 until numPlanes).combinations(weight).map(_.foldLeft(0L)((m, i) => m | (1L << i))).toSeq
+    (0 to math.max(0, math.min(radius, numPlanes))).flatMap(combos)
+  }
+
+  def annRecallAtK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      numPlanes: Int = 8, probeHamming: Int = 2
+  ): Double = {
+    val cq = cosineQ(corpus) _
+    val brute = bruteForceTopK(corpus, queries, k, cq)
+      .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = annTopK(corpus, queries, k, numPlanes, probeHamming)
+      .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (brute.isEmpty) 1.0 else (ann & brute).size.toDouble / brute.size
   }
 }

@@ -84,4 +84,24 @@ class DedupSpec extends AnyFunSuite {
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
   }
+
+  test("simhashNearDupPairs equals the brute-force hamming scan (pigeonhole exactness)") {
+    import spark.implicits._
+    // the driver-gated input: real docs + identical-text copies (id + 10^6)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val d = docs.union(docs.select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+    val sigs = d.select(col("doc_id"), Dedup.simhash64Native(d, "text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // brute force: all pairs with hamming ≤ 3 — banding into four 16-bit
+    // chunks is EXACT for this threshold (hamming ≤ 3 ⇒ ≥ 1 chunk equal)
+    val brute = (for {
+      (i1, h1) <- sigs; (i2, h2) <- sigs
+      if i1 < i2 && java.lang.Long.bitCount(h1 ^ h2) <= 3
+    } yield (i1, i2)).toSet
+    val banded = Dedup.simhashNearDupPairs(d, "doc_id", "text", maxHamming = 3)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute)
+    assert(banded.size >= 500) // every identical-copy pair is present
+  }
 }

@@ -48,7 +48,7 @@ class SimilaritySpec extends AnyFunSuite {
       2L -> Seq(0f, 1f, 0f, 0f),
       3L -> Seq(-1f, 0f, 0f, 0f)
     )
-    val got = Similarity.annTopK(withDup, withDup.filter(col("vec_id") === 0), 3, numPlanes = 4, dim = 4)
+    val got = Similarity.annTopK(withDup, withDup.filter(col("vec_id") === 0), 3, numPlanes = 4)
       .orderBy("rn").collect()
     assert(got.nonEmpty)
     assert(got.head.getLong(1) == 10L) // the duplicate, cosine 1.0
@@ -64,25 +64,68 @@ class SimilaritySpec extends AnyFunSuite {
     val exact = Similarity.nearDupPairs(withDup, 900000L)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(exact.keySet == Set((0L, 1L))) // only the near-dup pair clears 0.9
-    val lsh = Similarity.nearDupPairsLsh(withDup, 900000L, numPlanes = 4, dim = 4)
+    val lsh = Similarity.nearDupPairsLsh(withDup, 900000L, numTables = 2, planesPerTable = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(lsh.keySet.subsetOf(exact.keySet))
     lsh.foreach { case (k, v) => assert(exact(k) == v) }
     assert(lsh.contains((0L, 1L))) // near-identical vectors share all sign buckets
   }
 
-  test("hyperplanes are deterministic and in [-1,1]") {
-    val a = Similarity.hyperplanes(4, 8)
-    val b = Similarity.hyperplanes(4, 8)
-    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
-    assert(a.flatten.forall(v => v >= -1.0 && v <= 1.0))
+  test("planeWeight is deterministic, bounded, and sign-balanced") {
+    val ws = for (p <- 0 until 16; j <- 0 until 64) yield Similarity.planeWeight(p, j)
+    assert(ws == (for (p <- 0 until 16; j <- 0 until 64) yield Similarity.planeWeight(p, j)))
+    assert(ws.forall(w => w >= -500001L && w <= 500001L))
+    val pos = ws.count(_ > 0).toDouble / ws.size
+    assert(pos > 0.4 && pos < 0.6) // roughly balanced signs → unbiased planes
+  }
+
+  test("native graft_lshsig is bit-exact with the portable HOF signature") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for ((planes, offset) <- Seq((8, 0), (6, 12), (4, 36))) {
+      val mismatches = e.select(
+        Similarity.lshSigNative(e)(col("embedding"), planes, offset).as("native"),
+        Similarity.lshSignatureInt(col("embedding"), planes, offset, 64).as("hof")
+      ).filter(col("native") =!= col("hof")).count()
+      assert(mismatches == 0, s"planes=$planes offset=$offset")
+    }
   }
 
   test("ann results are a subset of brute-force candidates scored identically") {
-    val brute = Similarity.bruteForceTopK(corpus, corpus.filter(col("vec_id") === 0), 3, Similarity.cosine(_, _))
+    val cq = Similarity.cosineQ(corpus) _
+    val brute = Similarity.bruteForceTopK(corpus, corpus.filter(col("vec_id") === 0), 3, cq)
       .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
-    val ann = Similarity.annTopK(corpus, corpus.filter(col("vec_id") === 0), 3, numPlanes = 4, dim = 4)
+    val ann = Similarity.annTopK(corpus, corpus.filter(col("vec_id") === 0), 3, numPlanes = 4)
       .collect().map(r => (r.getLong(1), r.getDouble(2)))
-    ann.foreach { case (vid, score) => assert(math.abs(brute(vid) - score) < 1e-12) }
+    assert(ann.nonEmpty)
+    ann.foreach { case (vid, score) => assert(brute(vid) == score) } // identical quantized scoring
+  }
+
+  test("recall: multi-probe ANN@5 against brute force on real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    val recallProbe = Similarity.annRecallAtK(e, q, 5, numPlanes = 8, probeHamming = 2)
+    val recallNoProbe = Similarity.annRecallAtK(e, q, 5, numPlanes = 8, probeHamming = 0)
+    info(s"recall@5: probe2=$recallProbe probe0=$recallNoProbe")
+    assert(recallProbe >= recallNoProbe) // probing never hurts
+    assert(recallProbe >= 0.5, s"recall@5 with probing was $recallProbe")
+  }
+
+  test("recall: multi-table near-dup LSH against the exact baseline on real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val exact = Similarity.nearDupPairs(e, 400000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val lsh = Similarity.nearDupPairsLsh(e, 400000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(lsh.keySet.subsetOf(exact.keySet))
+    lsh.foreach { case (k, v) => assert(exact(k) == v) }
+    val recall = if (exact.isEmpty) 1.0 else lsh.size.toDouble / exact.size
+    info(s"near-dup LSH recall=$recall over ${exact.size} exact pairs")
+    assert(recall >= 0.6, s"near-dup LSH recall was $recall over ${exact.size} exact pairs")
+  }
+
+  test("planesFor grows the signature with the corpus") {
+    assert(Similarity.planesFor(1000L) == 4)
+    assert(Similarity.planesFor(1000000000L, 10000L) == 17)
+    assert(Similarity.planesFor(Long.MaxValue) == 20)
   }
 }
