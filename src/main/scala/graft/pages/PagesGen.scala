@@ -148,9 +148,11 @@ $body
       if (numPartitions <= 0) slim
       else {
         // url + giant-class are pure functions of (doc_id, lang) — compute
-        // the range key pre-shuffle, drop it after
+        // the range key pre-shuffle, drop it after. Giants sort FIRST
+        // (class 0): heavy partitions launch before the small-row waves
+        // (LPT scheduling — see ExtractJob.partitionForExtraction).
         val urlCol = format_string("https://synth.example/%s/doc%08d", col("lang"), col("doc_id"))
-        val giant = when(col("doc_id") % 97 === 0, lit(1)).otherwise(lit(0))
+        val giant = when(col("doc_id") % 97 === 0, lit(0)).otherwise(lit(1))
         slim.repartitionByRange(numPartitions, giant, xxhash64(urlCol))
       }
     parted

@@ -115,16 +115,17 @@ class ExtractJobSpec extends AnyFunSuite {
     }.collect()
     val giantParts = dist.filter(_._2 > 0)
     assert(giantParts.nonEmpty)
-    // every giant row lives in the top range partitions, after all small rows
-    // (sizeClass is the leading range key) — here giants are < 1 MiB so the
-    // 1 MiB class boundary keeps them with small rows; verify the mechanism
-    // directly with a lowered boundary via the raw expression:
+    // every giant row lives in the FIRST range partitions, before all
+    // small rows (sizeClass 0 leads the range key → heavy partitions
+    // launch first, LPT scheduling) — here giants are < 1 MiB so the
+    // 1 MiB class boundary keeps them with small rows; verify the
+    // mechanism directly with a lowered boundary via the raw expression:
     val lowered = pages
       .repartitionByRange(8,
         org.apache.spark.sql.functions.when(
           org.apache.spark.sql.functions.length($"html") >= 10000,
-          org.apache.spark.sql.functions.lit(1)
-        ).otherwise(org.apache.spark.sql.functions.lit(0)),
+          org.apache.spark.sql.functions.lit(0)
+        ).otherwise(org.apache.spark.sql.functions.lit(1)),
         org.apache.spark.sql.functions.xxhash64($"url"))
       .as[PageRow]
     val dist2 = lowered.mapPartitions { it =>
@@ -134,6 +135,10 @@ class ExtractJobSpec extends AnyFunSuite {
     }.collect()
     val mixed = dist2.count(d => d._1 > 0 && d._2 > 0)
     assert(mixed <= 1) // at most the single boundary partition mixes classes
+    // giants strictly precede small-only partitions (heavy-first order)
+    val lastGiantIdx = dist2.zipWithIndex.filter(_._1._2 > 0).map(_._2).max
+    val firstSmallOnlyIdx = dist2.zipWithIndex.filter(d => d._1._1 > 0 && d._1._2 == 0).map(_._2).min
+    assert(lastGiantIdx <= firstSmallOnlyIdx)
   }
 
   test("determinism: extracted_text per url is byte-identical across parallelism levels") {

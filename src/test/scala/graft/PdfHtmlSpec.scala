@@ -106,4 +106,23 @@ class PdfHtmlSpec extends AnyFunSuite {
     assert(HtmlTextExtractor.countWords("a b c") == 3)
     assert(HtmlTextExtractor.countWords("") == 0)
   }
+
+  test("HTML spans carry real character offsets into extracted_text") {
+    import graft.job.ExtractKernel
+    import graft.pages.PagesGen
+    // doc_id 1 is an HTML payload with resolvable autor/data/registro markers
+    val row = PagesGen.row(1L, "Some document body text here. More sentences follow. And more.", "en")
+    val r = ExtractKernel.extract(row, ExtractKernel.DefaultRules,
+      graft.extract.SpanExtractor.schemaHash(ExtractKernel.DefaultRules))
+    assert(r.status == "ok" && r.doctype == "html")
+    assert(r.spans.nonEmpty)
+    r.spans.foreach { s =>
+      val start = s.x0.toInt; val end = s.x1.toInt
+      assert(start >= 0 && end > start && end <= r.extracted_text.length)
+      val lineText = r.extracted_text.substring(start, end)
+      assert(!lineText.contains("\n")) // exactly one block
+      assert(lineText.toLowerCase.contains(s.value.toLowerCase.take(8))) // value sits in its source block
+      assert(s.y0 == s.y1 && s.y0 >= 0) // block index
+    }
+  }
 }

@@ -76,4 +76,24 @@ class PlanSpec extends AnyFunSuite {
     val plan = finalPlan(df)
     assert(plan.contains("BroadcastNestedLoopJoin"), s"query side must broadcast:\n$plan")
   }
+
+  test("bloom resume regime: membership test is a codegen'd column predicate, not a typed lambda") {
+    val root = Files.createTempDirectory("graft-plan-bloom").toString
+    val pages = PagesGen.pages(spark, sfDir).limit(100)
+    ExtractJob.run(spark, pages, root, numPartitions = 2, commitId = "c1")
+    import spark.implicits._
+    // threshold 0 forces the bloom pre-filter + exact-join-on-maybe regime
+    val pend = ExtractJob.pending(spark, pages, root, bloomThreshold = 0L).select($"url")
+    val plan = finalPlan(pend)
+    // both branches carry the bloom test as a RELATIONAL Filter (codegen)
+    assert(plan.contains("Filter NOT might_contain"), s"definitely-new branch predicate:\n$plan")
+    assert(plan.split("might_contain").length >= 3, s"maybe branch must also probe the bloom:\n$plan")
+    // the old implementation evaluated the membership test in typed Scala
+    // lambdas, adding a DeserializeToObject→Filter→Serialize round-trip
+    // PER BRANCH on top of the source. The only object-domain op allowed
+    // here is the synthesized test source itself (PagesGen's typed map),
+    // which AQE de-duplicates via ReusedExchange — so at most ONE.
+    assert(plan.split("DeserializeToObject").length - 1 <= 1,
+      s"bloom branches must not add object-domain round-trips:\n$plan")
+  }
 }

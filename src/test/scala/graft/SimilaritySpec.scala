@@ -103,11 +103,17 @@ class SimilaritySpec extends AnyFunSuite {
   test("recall: multi-probe ANN@5 against brute force on real embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val q = e.filter(col("vec_id") < 10)
-    val recallProbe = Similarity.annRecallAtK(e, q, 5, numPlanes = 8, probeHamming = 2)
-    val recallNoProbe = Similarity.annRecallAtK(e, q, 5, numPlanes = 8, probeHamming = 0)
-    info(s"recall@5: probe2=$recallProbe probe0=$recallNoProbe")
-    assert(recallProbe >= recallNoProbe) // probing never hurts
-    assert(recallProbe >= 0.5, s"recall@5 with probing was $recallProbe")
+    // the gated configuration (4 tables × 8 planes, Hamming-2 probes).
+    // NB this corpus is a WORST CASE for hyperplane LSH: brute-force top-5
+    // neighbors sit at cosine ≈ 0.3 (near-random vectors), where per-plane
+    // agreement is barely above chance — recall here is the stress floor,
+    // not the typical-corpus figure (at cosine ≥ 0.9 the same config
+    // measures ≈ 1.0: see the duplicate-vector test above).
+    val recallFull = Similarity.annRecallAtK(e, q, 5, numPlanes = 8, probeHamming = 2, numTables = 4)
+    val recallOneTable = Similarity.annRecallAtK(e, q, 5, numPlanes = 8, probeHamming = 2, numTables = 1)
+    info(s"recall@5: 4tables+probe2=$recallFull 1table+probe2=$recallOneTable")
+    assert(recallFull >= recallOneTable) // extra tables never hurt
+    assert(recallFull >= 0.5, s"recall@5 with 4 tables + probe 2 was $recallFull")
   }
 
   test("recall: multi-table near-dup LSH against the exact baseline on real embeddings") {
