@@ -51,6 +51,17 @@ object SparkEntry {
         PagesGen.pages(s, dir, s.sparkContext.defaultParallelism), ExtractKernel.DefaultRules, "verify")
       res.groupBy($"status", $"doctype").agg(count(lit(1)).as("n"))
     }),
+    // X2 streaming surface, relationally gated: the SAME windowedMetrics
+    // used by the streaming ingest, run over the batch Dataset (watermark
+    // is a no-op in batch). Event times are deterministic (BaseEpochMs +
+    // doc_id s), so the windowed counts are oracle-exact; payload_bytes is
+    // omitted (synthesized binary is not derivable in SQL).
+    "q_stream_window" -> ((s, dir) => {
+      val pages = PagesGen.pages(s, dir, s.sparkContext.defaultParallelism)
+      graft.streaming.StreamingExtract.windowedMetrics(pages)
+        .select(unix_timestamp(col("window.start")).cast("long").as("window_start_s"),
+          col("lang"), col("n_pages"))
+    }),
     "x_extract_results" -> ((s, dir) => {
       import s.implicits._
       val res = ExtractJob.extractAll(
@@ -295,6 +306,12 @@ object SparkEntry {
         |  '[' || CASE WHEN vz = 'MIDDLE' THEN hz ELSE vz || '-' || hz END ||
         |  '] [x:' || x0 || '-' || x1 || ', y:' || y0 || '] ' || substr(text, 1, 20) AS layout_line
         |FROM zz""".stripMargin,
+    // warc_ts = 1700000000 s + doc_id s (PagesGen.BaseEpochMs); Spark's
+    // 10-minute tumbling windows align to the epoch → start = ts - ts%600
+    "q_stream_window" ->
+      """SELECT CAST((1700000000 + doc_id) - (1700000000 + doc_id) % 600 AS BIGINT) AS window_start_s,
+        |       lang, count(*) AS n_pages
+        |FROM documents GROUP BY 1, 2""".stripMargin,
     "p1_content_hash" -> "SELECT doc_id, sha256(text) AS h FROM documents",
     "p3_cache_key" ->
       s"SELECT doc_id, 'extract:' || lang || ':' || sha256(text) || ':$schemaHashHex' AS cache_key FROM documents",

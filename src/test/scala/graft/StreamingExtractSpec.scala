@@ -49,6 +49,14 @@ class StreamingExtractSpec extends AnyFunSuite {
     }
     val streamed = after2.select($"url", $"extracted_text").as[(String, String)].collect().toMap
     assert(streamed == batchRun)
+
+    // per-epoch lineage parity: every committed epoch also committed its
+    // partition metrics, with real payload bytes and kernel time
+    val metrics = ExtractJob.metricsTable(tableRoot).read(spark).get
+    val mAgg = metrics.agg(sum($"rows_in"), sum($"bytes_in"), sum($"kernel_us")).collect()(0)
+    assert(mAgg.getLong(0) == 150)
+    assert(mAgg.getLong(1) > 0 && mAgg.getLong(2) > 0)
+    assert(metrics.select($"commit_id").distinct().count() == 2) // one per non-empty epoch
   }
 
   test("re-crawled url in a later batch is not extracted twice (cross-batch anti-join)") {
