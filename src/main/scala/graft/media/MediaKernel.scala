@@ -42,11 +42,13 @@ object MediaKernel {
 
   final case class Frame(url: String, frame_idx: Int, frame: Array[Byte])
 
+  private val md5Local: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
   def md5Hex(bytes: Array[Byte]): String = {
-    val d = MessageDigest.getInstance("MD5").digest(bytes)
-    val sb = new StringBuilder(32)
-    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
+    val md = md5Local.get()
+    md.reset()
+    graft.extract.SpanExtractor.hexOf(md.digest(bytes))
   }
 
   private def hexInt(hex: String, from: Int, len: Int): Long =
