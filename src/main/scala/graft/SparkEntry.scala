@@ -143,6 +143,12 @@ object SparkEntry {
       val cand = Dedup.lshCandidatePairs(d, "doc_id", "text", 8, 2)
       Dedup.jaccardForPairs(d, cand, "doc_id", "text")
     }),
+    // D3→D4→survivor chain as ONE operator: the "give me the deduped
+    // corpus" call a pipeline user actually makes (LSH candidates → exact
+    // Jaccard ≥ 0.5 → greedy keep-min-id → anti-join)
+    "d_drop_neardup" -> ((s, dir) =>
+      Dedup.dropNearDuplicates(docs(s, dir).select(col("doc_id"), col("text")), "doc_id", "text")
+        .select(col("doc_id"))),
     // ---- similarity search ----
     "s_dot_topk" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -235,6 +241,31 @@ object SparkEntry {
 
   private val minhashSelect =
     (0 until 8).map(h => s"min(md5('$h:' || s)) AS mh$h").mkString(", ")
+
+  /** Shared CTE chain: MinHash bands → candidate pairs → exact shingle
+    * Jaccard per candidate (`jac(id1, id2, inter, uni)`) — the SQL twin of
+    * `lshCandidatePairs` → `jaccardForPairs`; used by the `d_lsh_jaccard`
+    * and `d_drop_neardup` oracles.
+    */
+  private lazy val lshJaccardChain =
+    s"""$shingleCte,
+       |sig AS (SELECT doc_id, $minhashSelect FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS bv FROM sig UNION ALL
+       |  SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig UNION ALL
+       |  SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig UNION ALL
+       |  SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |         FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+       |ds AS (SELECT DISTINCT doc_id, s FROM sh),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY 1),
+       |ints AS (SELECT c.id1, c.id2, count(*) AS i
+       |         FROM cand c JOIN ds a ON a.doc_id = c.id1 JOIN ds b ON b.doc_id = c.id2 AND a.s = b.s
+       |         GROUP BY 1, 2),
+       |jac AS (SELECT c.id1, c.id2, CAST(coalesce(i.i, 0) AS BIGINT) AS inter,
+       |               CAST(sa.sz + sb.sz - coalesce(i.i, 0) AS BIGINT) AS uni
+       |        FROM cand c JOIN sizes sa ON c.id1 = sa.doc_id JOIN sizes sb ON c.id2 = sb.doc_id
+       |        LEFT JOIN ints i ON c.id1 = i.id1 AND c.id2 = i.id2)""".stripMargin
 
   private def hexInt(from1: Int, len: Int): String =
     s"CAST(('0x' || substr(md5(text), $from1, $len)) AS BIGINT)"
@@ -361,24 +392,12 @@ object SparkEntry {
          |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
          |FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id""".stripMargin,
     "d_lsh_jaccard" ->
-      s"""WITH $shingleCte,
-         |sig AS (SELECT doc_id, $minhashSelect FROM sh GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS bv FROM sig UNION ALL
-         |  SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig UNION ALL
-         |  SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig UNION ALL
-         |  SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig),
-         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         |         FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
-         |ds AS (SELECT DISTINCT doc_id, s FROM sh),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY 1),
-         |ints AS (SELECT c.id1, c.id2, count(*) AS i
-         |         FROM cand c JOIN ds a ON a.doc_id = c.id1 JOIN ds b ON b.doc_id = c.id2 AND a.s = b.s
-         |         GROUP BY 1, 2)
-         |SELECT c.id1, c.id2, CAST(coalesce(i.i, 0) AS BIGINT) AS inter,
-         |       CAST(sa.sz + sb.sz - coalesce(i.i, 0) AS BIGINT) AS uni
-         |FROM cand c JOIN sizes sa ON c.id1 = sa.doc_id JOIN sizes sb ON c.id2 = sb.doc_id
-         |LEFT JOIN ints i ON c.id1 = i.id1 AND c.id2 = i.id2""".stripMargin,
+      s"""WITH $lshJaccardChain
+         |SELECT id1, id2, inter, uni FROM jac""".stripMargin,
+    "d_drop_neardup" ->
+      s"""WITH $lshJaccardChain,
+         |drops AS (SELECT DISTINCT id2 FROM jac WHERE inter * 100 >= uni * 50)
+         |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id2 FROM drops)""".stripMargin,
     "d_jaccard_pairs" ->
       s"""WITH $shingleCte,
          |ds AS (SELECT DISTINCT doc_id, source, s FROM sh),

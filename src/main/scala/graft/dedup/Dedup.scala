@@ -119,6 +119,32 @@ object Dedup {
       .distinct()
   }
 
+  /** End-to-end near-duplicate REMOVAL: MinHash-LSH candidates → exact
+    * shingle-Jaccard verification at `tauPct`/100 → greedy keep-min-id
+    * survivor policy (every verified pair has id1 < id2; dropping all id2s
+    * keeps each pair's minimum — for chains a~b~c without a~c this keeps
+    * `a` and drops both others, a deliberate greedy approximation of
+    * connected components, which would need iterative joins).
+    *
+    * The threshold compares `inter · 100 ≥ uni · tauPct` — integer
+    * cross-multiplication, no float division, engine-portable. Scale
+    * shape: candidates are slim id pairs from banded equi-joins (D3),
+    * verification re-joins shingle sets per candidate (D4), the drop set
+    * is a distinct id column, and the final filter is a left anti-join —
+    * no stage touches more than (id, shingle)-sized rows besides the
+    * final survivor join.
+    */
+  def dropNearDuplicates(
+      df: DataFrame, idCol: String, textCol: String,
+      tauPct: Int = 50, k: Int = 8, rowsPerBand: Int = 2, n: Int = 3
+  ): DataFrame = {
+    val cand = lshCandidatePairs(df, idCol, textCol, k, rowsPerBand)
+    val verified = jaccardForPairs(df, cand, idCol, textCol, n)
+      .filter(col("inter") * lit(100) >= col("uni") * lit(tauPct))
+    val drops = verified.select(col("id2").as(idCol)).distinct()
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
   // -------------------------------------------------------------- jaccard
 
   /** n-gram Jaccard for given candidate pairs: returns integer

@@ -71,6 +71,20 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Set((1L, 2L)))
   }
 
+  test("dropNearDuplicates: keep-min-id survivors at the jaccard threshold") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = Seq(
+      1L -> base, // kept (min of the 1~2 pair)
+      2L -> (base + " extra"), // near-dup of 1 → dropped
+      3L -> "completely different words nothing shared here at all today ok", // kept
+      4L -> base // exact dup of 1 → dropped
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(d, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+  }
+
   test("simhash: identical → equal; near-dup → small hamming; pairs join finds dups") {
     import spark.implicits._
     val d = df(1L -> longA, 2L -> longA, 3L -> longB, 4L -> longC)
