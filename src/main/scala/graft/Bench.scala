@@ -256,7 +256,10 @@ object Bench {
     // per-pair steal telemetry + stall retries + the median estimator
     // handle the shared-host noise (see class doc + BASELINE.md)
     val stealBefore = procStat()
-    val numPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "4").toInt
+    // 5 pairs: the high level's clean-run variance (±8 % — smaller absolute
+    // times leave fixed costs + scheduling jitter proportionally larger)
+    // needs the extra sample for a stable median after exclusions
+    val numPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "5").toInt
     case class Pair(docs: Long, runN: Run, runN4: Run, probe: Double, stealPct: Double)
     val allRuns = Vector.newBuilder[Run]
     val pairs = (1 to numPairs).map { _ =>
