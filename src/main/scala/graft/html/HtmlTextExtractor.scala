@@ -107,11 +107,19 @@ object HtmlTextExtractor {
         } else {
           var j = i + 1
           while (j < n && html.charAt(j) != '>') j += 1
-          val inner = html.substring(i + 1, math.min(j, n)).trim
+          // parse [/]name + self-closing flag by index — the substring +
+          // trim + dropWhile/takeWhile chain allocated 3-4 strings per tag
+          var k = i + 1
+          while (k < j && html.charAt(k).isWhitespace) k += 1
+          val closing = k < j && html.charAt(k) == '/'
+          while (k < j && html.charAt(k) == '/') k += 1
+          val nameStart = k
+          while (k < j && !html.charAt(k).isWhitespace && html.charAt(k) != '/') k += 1
+          var e = j - 1
+          while (e > i && html.charAt(e).isWhitespace) e -= 1
+          val selfClosing = e > i && html.charAt(e) == '/'
           i = math.min(j + 1, n)
-          val closing = inner.startsWith("/")
-          val selfClosing = inner.endsWith("/")
-          val name = inner.dropWhile(_ == '/').takeWhile(ch => !ch.isWhitespace && ch != '/').toLowerCase(java.util.Locale.ROOT)
+          val name = html.substring(nameStart, k).toLowerCase(java.util.Locale.ROOT)
           if (name.nonEmpty && name.head.isLetter) {
             if (SkipTags.contains(name)) {
               if (closing) { if (skipDepth > 0) skipDepth -= 1 }
@@ -177,9 +185,13 @@ object HtmlTextExtractor {
   def normalizeWs(s: String): String = {
     val sb = new StringBuilder(s.length)
     var inWs = true // leading ws dropped
-    s.foreach { c =>
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      // ' ' (nbsp, from &nbsp; decoding) normalizes like whitespace
       if (c.isWhitespace || c == ' ') { if (!inWs) { sb.append(' '); inWs = true } }
       else { sb.append(c); inWs = false }
+      i += 1
     }
     if (sb.nonEmpty && sb.last == ' ') sb.setLength(sb.length - 1)
     sb.toString
@@ -187,9 +199,11 @@ object HtmlTextExtractor {
 
   def countWords(s: String): Int = {
     var n = 0; var inWord = false
-    s.foreach { c =>
-      if (c == ' ') inWord = false
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == ' ') inWord = false
       else if (!inWord) { n += 1; inWord = true }
+      i += 1
     }
     n
   }

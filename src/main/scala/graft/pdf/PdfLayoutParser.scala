@@ -75,8 +75,14 @@ object PdfLayoutParser {
     var fontSize = 12.0
     var tx = 0.0
     var ty = 0.0
-    // operand stack of numbers and the last string seen
-    val nums = ArrayBuffer.empty[Double]
+    // operand state: every operator in this subset reads at most the LAST
+    // TWO numbers, so two vars + a count replace an operand stack (the
+    // ArrayBuffer clear per operator was 4% of kernel samples)
+    var numPrev = 0.0
+    var numLast = 0.0
+    var numCount = 0
+    def pushNum(v: Double): Unit = { numPrev = numLast; numLast = v; numCount += 1 }
+    def clearNums(): Unit = numCount = 0
     var lastString: String = null
     var leading = 0.0
 
@@ -119,26 +125,26 @@ object PdfLayoutParser {
         val start = i
         i += 1
         while (i < n && (content.charAt(i).isDigit || content.charAt(i) == '.')) i += 1
-        nums += content.substring(start, i).toDouble
+        pushNum(content.substring(start, i).toDouble)
       } else {
         val start = i
         while (i < n && !content.charAt(i).isWhitespace && !"()[]/".contains(content.charAt(i))) i += 1
         val op = content.substring(start, i)
         op match {
-          case "BT" => tx = 0.0; ty = 0.0; nums.clear()
-          case "ET" => nums.clear()
-          case "Tf" => if (nums.nonEmpty) fontSize = nums.last; nums.clear()
+          case "BT" => tx = 0.0; ty = 0.0; clearNums()
+          case "ET" => clearNums()
+          case "Tf" => if (numCount >= 1) fontSize = numLast; clearNums()
           case "Td" =>
-            if (nums.length >= 2) { tx += nums(nums.length - 2); ty += nums.last }
-            nums.clear()
+            if (numCount >= 2) { tx += numPrev; ty += numLast }
+            clearNums()
           case "TD" =>
-            if (nums.length >= 2) { tx += nums(nums.length - 2); ty += nums.last; leading = -nums.last }
-            nums.clear()
-          case "TL" => if (nums.nonEmpty) leading = nums.last; nums.clear()
-          case "T*" => ty -= leading; nums.clear()
-          case "Tj" => if (lastString != null) { emit(lastString); lastString = null }; nums.clear()
-          case "TJ" => if (lastString != null) { emit(lastString); lastString = null }; nums.clear()
-          case _    => nums.clear() // unknown operator: operands dropped
+            if (numCount >= 2) { tx += numPrev; ty += numLast; leading = -numLast }
+            clearNums()
+          case "TL" => if (numCount >= 1) leading = numLast; clearNums()
+          case "T*" => ty -= leading; clearNums()
+          case "Tj" => if (lastString != null) { emit(lastString); lastString = null }; clearNums()
+          case "TJ" => if (lastString != null) { emit(lastString); lastString = null }; clearNums()
+          case _    => clearNums() // unknown operator: operands dropped
         }
       }
     }

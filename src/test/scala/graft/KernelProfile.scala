@@ -65,6 +65,32 @@ object KernelProfile {
     time("html contentBlocks", 20) { htmlStrs.foreach(HtmlTextExtractor.contentBlocks) }
     val pdfLines = parsedPdf.map(p => LineClusterer.clusterGroups(p.words).map(LineClusterer.assemble))
     time("span resolve (pdf lines)", 20) { pdfLines.foreach(ls => SpanExtractor.resolve(rules, ls)) }
+
+    // ---- sampling profiler: run the kernel hot for ~5 s, sample the
+    // worker's stack every ~2 ms, histogram the deepest graft frame ----
+    @volatile var running = true
+    val worker = new Thread(() => {
+      while (running) rows.foreach(r => ExtractKernel.extract(r, rules, schemaHash))
+    })
+    worker.setDaemon(true)
+    val hist = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    worker.start()
+    Thread.sleep(300) // warm
+    val until = System.nanoTime() + 5000000000L
+    while (System.nanoTime() < until) {
+      val st = worker.getStackTrace
+      val frame = st.find(f => f.getClassName.startsWith("graft.") || f.getClassName.startsWith("scala.collection"))
+        .map(f => s"${f.getClassName.split('.').last}.${f.getMethodName}")
+        .getOrElse(st.headOption.map(f => s"${f.getClassName.split('.').last}.${f.getMethodName}").getOrElse("?"))
+      hist(frame) += 1
+      Thread.sleep(2)
+    }
+    running = false
+    val total = hist.values.sum.max(1)
+    println(s"\n-- stack samples ($total) --")
+    hist.toSeq.sortBy(-_._2).take(20).foreach { case (f, n) =>
+      println(f"${100.0 * n / total}%6.1f%%  $f")
+    }
     spark.stop()
   }
 }
