@@ -47,13 +47,9 @@ object PdfLayoutParser {
     if (streamEnd < 0) throw new PdfParseException("malformed PDF: unterminated stream")
     val content = s.substring(contentFrom, streamEnd)
 
-    val raw = tokenizeAndRun(content, ph)
-    if (raw.isEmpty) throw new PdfParseException("Empty PDF: no text content")
-
-    val words = raw.map { case (text, x0, top, x1, bottom) =>
-      Word(text, x0, top, x1, bottom, ZoneGrid.zone(x0, top, x1, bottom, pw, ph))
-    }.toVector
-    ParsedPage(words, pw, ph)
+    val words = tokenizeAndRun(content, pw, ph)
+    if (words.isEmpty) throw new PdfParseException("Empty PDF: no text content")
+    ParsedPage(words.toVector, pw, ph)
   }
 
   private def mediaBox(s: String): (Double, Double) = {
@@ -67,9 +63,12 @@ object PdfLayoutParser {
     else (MiniPdf.DefaultPageWidth, MiniPdf.DefaultPageHeight)
   }
 
-  /** Run the text operators; emit (text, x0, top, x1, bottom) per shown string. */
-  private def tokenizeAndRun(content: String, pageHeight: Double): ArrayBuffer[(String, Double, Double, Double, Double)] = {
-    val out = ArrayBuffer.empty[(String, Double, Double, Double, Double)]
+  /** Run the text operators; emit one positioned [[Word]] per shown string
+    * (zone computed inline — an intermediate tuple would box four doubles
+    * per word before the Word allocation, doubling per-word garbage).
+    */
+  private def tokenizeAndRun(content: String, pageWidth: Double, pageHeight: Double): ArrayBuffer[Word] = {
+    val out = ArrayBuffer.empty[Word]
     var i = 0
     val n = content.length
     var fontSize = 12.0
@@ -90,7 +89,8 @@ object PdfLayoutParser {
       val x0 = tx
       val top = pageHeight - ty - fontSize
       val x1 = x0 + CharWidthRatio * fontSize * text.length
-      out += ((text, x0, top, x1, top + fontSize))
+      val bottom = top + fontSize
+      out += Word(text, x0, top, x1, bottom, ZoneGrid.zone(x0, top, x1, bottom, pageWidth, pageHeight))
     }
 
     while (i < n) {
