@@ -74,17 +74,46 @@ object SpanExtractor {
     */
   final case class CompiledRule(rule: FieldRule, t1: Vector[String], t2: Vector[String], othersT1: Vector[String])
 
-  private val compiledCache =
-    new java.util.concurrent.ConcurrentHashMap[Seq[FieldRule], Vector[CompiledRule]]()
+  /** One job has one ruleset, so a single-slot memo covers the hot path
+    * (reference equality first: the broadcast hands every task the same
+    * Vector instance, so the per-document lookup is a pointer compare, not
+    * a full ruleset rehash). The LRU behind it is BOUNDED — a long-lived
+    * session running many distinct rulesets must not accumulate entries
+    * forever; 4 slots cover any realistic concurrent-ruleset mix, and an
+    * evicted ruleset just recompiles (cheap, correct).
+    */
+  private val MaxCompiledRulesets = 4
 
-  def compile(rules: Seq[FieldRule]): Vector[CompiledRule] =
-    compiledCache.computeIfAbsent(rules, rs => {
-      val all = rs.toVector
-      all.map { rule =>
-        CompiledRule(rule, nameKeywords(rule), descKeywords(rule),
-          all.filter(_.name != rule.name).flatMap(nameKeywords).distinct)
+  @volatile private var lastCompiled: (Seq[FieldRule], Vector[CompiledRule]) = null
+
+  private val compiledCache =
+    new java.util.LinkedHashMap[Seq[FieldRule], Vector[CompiledRule]](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Seq[FieldRule], Vector[CompiledRule]]): Boolean =
+        size() > MaxCompiledRulesets
+    }
+
+  private[graft] def compiledCacheSize: Int = compiledCache.synchronized(compiledCache.size())
+
+  def compile(rules: Seq[FieldRule]): Vector[CompiledRule] = {
+    val memo = lastCompiled
+    if (memo != null && ((memo._1 eq rules) || memo._1 == rules)) return memo._2
+    val compiled = compiledCache.synchronized {
+      val hit = compiledCache.get(rules)
+      if (hit != null) hit
+      else {
+        val all = rules.toVector
+        val built = all.map { rule =>
+          CompiledRule(rule, nameKeywords(rule), descKeywords(rule),
+            all.filter(_.name != rule.name).flatMap(nameKeywords).distinct)
+        }
+        compiledCache.put(rules, built)
+        built
       }
-    })
+    }
+    lastCompiled = (rules, compiled)
+    compiled
+  }
 
   /** Full resolution carrying source-line bboxes. */
   def resolve(rules: Seq[FieldRule], lines: Seq[Line]): Vector[Span] = {

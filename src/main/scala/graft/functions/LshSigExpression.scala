@@ -29,10 +29,23 @@ object LshSig {
   def weight(p: Long, j: Long): Long =
     ((p * 1315423911L + j * 2654435761L + 97531L) % 1000003L) - 500001L
 
+  /** Valid plane-count range: the signature packs one bit per plane into a
+    * Long, and `1L << p` wraps silently past 63 (bits would reuse positions
+    * 0..63) — a registered SQL function must reject that loudly, not alias.
+    */
+  val MaxPlanes = 63
+
+  def validate(numPlanes: Int, planeOffset: Int): Unit = {
+    require(numPlanes >= 1 && numPlanes <= MaxPlanes,
+      s"graft_lshsig numPlanes must be in [1, $MaxPlanes], got $numPlanes")
+    require(planeOffset >= 0, s"graft_lshsig planeOffset must be >= 0, got $planeOffset")
+  }
+
   /** Boxed so NULL propagates when any element is null (matching the
     * HOF formulation in [[graft.sim.Similarity.lshSignatureInt]]).
     */
   def compute(e: ArrayData, numPlanes: Int, planeOffset: Int): java.lang.Long = {
+    validate(numPlanes, planeOffset)
     val n = e.numElements()
     val q = new Array[Long](n)
     var j = 0
@@ -70,7 +83,20 @@ case class LshSigExpression(first: Expression, second: Expression, third: Expres
   override def checkInputDataTypes(): TypeCheckResult = first.dataType match {
     case ArrayType(FloatType, _)
         if second.dataType == IntegerType && third.dataType == IntegerType =>
-      TypeCheckResult.TypeCheckSuccess
+      // arbitrary user SQL reaches this builder: reject out-of-range plane
+      // args at ANALYSIS time when they are foldable (the common case —
+      // literals); non-foldable args hit the same runtime require in
+      // LshSig.compute, so no value sneaks through either way
+      def foldedInt(e: Expression): Option[Int] =
+        if (e.foldable) Option(e.eval(null)).map(_.asInstanceOf[Int]) else None
+      val planesBad = foldedInt(second).exists(p => p < 1 || p > LshSig.MaxPlanes)
+      val offsetBad = foldedInt(third).exists(_ < 0)
+      if (planesBad)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName numPlanes must be in [1, ${LshSig.MaxPlanes}]")
+      else if (offsetBad)
+        TypeCheckResult.TypeCheckFailure(s"$prettyName planeOffset must be >= 0")
+      else TypeCheckResult.TypeCheckSuccess
     case _ =>
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires (array<float>, int, int) arguments")

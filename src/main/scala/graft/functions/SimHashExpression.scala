@@ -144,6 +144,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier(GraftFunctions.LshSigName),
         new ExpressionInfo(classOf[LshSigExpression].getName, GraftFunctions.LshSigName),
         GraftFunctions.lshsigBuilder))
+    // same surface as the imperative register() path — a session configured
+    // via spark.sql.extensions must not see a subset of the functions
+    ext.injectFunction(
+      (FunctionIdentifier(GraftFunctions.MightContainName),
+        new ExpressionInfo(
+          classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+          GraftFunctions.MightContainName),
+        GraftFunctions.mightContainBuilder))
   }
 }
 

@@ -81,11 +81,16 @@ object ExtractJob {
           // cap the fpp degrades gracefully: false positives only route
           // more rows through the exact anti-join (slower, never wrong).
           //
-          // The membership test is a codegen'd COLUMN predicate (Spark's
-          // own BloomFilterMightContain over xxhash64(url), surfaced as
-          // `graft_might_contain`), evaluated on the columnar scan — no
-          // per-row PageRow deserialization into a Scala lambda on either
-          // branch. The filter is built over xxhash64(url) LONGS so build
+          // The membership test is a codegen'd COLUMN predicate over
+          // xxhash64(url), evaluated on the columnar scan — no per-row
+          // PageRow deserialization into a Scala lambda on either branch.
+          // The filter bytes travel as a BROADCAST, not a plan literal: a
+          // lit(bytes) at this cap is a ~1 GB binary in the expression
+          // tree, rendered as 2×-size hex by any plan stringification
+          // (explain, UI SQL tab) — a driver OOM in exactly the regime
+          // this path exists for. The broadcast ships once per executor
+          // and deserializes once per executor (BloomBroadcastCache).
+          // The filter is built over xxhash64(url) LONGS so build
           // (putLong) and probe (mightContainLong) share one hash domain;
           // a 64-bit url-hash collision only adds a false positive.
           //
@@ -102,9 +107,9 @@ object ExtractJob {
           val bf = committed.select(xxhash64($"url").as("h")).stat.bloomFilter("h", n, numBits)
           val baos = new java.io.ByteArrayOutputStream()
           bf.writeTo(baos)
-          graft.functions.GraftFunctions.register(spark)
-          val might = call_function(graft.functions.GraftFunctions.MightContainName,
-            lit(baos.toByteArray), xxhash64($"url"))
+          val bfB = spark.sparkContext.broadcast(baos.toByteArray)
+          val probeName = graft.functions.BloomBroadcastMightContain.registerProbe(spark, bfB)
+          val might = call_function(probeName, xxhash64($"url"))
           val definitelyNew = pages.where(!might)
           val maybeCommitted = pages.where(might)
           definitelyNew.union(maybeCommitted.join(committed, Seq("url"), "left_anti").as[PageRow])

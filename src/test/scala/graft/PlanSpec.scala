@@ -86,8 +86,14 @@ class PlanSpec extends AnyFunSuite {
     val pend = ExtractJob.pending(spark, pages, root, bloomThreshold = 0L).select($"url")
     val plan = finalPlan(pend)
     // both branches carry the bloom test as a RELATIONAL Filter (codegen)
-    assert(plan.contains("Filter NOT might_contain"), s"definitely-new branch predicate:\n$plan")
-    assert(plan.split("might_contain").length >= 3, s"maybe branch must also probe the bloom:\n$plan")
+    assert(plan.contains("Filter NOT graft_bloom_might_contain"),
+      s"definitely-new branch predicate:\n$plan")
+    assert(plan.split("graft_bloom_might_contain").length >= 3,
+      s"maybe branch must also probe the bloom:\n$plan")
+    // the filter must travel as a broadcast handle, never a plan binary
+    // literal (a ~1 GB literal at the numBits cap, 2× that when explain
+    // renders it as hex) — the plan string staying small IS the property
+    assert(plan.length < 100000, s"plan string carries the filter bytes? length=${plan.length}")
     // the old implementation evaluated the membership test in typed Scala
     // lambdas, adding a DeserializeToObject→Filter→Serialize round-trip
     // PER BRANCH on top of the source. The only object-domain op allowed

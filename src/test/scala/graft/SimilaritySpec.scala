@@ -129,6 +129,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, s"near-dup LSH recall was $recall over ${exact.size} exact pairs")
   }
 
+  test("graft_lshsig rejects out-of-range plane args at analysis time") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // 1L << 64 wraps — must fail loudly, not alias bit positions
+    intercept[Exception] { e.select(expr("graft_lshsig(embedding, 64, 0)")).collect() }
+    intercept[Exception] { e.select(expr("graft_lshsig(embedding, 0, 0)")).collect() }
+    intercept[Exception] { e.select(expr("graft_lshsig(embedding, 8, -1)")).collect() }
+    // in-range still works
+    assert(e.select(expr("graft_lshsig(embedding, 8, 0)")).limit(1).collect().nonEmpty)
+  }
+
   test("planesFor grows the signature with the corpus") {
     assert(Similarity.planesFor(1000L) == 4)
     assert(Similarity.planesFor(1000000000L, 10000L) == 17)

@@ -142,4 +142,18 @@ class SpanExtractorSpec extends AnyFunSuite {
     assert(rb.status == "error")
     assert(rb.unresolved == ExtractKernel.DefaultRules.map(_.name))
   }
+
+  test("compiled-ruleset cache stays bounded under a many-ruleset session") {
+    val lines = Seq(line("campo7: valor sete"), line("campo19: valor dezenove"))
+    (0 until 20).foreach { i =>
+      val rules = Seq(FieldRule(s"campo$i", s"Descricao do campo $i"))
+      val spans = SpanExtractor.resolve(rules, lines)
+      if (i == 7 || i == 19) assert(spans.map(_.value) == Vector(if (i == 7) "valor sete" else "valor dezenove"))
+    }
+    assert(SpanExtractor.compiledCacheSize <= 4,
+      s"cache grew to ${SpanExtractor.compiledCacheSize} entries across 20 rulesets")
+    // an evicted ruleset recompiles and still resolves correctly
+    val spans = SpanExtractor.resolve(Seq(FieldRule("campo7", "Descricao do campo 7")), lines)
+    assert(spans.map(_.value) == Vector("valor sete"))
+  }
 }
