@@ -168,7 +168,13 @@ object SparkEntry {
     }),
     "s_ann_topk" -> ((s, dir) => {
       val e = embs(s, dir)
-      Similarity.annTopK(e, e.filter(col("vec_id") < 10), 5, numPlanes = 8, probeHamming = 2, numTables = 4)
+      // signature width derived from the corpus count (parquet footer
+      // metadata — no scan), NOT hardcoded: at 10^9+ vectors a fixed
+      // 8-plane signature is 256 buckets per table — mega-hot join keys.
+      // The oracle recomputes the same integer heuristic from count(*).
+      val planes = Similarity.planesFor(e.count())
+      Similarity.annTopK(e, e.filter(col("vec_id") < 10), 5,
+        numPlanes = planes, probeHamming = 2, numTables = 4)
         .select(col("qid"), col("vid"),
           floor(col("score") * lit(1e9)).cast("long").as("score_q"), col("rn").cast("long").as("rn"))
     }),
@@ -282,15 +288,27 @@ object SparkEntry {
   private def cosQSql(a: String, b: String): String =
     s"CAST(${qdotSql(a, b)} AS DOUBLE) / sqrt(CAST(${qdotSql(a, a)} * ${qdotSql(b, b)} AS DOUBLE))"
 
-  /** SQL twin of the native `graft_lshsig(e, planes, offset)`; `offsetExpr`
-    * may be a column (multi-table banding uses `t * planesPerTable`).
+  /** SQL twin of the native `graft_lshsig(e, planes, offset)`; both
+    * `planesExpr` and `offsetExpr` may be arbitrary SQL (multi-table
+    * banding uses `t * planes`; the ANN oracle derives planes from
+    * count(*) exactly like [[Similarity.planesFor]]).
     */
-  private def lshSigSql(e: String, planes: Int, offsetExpr: String): String =
-    s"""list_sum(list_transform(generate_series(0, ${planes - 1}), p ->
+  private def lshSigSql(e: String, planesExpr: String, offsetExpr: String): String =
+    s"""list_sum(list_transform(generate_series(0, ($planesExpr) - 1), p ->
        |  CASE WHEN list_sum(list_transform(generate_series(1, 64), j ->
        |    CAST(floor(CAST($e[j] AS DOUBLE) * 1000) AS BIGINT) *
        |    (((CAST(($offsetExpr) + p AS BIGINT) * 1315423911 + CAST(j - 1 AS BIGINT) * 2654435761 + 97531) % 1000003) - 500001)))
        |  > 0 THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END))""".stripMargin
+
+  /** SQL twin of [[Similarity.planesFor]] (integer ceil-divide + smallest
+    * p with 2^p ≥ ratio, clamped to [4, 20]) over `embeddings`' count.
+    */
+  private val planesForSql: String =
+    """pl AS (
+      |  SELECT least(20, greatest(4,
+      |    (SELECT min(p) FROM (SELECT unnest(generate_series(1, 20)) AS p)
+      |     WHERE (CAST(1 AS BIGINT) << p) >= rc))) AS p
+      |  FROM (SELECT greatest(2, (count(*) + 9999) // 10000) AS rc FROM embeddings))""".stripMargin
 
   /** Top-k window wrapper shared by the similarity oracles. */
   private def topkSql(scoredCte: String): String =
@@ -433,19 +451,27 @@ object SparkEntry {
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
          |v AS (SELECT vec_id AS vid, embedding AS ve FROM embeddings),
          |s AS (SELECT qid, vid, ${cosQSql("qe", "ve")} AS score FROM q, v WHERE qid <> vid)""".stripMargin),
+    // planes come from the same integer planesFor heuristic the Spark
+    // path uses (derived from count(*)); probe masks (Hamming ≤ 2) are
+    // generated in SQL over the derived width
     "s_ann_topk" -> topkSql(
-      s"""WITH tt AS (SELECT unnest(generate_series(0, 3)) AS t),
+      s"""WITH $planesForSql,
+         |tt AS (SELECT unnest(generate_series(0, 3)) AS t),
+         |bits AS (SELECT unnest(generate_series(0, pl.p - 1)) AS i FROM pl),
+         |mm AS (SELECT CAST(0 AS BIGINT) AS m
+         |       UNION ALL SELECT (CAST(1 AS BIGINT) << i) FROM bits
+         |       UNION ALL SELECT (CAST(1 AS BIGINT) << a.i) | (CAST(1 AS BIGINT) << b.i)
+         |                 FROM bits a, bits b WHERE a.i < b.i),
          |q0 AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
-         |qs AS (SELECT qid, qe, tt.t AS tbl, ${lshSigSql("qe", 8, "tt.t * 8")} AS sig FROM q0, tt),
-         |q AS (SELECT qid, qe, tbl, xor(sig, CAST(m AS BIGINT)) AS sig
-         |      FROM qs, (SELECT unnest([${graft.sim.Similarity.probeMasks(8, 2).mkString(", ")}]) AS m) mm),
+         |qs AS (SELECT qid, qe, tt.t AS tbl, ${lshSigSql("qe", "pl.p", "tt.t * pl.p")} AS sig FROM q0, tt, pl),
+         |q AS (SELECT qid, qe, tbl, xor(sig, m) AS sig FROM qs, mm),
          |v0 AS (SELECT vec_id AS vid, embedding AS ve FROM embeddings),
-         |v AS (SELECT vid, ve, tt.t AS tbl, ${lshSigSql("ve", 8, "tt.t * 8")} AS sig FROM v0, tt),
+         |v AS (SELECT vid, ve, tt.t AS tbl, ${lshSigSql("ve", "pl.p", "tt.t * pl.p")} AS sig FROM v0, tt, pl),
          |s AS (SELECT qid, vid, max(${cosQSql("qe", "ve")}) AS score
          |      FROM q JOIN v USING (tbl, sig) WHERE qid <> vid GROUP BY qid, vid)""".stripMargin),
     "s_embed_neardup_lsh" ->
       s"""WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000),
-         |bands AS (SELECT vec_id, tt.t AS t, ${lshSigSql("embedding", 4, "tt.t * 4")} AS sig
+         |bands AS (SELECT vec_id, tt.t AS t, ${lshSigSql("embedding", "4", "tt.t * 4")} AS sig
          |          FROM v, (SELECT unnest(generate_series(0, 11)) AS t) tt),
          |cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
          |         FROM bands a JOIN bands b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id),

@@ -92,10 +92,19 @@ object Similarity {
     * clamped to [4, 20]. At 10^9 vectors and a 10^4-row target bucket this
     * gives 17 planes (~130k buckets) — the signature must GROW with the
     * corpus or every bucket becomes a mega-hot join key.
+    *
+    * INTEGER arithmetic throughout (ceil-divide, then smallest p with
+    * 2^p ≥ ratio): the driver's oracle recomputes this in SQL from
+    * count(*), and a float log2 at an exact power of two could round to
+    * different plane counts in different engines.
     */
   def planesFor(corpusSize: Long, targetBucketSize: Long = 10000L): Int = {
-    val ratio = math.max(2.0, corpusSize.toDouble / math.max(1L, targetBucketSize))
-    math.min(20, math.max(4, math.ceil(math.log(ratio) / math.log(2.0)).toInt))
+    val t = math.max(1L, targetBucketSize)
+    val c = math.max(0L, corpusSize)
+    // overflow-safe ceil-divide (c + t - 1 wraps at Long.MaxValue)
+    val ratioCeil = math.max(2L, c / t + (if (c % t > 0) 1L else 0L))
+    val p = (1 to 62).find(p => (1L << p) >= ratioCeil).getOrElse(62)
+    math.min(20, math.max(4, p))
   }
 
   // -------------------------------------------------------------- brute force

@@ -103,17 +103,30 @@ class SimilaritySpec extends AnyFunSuite {
   test("recall: multi-probe ANN@5 against brute force on real embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val q = e.filter(col("vec_id") < 10)
-    // the gated configuration (4 tables × 8 planes, Hamming-2 probes).
+    // the gated configuration (4 tables × planesFor(count) planes,
+    // Hamming-2 probes) — the same derivation SparkEntry/Bench use.
     // NB this corpus is a WORST CASE for hyperplane LSH: brute-force top-5
     // neighbors sit at cosine ≈ 0.3 (near-random vectors), where per-plane
     // agreement is barely above chance — recall here is the stress floor,
     // not the typical-corpus figure (at cosine ≥ 0.9 the same config
     // measures ≈ 1.0: see the duplicate-vector test above).
-    val recallFull = Similarity.annRecallAtK(e, q, 5, numPlanes = 8, probeHamming = 2, numTables = 4)
-    val recallOneTable = Similarity.annRecallAtK(e, q, 5, numPlanes = 8, probeHamming = 2, numTables = 1)
-    info(s"recall@5: 4tables+probe2=$recallFull 1table+probe2=$recallOneTable")
+    val planes = Similarity.planesFor(e.count())
+    val recallFull = Similarity.annRecallAtK(e, q, 5, numPlanes = planes, probeHamming = 2, numTables = 4)
+    val recallOneTable = Similarity.annRecallAtK(e, q, 5, numPlanes = planes, probeHamming = 2, numTables = 1)
+    info(s"recall@5 (planes=$planes): 4tables+probe2=$recallFull 1table+probe2=$recallOneTable")
     assert(recallFull >= recallOneTable) // extra tables never hurt
     assert(recallFull >= 0.5, s"recall@5 with 4 tables + probe 2 was $recallFull")
+  }
+
+  test("recall: the gated ANN configuration clears 0.5 at the BENCHED sf (0.1)") {
+    // the sf the committed BENCH quality block publishes — the floor is
+    // asserted where the artifact measures, not only at the smaller sf
+    val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    val planes = Similarity.planesFor(e.count())
+    val recall = Similarity.annRecallAtK(e, q, 5, numPlanes = planes, probeHamming = 2, numTables = 4)
+    info(s"recall@5 at sf0.1 (planes=$planes): $recall")
+    assert(recall >= 0.5, s"recall@5 at sf0.1 with the gated config was $recall")
   }
 
   test("recall: multi-table near-dup LSH against the exact baseline on real embeddings") {
