@@ -149,6 +149,13 @@ object SparkEntry {
     "d_drop_neardup" -> ((s, dir) =>
       Dedup.dropNearDuplicates(docs(s, dir).select(col("doc_id"), col("text")), "doc_id", "text")
         .select(col("doc_id"))),
+    // same chain with the connected-components survivor policy (one
+    // min-id survivor per duplicate CLUSTER, computed by min-label
+    // propagation); oracle = recursive-CTE reachability over the same
+    // verified pair set
+    "d_drop_neardup_cc" -> ((s, dir) =>
+      Dedup.dropNearDuplicatesCC(docs(s, dir).select(col("doc_id"), col("text")), "doc_id", "text")
+        .select(col("doc_id"))),
     // ---- similarity search ----
     "s_dot_topk" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -416,6 +423,19 @@ object SparkEntry {
       s"""WITH $lshJaccardChain,
          |drops AS (SELECT DISTINCT id2 FROM jac WHERE inter * 100 >= uni * 50)
          |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id2 FROM drops)""".stripMargin,
+    // undirected reachability from each node; min reached id = component
+    // label (the SQL twin of min-label propagation's fixpoint)
+    "d_drop_neardup_cc" ->
+      s"""WITH RECURSIVE $lshJaccardChain,
+         |vp AS (SELECT id1, id2 FROM jac WHERE inter * 100 >= uni * 50),
+         |e AS (SELECT id1 AS src, id2 AS dst FROM vp UNION SELECT id2 AS src, id1 AS dst FROM vp),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+         |lab AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM lab WHERE id <> label)""".stripMargin,
     "d_jaccard_pairs" ->
       s"""WITH $shingleCte,
          |ds AS (SELECT DISTINCT doc_id, source, s FROM sh),

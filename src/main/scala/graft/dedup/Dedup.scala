@@ -145,6 +145,73 @@ object Dedup {
     df.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** Connected components over an undirected pair set `(id1, id2)`:
+    * returns `(id, label)` for every id that appears in a pair, where
+    * `label` is the component's minimum id.
+    *
+    * Algorithm: min-label propagation — each round every node takes the
+    * minimum of its own label and its neighbors' labels; converged when no
+    * label changed. Rounds needed = graph diameter, which for verified
+    * near-duplicate components is tiny (duplicate clusters are dense —
+    * chains longer than a handful of hops essentially do not occur in
+    * corpus dedup); `maxIter` is a guarded ceiling, not a silent truncation
+    * (exceeding it throws rather than returning wrong labels). Scale
+    * shape: only slim (id, label) rows move through the per-round
+    * equi-joins; `localCheckpoint` truncates the iterative lineage so the
+    * plan does not grow with rounds. The convergence check is a count —
+    * an aggregate, not a collect. (For adversarially-deep graphs the
+    * classic upgrade is large-star/small-star contraction, O(log n)
+    * rounds; not needed for the near-dup workload this serves.)
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id1").as("src"), col("id2").as("dst"))
+      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id"), col("src").as("label")).distinct()
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0) {
+      require(i < maxIter,
+        s"connectedComponents did not converge in $maxIter rounds (graph diameter too large)")
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("nl")).as("nbr"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = updated
+        .join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") < col("old")).count()
+      labels = updated
+      i += 1
+    }
+    labels
+  }
+
+  /** [[dropNearDuplicates]] with the CONNECTED-COMPONENTS survivor policy:
+    * candidates and verification as in the greedy variant, but survivors
+    * are one per component (the minimum id), not "every id1 of a verified
+    * pair". The policies differ on shapes like pairs (1,3),(2,3): greedy
+    * keeps {1,2} (2 never appears as an id2), CC keeps {1} — one document
+    * per duplicate cluster, the policy corpus-scale dedup pipelines
+    * actually want.
+    */
+  def dropNearDuplicatesCC(
+      df: DataFrame, idCol: String, textCol: String,
+      tauPct: Int = 50, k: Int = 8, rowsPerBand: Int = 2, n: Int = 3
+  ): DataFrame = {
+    val cand = lshCandidatePairs(df, idCol, textCol, k, rowsPerBand)
+    val verified = jaccardForPairs(df, cand, idCol, textCol, n)
+      .filter(col("inter") * lit(100) >= col("uni") * lit(tauPct))
+      .select(col("id1"), col("id2"))
+    val labels = connectedComponents(verified)
+    val drops = labels.filter(col("id") =!= col("label")).select(col("id").as(idCol))
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
   // -------------------------------------------------------------- jaccard
 
   /** n-gram Jaccard for given candidate pairs: returns integer

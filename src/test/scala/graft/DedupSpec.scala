@@ -85,6 +85,40 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L))
   }
 
+  test("connectedComponents: min-label per component; chain a~b~c keeps only a") {
+    import spark.implicits._
+    // chain 1~2~3 WITHOUT 1~3, plus a separate component {7,8}
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id1", "id2")
+    val labels = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("CC survivor policy keeps ONE doc per cluster where greedy keeps id1s") {
+    import spark.implicits._
+    // pairs (1,3) and (2,3): greedy drops only id2s = {3} → keeps {1,2};
+    // CC puts {1,2,3} in one component → keeps {1}
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val pairs = Seq((1L, 3L), (2L, 3L)).toDF("id1", "id2")
+    val labels = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // end-to-end via texts: b bridges a and c (pure appends: shingle sets
+    // nest, so jaccard(a,c) = |a|/|c| — sized to straddle the 0.5 cut)
+    val a = base // 12 words → 10 shingles
+    val b = base + " nu xi omicron pi rho sigma" // 18 words → 16 shingles; j(a,b)=10/16
+    val c = b + " tau upsilon phi chi psi omega" // 24 words → 22 shingles; j(b,c)=16/22, j(a,c)=10/22<0.5
+    val d = df(1L -> a, 2L -> b, 3L -> c)
+    val verified = Dedup.jaccardForPairs(d, Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id1", "id2"),
+      "doc_id", "text").collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(verified((1L, 2L))._1 * 100 >= verified((1L, 2L))._2 * 50) // a~b
+    assert(verified((2L, 3L))._1 * 100 >= verified((2L, 3L))._2 * 50) // b~c
+    assert(verified((1L, 3L))._1 * 100 < verified((1L, 3L))._2 * 50) // NOT a~c
+    val kept = Dedup.dropNearDuplicatesCC(d, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L), s"chain must keep exactly the component min, got $kept")
+  }
+
   test("simhash: identical → equal; near-dup → small hamming; pairs join finds dups") {
     import spark.implicits._
     val d = df(1L -> longA, 2L -> longA, 3L -> longB, 4L -> longC)
