@@ -34,14 +34,17 @@ object StreamingExtract {
       tableRoot: String,
       rules: Seq[FieldRule] = ExtractKernel.DefaultRules,
       trigger: Trigger = Trigger.AvailableNow(),
-      checkpointDir: String = null // default: co-located with the table
+      checkpointDir: String = null, // default: co-located with the table
+      maxFilesPerTrigger: Int = 0 // > 0: bound files per micro-batch (epoch granularity)
   ): StreamingQuery = {
     val checkpoint = Option(checkpointDir).getOrElse(s"$tableRoot/_stream_checkpoint")
     import spark.implicits._
-    val pages = spark.readStream
-      .schema(PageSchema)
-      .parquet(inputDir)
-      .as[PageRow]
+    val reader = spark.readStream.schema(PageSchema)
+    val pages =
+      (if (maxFilesPerTrigger > 0) reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+       else reader)
+        .parquet(inputDir)
+        .as[PageRow]
 
     pages.writeStream
       .foreachBatch { (batch: Dataset[PageRow], batchId: Long) =>
@@ -66,7 +69,9 @@ object StreamingExtract {
           .take(6).map(b => f"${b & 0xff}%02x").mkString
         val commitId = s"epoch-$batchId-$digest"
         val rt = ExtractJob.resultsTable(tableRoot)
-        val alreadyCommitted = rt.latest().exists(_.dataDirs.exists(_.endsWith(commitId)))
+        // commit-id HISTORY, not the dir list: compaction merges epoch dirs
+        // out of the manifest, but a replayed epoch must still be skipped
+        val alreadyCommitted = rt.hasCommit(commitId)
         if (!alreadyCommitted) {
           // per-url exactly-once ACROSS batches too: a re-crawled url that
           // arrives in a later micro-batch anti-joins against the committed

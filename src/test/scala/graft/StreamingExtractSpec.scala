@@ -100,6 +100,35 @@ class StreamingExtractSpec extends AnyFunSuite {
     assert(res.groupBy($"url").count().filter($"count" > 1).count() == 0)
   }
 
+  test("100 streaming epochs: compaction bounds the reader dir list; rows intact") {
+    import spark.implicits._
+    val inputDir = Files.createTempDirectory("graft-stream-many-in").toString
+    val tableRoot = Files.createTempDirectory("graft-stream-many-tbl").toString
+    val all = PagesGen.pages(spark, sfDir).limit(100).collect()
+    // exactly one page per FILE (repartition(100) leaves empty partitions —
+    // round-robin from 32 input partitions overlaps — and empty partitions
+    // write no file); maxFilesPerTrigger=1 → one micro-batch (epoch) each
+    all.grouped(1).foreach { p =>
+      spark.createDataset(p.toSeq).coalesce(1).write.mode("append").parquet(inputDir)
+    }
+    StreamingExtract.start(spark, inputDir, tableRoot, maxFilesPerTrigger = 1)
+      .awaitTermination()
+    val rt = ExtractJob.resultsTable(tableRoot)
+    val snap = rt.latest().get
+    assert(snap.commitIds.size >= 90, s"expected ~100 epochs, got ${snap.commitIds.size}")
+    // without compaction this would be one dir per epoch; leveled merging
+    // keeps it ≤ fanIn per level × ~log_fanIn(epochs) levels
+    assert(snap.dataDirs.size <= 3 * rt.compactFanIn,
+      s"reader dir list must stay bounded, got ${snap.dataDirs.size} dirs " +
+        s"after ${snap.commitIds.size} epochs")
+    val res = rt.read(spark).get
+    assert(res.count() == 100)
+    assert(res.groupBy($"url").count().filter($"count" > 1).count() == 0)
+    // replay safety survives compaction: every epoch's commit id is still
+    // recognized even though its dir was merged away
+    assert(snap.commitIds.forall(rt.hasCommit))
+  }
+
   test("windowed metrics: event-time windows by lang, counts and bytes add up") {
     import spark.implicits._
     val pages = PagesGen.pages(spark, sfDir).limit(120)
