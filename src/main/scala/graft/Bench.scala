@@ -5,7 +5,7 @@ import graft.pages.PagesGen
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Benchmark main. Prints ONE JSON line with:
+/** Benchmark main. Prints ONE compact JSON line (stdout) with:
   *  - the headline extraction throughput (docs/sec, full kernel, forced
   *    materialization of `extracted_text`);
   *  - the north_rule scaling evidence: the SAME job on the SAME input at
@@ -13,6 +13,22 @@ import org.apache.spark.sql.functions._
   *    of N vs 4N executors), efficiency = thr(4N) / (4 × thr(N));
   *  - per-query wall times + ok/error status for the SparkEntry op suite;
   *  - approximation quality (ANN recall@5, near-dup LSH recall).
+  * Per-run/per-pair telemetry (the `runs` array, per-pair steal, raw
+  * efficiency samples) goes to a sidecar file (`detail_file` in the
+  * output; default ./bench_detail.json) so the stdout line stays small
+  * enough for log-tail capture.
+  *
+  * HONESTY CONTRACT for the headline: `efficiency` is computed ONLY from
+  * pairs that survived the exclusion telemetry. If fewer than 2 clean
+  * pairs exist after the base pairs, the bench cools down and measures
+  * extra pairs (up to `SPARK_GRAFT_BENCH_MAX_PAIRS`, within the
+  * deadline); if the window stays dirty it publishes
+  * `efficiency: null, contended: true` — a median of samples the bench
+  * itself classified as measuring the neighbors is noise, never signal.
+  * `efficiency_hw_normalized` is likewise null unless the measured
+  * occupancy inflation is within the documented hardware range (≤ 1.6):
+  * interference-driven inflation × a contended ratio can multiply into an
+  * accidentally-plausible number.
   *
   * Measurement methodology (each element exists because its absence was a
   * measured bias — see BASELINE.md "Measurement noise"):
@@ -260,9 +276,16 @@ object Bench {
     // times leave fixed costs + scheduling jitter proportionally larger)
     // needs the extra sample for a stable median after exclusions
     val numPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "5").toInt
+    // contended-window recovery: if the base pairs leave < 2 clean samples,
+    // keep measuring (cooldown, then another pair) until two clean pairs
+    // exist, the pair cap is hit, or the deadline passes — measured
+    // contention windows on this host pass in minutes, so a retried pair
+    // regularly lands clean
+    val maxPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_PAIRS", "8").toInt
+    val cooldownSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN_SEC", "20").toInt
     case class Pair(docs: Long, runN: Run, runN4: Run, probe: Double, stealPct: Double)
     val allRuns = Vector.newBuilder[Run]
-    val pairs = (1 to numPairs).map { _ =>
+    def runPair(): Pair = {
       val pairStat = procStat()
       val probeN = cpuProbe(n)
       val (d, bestN, runsN) = extractAtCores(n, sfDir, replicate)
@@ -271,7 +294,7 @@ object Bench {
       allRuns ++= runsN; allRuns ++= runsN4
       Pair(d, bestN, bestN4, probeN4 / (4.0 * probeN), stealSince(pairStat))
     }
-    val stealPct = stealSince(stealBefore)
+    var pairs = (1 to numPairs).map(_ => runPair()).toVector
     val docs = pairs.head.docs
     // true median: even-length input averages the two middles — taking the
     // upper-middle would systematically pick the better sample when the
@@ -297,27 +320,49 @@ object Bench {
     def pairContended(p: Pair): Boolean =
       p.runN.stealPct > StealCutPct || p.runN4.stealPct > StealCutPct ||
         cpuInflated(p.runN) || cpuInflated(p.runN4)
+    // fewer than 2 clean base pairs → cooldown and measure more (see above)
+    while (pairs.count(!pairContended(_)) < 2 && pairs.size < maxPairs
+        && System.nanoTime() < retryDeadline) {
+      Thread.sleep(cooldownSec * 1000L)
+      pairs :+= runPair()
+    }
+    val stealPct = stealSince(stealBefore) // whole scaling-phase window
     val clean = pairs.filterNot(pairContended)
-    val used = if (clean.size >= 2) clean else pairs
-    val secN = median(used.map(_.runN.sec))
-    val secN4 = median(used.map(_.runN4.sec))
+    // a window where < 2 pairs survived exclusion yields NO efficiency
+    // figure: averaging pairs the telemetry itself classified as measuring
+    // the neighbors would publish noise as signal (BENCH_r02's 0.044). The
+    // artifact says contended=true, efficiency=null instead.
+    val contended = clean.size < 2
+    val statsBase = if (contended) pairs else clean // throughput context only
+    val secN = median(statsBase.map(_.runN.sec))
+    val secN4 = median(statsBase.map(_.runN4.sec))
     val thrN = docs / secN
     val thrN4 = docs / secN4
-    val pairEffs = used.map(p => p.runN.sec / (4.0 * p.runN4.sec))
     val allEffs = pairs.map(p => p.runN.sec / (4.0 * p.runN4.sec))
-    val eff = median(pairEffs)
-    val hostScaling = median(used.map(_.probe)) // 1.0 = host cores scale linearly
+    val eff: Option[Double] =
+      if (contended) None else Some(median(clean.map(p => p.runN.sec / (4.0 * p.runN4.sec))))
+    val hostScaling = median(statsBase.map(_.probe)) // 1.0 = host cores scale linearly
     // full-occupancy hardware penalty: identical work burns MORE
     // CPU-seconds at 4N concurrent threads than at N on shared silicon
     // (all-core turbo, DRAM/LLC contention). 1.0 on separate nodes. The
     // normalized figure = what the same software would measure if
     // per-instruction cost were flat across levels — i.e., on a cluster
     // where 4N executors bring 4× the memory systems. Reported alongside
-    // the raw figure, never substituted for it.
-    val cpuInflation = median(used.collect {
-      case p if p.runN.cpuSec > 0 && p.runN4.cpuSec > 0 => p.runN4.cpuSec / p.runN.cpuSec
-    })
-    val effHwNormalized = eff * cpuInflation
+    // the raw figure, never substituted for it — and NULLED when the
+    // measured inflation exceeds the documented occupancy range (≤ 1.6 at
+    // 8→32 threads): interference-driven inflation × a contended ratio can
+    // multiply into an accidentally-plausible number (BENCH_r02's 0.998).
+    val MaxCredibleInflation = 1.6
+    val cpuInflation: Option[Double] = {
+      val ratios = clean.collect {
+        case p if p.runN.cpuSec > 0 && p.runN4.cpuSec > 0 => p.runN4.cpuSec / p.runN.cpuSec
+      }
+      if (contended || ratios.isEmpty) None else Some(median(ratios))
+    }
+    val effHwNormalized: Option[Double] = (eff, cpuInflation) match {
+      case (Some(e), Some(i)) if i <= MaxCredibleInflation => Some(e * i)
+      case _ => None
+    }
 
     // op-suite timings at full parallelism — failures are RECORDED, never
     // swallowed: a throwing query gets an error entry and fails the exit
@@ -345,6 +390,7 @@ object Bench {
 
     import graft.util.JsonFmt.d
     def js(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def dOpt(o: Option[Double], dec: Int): String = o.map(d(_, dec)).getOrElse("null")
     val qs = queries.map { case (k, v, _) => s""""$k":${d(v, 3)}""" }.mkString("{", ",", "}")
     val qErrs = queries.collect { case (k, _, Some(e)) => s"""{"query":${js(k)},"error":${js(e)}}""" }
       .mkString("[", ",", "]")
@@ -352,8 +398,20 @@ object Bench {
       s"""{"cores":${r.cores},"sec":${d(r.sec, 3)},"cpu_util":${d(r.cpuUtil, 3)},"gc_ms":${r.gcMs},"steal_pct":${d(r.stealPct, 2)}}"""
     ).mkString("[", ",", "]")
     val total = secN4 + queries.map(_._2).sum
+
+    // per-run/per-pair telemetry goes to a SIDECAR file (the growing runs
+    // array outran the driver's stdout tail capture in r2 — BENCH_r02 had
+    // parsed:null); stdout carries ONE compact, machine-parseable line
+    val detailFile = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")).getAbsoluteFile
+    val detail =
+      s"""{"sf":"$sfDir","cores_n":$n,"cores_4n":$n4,"replicate":$replicate,"efficiency_samples":[${allEffs.map(d(_, 3)).mkString(",")}],"pair_steal_pct":[${pairs.map(p => d(p.stealPct, 2)).mkString(",")}],"pair_excluded":[${pairs.map(pairContended).mkString(",")}],"runs":$runsJson,"util_floor":${d(UtilFloor, 2)},"cpusec_stall_factor":${d(CpuSecStallFactor, 2)},"host_cpu_scaling":${d(hostScaling, 3)},"cpu_steal_pct":${d(stealPct, 2)}}"""
+    java.nio.file.Files.write(detailFile.toPath, (detail + "\n").getBytes("UTF-8"))
+
+    val scaling =
+      s""""cores_n":$n,"cores_4n":$n4,"sec_n":${d(secN, 3)},"sec_4n":${d(secN4, 3)},"docs_per_sec_n":${d(thrN, 1)},"docs_per_sec_4n":${d(thrN4, 1)},"pairs_total":${pairs.size},"clean_pairs":${clean.size},"contended":$contended,"cpu_occupancy_inflation":${dOpt(cpuInflation, 3)},"efficiency_hw_normalized":${dOpt(effHwNormalized, 3)},"detail_file":${js(detailFile.toString)},"efficiency":${dOpt(eff, 3)}"""
     println(
-      s"""{"metric":"total","value":${d(total, 3)},"unit":"sec","queries":$qs,"query_errors":$qErrs,"sf":"$sfDir","extract":{"docs":$docs,"docs_per_sec":${d(thrN4, 1)},"sec":${d(secN4, 3)}},"quality":{"ann_recall_at_5":${d(annRecall, 3)},"neardup_lsh_recall":${d(ndRecall, 3)},"neardup_pairs_exact":$ndExact,"neardup_pairs_lsh":$ndLsh},"scaling":{"cores_n":$n,"cores_4n":$n4,"sec_n":${d(secN, 3)},"sec_4n":${d(secN4, 3)},"docs_per_sec_n":${d(thrN, 1)},"docs_per_sec_4n":${d(thrN4, 1)},"efficiency_samples":[${allEffs.map(d(_, 3)).mkString(",")}],"pair_steal_pct":[${pairs.map(p => d(p.stealPct, 2)).mkString(",")}],"pair_excluded":[${pairs.map(pairContended).mkString(",")}],"pairs_used":${used.size},"runs":$runsJson,"util_floor":${d(UtilFloor, 2)},"host_cpu_scaling":${d(hostScaling, 3)},"cpu_steal_pct":${d(stealPct, 2)},"cpu_occupancy_inflation":${d(cpuInflation, 3)},"efficiency_hw_normalized":${d(effHwNormalized, 3)},"efficiency":${d(eff, 3)}}}"""
+      s"""{"metric":"total","value":${d(total, 3)},"unit":"sec","queries":$qs,"query_errors":$qErrs,"sf":"$sfDir","extract":{"docs":$docs,"docs_per_sec":${d(thrN4, 1)},"sec":${d(secN4, 3)}},"quality":{"ann_planes":$annPlanes,"ann_recall_at_5":${d(annRecall, 3)},"neardup_lsh_recall":${d(ndRecall, 3)},"neardup_pairs_exact":$ndExact,"neardup_pairs_lsh":$ndLsh},"scaling":{$scaling}}"""
     )
     if (queries.exists(_._3.isDefined)) sys.exit(1)
   }
