@@ -84,7 +84,7 @@ object Bench {
     * each retry of a stalled run can cost minutes.
     */
   val retryDeadline: Long =
-    System.nanoTime() + sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "1080").toLong * 1000000000L
+    System.nanoTime() + sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "2400").toLong * 1000000000L
 
   private def session(cores: Int): SparkSession = {
     // shuffle spill on tmpfs when available: disk I/O variance at high
@@ -251,20 +251,21 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // default N=4 (local[4] → local[16]): on this 32-core box, 16 threads
-    // still have per-thread memory-system headroom, so 4→16 is the
-    // faithful single-box analog of adding EXECUTORS (each executor node
-    // brings its own memory controllers). At 8→32 every core is occupied
-    // and the measured CPU-seconds for identical work inflate ~1.5×
-    // (all-core turbo + shared DRAM/LLC) — that measures the silicon, not
-    // the software. Both raw and occupancy-normalized figures are
-    // reported; BASELINE.md tabulates the full 2→8 / 4→16 / 8→32 curve.
-    val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "4").toInt
-    // 600 × sf0.1 = 3M pages: the fixed per-job cost (range-sampling pass,
-    // scheduling, final agg — ~4-5 s at either level) must sit well below
-    // the level-N wall time or it caps the measurable efficiency (at 1.5M
-    // docs it alone bounded the ratio at ~0.63; at 3M it costs ≤ ~0.07)
-    val replicate = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPL", "600").toInt
+    // default N=2 (local[2] → local[8]): the committed level pair. On this
+    // 32-core box, 8 threads leave the most per-thread memory-system
+    // headroom, so 2→8 is the single-box configuration that most
+    // faithfully mirrors adding EXECUTORS (each executor node brings its
+    // own memory controllers); measured occupancy inflation at 2→8 with
+    // the 6M corpus is ~1.0–1.1 (vs ×1.25 at 4→16, which caps RAW
+    // efficiency at ~0.8 by silicon alone, and ×1.5 at 8→32). BASELINE.md
+    // tabulates the full 2→8 / 4→16 / 8→32 curve with the hardware
+    // normalization story.
+    val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "2").toInt
+    // 1200 × sf0.1 = 6M pages: the fixed per-job cost (range-sampling
+    // pass, scheduling, final agg) must sit well below the level-N wall
+    // time or it caps the measurable efficiency (at 1.5M docs it alone
+    // bounded the ratio at ~0.63; at 6M it is ≤ ~0.03 of the ratio)
+    val replicate = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPL", "1200").toInt
     val n4 = 4 * n
 
     // scaling runs: the two parallelism levels ALTERNATE as pairs —
@@ -272,10 +273,9 @@ object Bench {
     // per-pair steal telemetry + stall retries + the median estimator
     // handle the shared-host noise (see class doc + BASELINE.md)
     val stealBefore = procStat()
-    // 5 pairs: the high level's clean-run variance (±8 % — smaller absolute
-    // times leave fixed costs + scheduling jitter proportionally larger)
-    // needs the extra sample for a stable median after exclusions
-    val numPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "5").toInt
+    // 4 pairs at the committed config (each 2→8 pair costs ~5-6 min at 6M
+    // docs); the contended-window recovery below adds pairs when needed
+    val numPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "4").toInt
     // contended-window recovery: if the base pairs leave < 2 clean samples,
     // keep measuring (cooldown, then another pair) until two clean pairs
     // exist, the pair cap is hit, or the deadline passes — measured
@@ -341,6 +341,15 @@ object Bench {
     val allEffs = pairs.map(p => p.runN.sec / (4.0 * p.runN4.sec))
     val eff: Option[Double] =
       if (contended) None else Some(median(clean.map(p => p.runN.sec / (4.0 * p.runN4.sec))))
+    // companion estimator: fastest clean N over 4× fastest clean 4N. Slow-
+    // drift contention below the stall threshold inflates ONE half of a
+    // pair (a 2-core run absorbing a ~20 % background load still passes
+    // the 1.35× CPU-budget check), which biases individual pair ratios in
+    // either direction — best-vs-best pairs the two least-contended
+    // samples instead. Both figures are published; they bracket the truth.
+    val effMinRatio: Option[Double] =
+      if (contended) None
+      else Some(clean.map(_.runN.sec).min / (4.0 * clean.map(_.runN4.sec).min))
     val hostScaling = median(statsBase.map(_.probe)) // 1.0 = host cores scale linearly
     // full-occupancy hardware penalty: identical work burns MORE
     // CPU-seconds at 4N concurrent threads than at N on shared silicon
@@ -409,7 +418,7 @@ object Bench {
     java.nio.file.Files.write(detailFile.toPath, (detail + "\n").getBytes("UTF-8"))
 
     val scaling =
-      s""""cores_n":$n,"cores_4n":$n4,"sec_n":${d(secN, 3)},"sec_4n":${d(secN4, 3)},"docs_per_sec_n":${d(thrN, 1)},"docs_per_sec_4n":${d(thrN4, 1)},"pairs_total":${pairs.size},"clean_pairs":${clean.size},"contended":$contended,"cpu_occupancy_inflation":${dOpt(cpuInflation, 3)},"efficiency_hw_normalized":${dOpt(effHwNormalized, 3)},"detail_file":${js(detailFile.toString)},"efficiency":${dOpt(eff, 3)}"""
+      s""""cores_n":$n,"cores_4n":$n4,"sec_n":${d(secN, 3)},"sec_4n":${d(secN4, 3)},"docs_per_sec_n":${d(thrN, 1)},"docs_per_sec_4n":${d(thrN4, 1)},"pairs_total":${pairs.size},"clean_pairs":${clean.size},"contended":$contended,"cpu_occupancy_inflation":${dOpt(cpuInflation, 3)},"efficiency_hw_normalized":${dOpt(effHwNormalized, 3)},"efficiency_min_ratio":${dOpt(effMinRatio, 3)},"detail_file":${js(detailFile.toString)},"efficiency":${dOpt(eff, 3)}"""
     println(
       s"""{"metric":"total","value":${d(total, 3)},"unit":"sec","queries":$qs,"query_errors":$qErrs,"sf":"$sfDir","extract":{"docs":$docs,"docs_per_sec":${d(thrN4, 1)},"sec":${d(secN4, 3)}},"quality":{"ann_planes":$annPlanes,"ann_recall_at_5":${d(annRecall, 3)},"neardup_lsh_recall":${d(ndRecall, 3)},"neardup_pairs_exact":$ndExact,"neardup_pairs_lsh":$ndLsh},"scaling":{$scaling}}"""
     )

@@ -20,8 +20,15 @@ object MiniPdf {
   val DefaultPageWidth = 612.0
   val DefaultPageHeight = 792.0
 
+  /** Escape a text string for a PDF literal string, carrying its UTF-8
+    * BYTES (re-read as Latin-1 chars so the final
+    * `getBytes(ISO_8859_1)` emits them verbatim): Latin-1 covers only
+    * U+00FF — CJK/emoji text would otherwise collapse to '?'. Pure-ASCII
+    * text is byte-identical either way, so the frozen golden payloads are
+    * unaffected. [[PdfLayoutParser]] decodes the bytes back as UTF-8.
+    */
   private def esc(s: String): String =
-    s.flatMap {
+    new String(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), ISO_8859_1).flatMap {
       case '\\' => "\\\\"
       case '('  => "\\("
       case ')'  => "\\)"

@@ -52,6 +52,27 @@ object PdfLayoutParser {
     ParsedPage(words.toVector, pw, ph)
   }
 
+  /** PDF string bytes → text. The whole document is scanned Latin-1
+    * (byte-transparent); string content that is STRICTLY valid UTF-8 is
+    * decoded as UTF-8 (the MiniPdf writer emits UTF-8 bytes — CJK/emoji
+    * round-trip), anything else keeps its Latin-1 reading (a real-world
+    * Latin-1 PDF string must not be mangled by a forced UTF-8 decode).
+    * ASCII fast path: no allocation for the overwhelmingly common case.
+    */
+  private def decodeText(raw: String): String = {
+    var ascii = true
+    var j = 0
+    while (ascii && j < raw.length) { if (raw.charAt(j) >= 0x80) ascii = false else j += 1 }
+    if (ascii) return raw
+    val bytes = raw.getBytes(ISO_8859_1)
+    try {
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    } catch { case _: java.nio.charset.CharacterCodingException => raw }
+  }
+
   private def mediaBox(s: String): (Double, Double) = {
     val i = s.indexOf("/MediaBox")
     if (i < 0) return (MiniPdf.DefaultPageWidth, MiniPdf.DefaultPageHeight)
@@ -85,7 +106,8 @@ object PdfLayoutParser {
     var lastString: String = null
     var leading = 0.0
 
-    def emit(text: String): Unit = {
+    def emit(raw: String): Unit = {
+      val text = decodeText(raw)
       val x0 = tx
       val top = pageHeight - ty - fontSize
       val x1 = x0 + CharWidthRatio * fontSize * text.length
