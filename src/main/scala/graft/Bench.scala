@@ -391,6 +391,10 @@ object Bench {
     val annRecall = graft.sim.Similarity.annRecallAtK(
       embs, embs.filter(col("vec_id") < 10), 5,
       numPlanes = annPlanes, probeHamming = 2, numTables = 4)
+    // IVF twin of the same measurement (gated config: √n cells, 4 probes)
+    val ivfCells = graft.sim.Similarity.cellsFor(embs.count())
+    val ivfRecall = graft.sim.Similarity.ivfRecallAtK(
+      embs, embs.filter(col("vec_id") < 10), 5, numCells = ivfCells, nProbe = 4)
     val ndCorpus = embs.filter(col("vec_id") < 1000)
     val ndExact = graft.sim.Similarity.nearDupPairs(ndCorpus, 400000L).count()
     val ndLsh = graft.sim.Similarity.nearDupPairsLsh(ndCorpus, 400000L).count()
@@ -420,7 +424,7 @@ object Bench {
     val scaling =
       s""""cores_n":$n,"cores_4n":$n4,"sec_n":${d(secN, 3)},"sec_4n":${d(secN4, 3)},"docs_per_sec_n":${d(thrN, 1)},"docs_per_sec_4n":${d(thrN4, 1)},"pairs_total":${pairs.size},"clean_pairs":${clean.size},"contended":$contended,"cpu_occupancy_inflation":${dOpt(cpuInflation, 3)},"efficiency_hw_normalized":${dOpt(effHwNormalized, 3)},"efficiency_min_ratio":${dOpt(effMinRatio, 3)},"detail_file":${js(detailFile.toString)},"efficiency":${dOpt(eff, 3)}"""
     println(
-      s"""{"metric":"total","value":${d(total, 3)},"unit":"sec","queries":$qs,"query_errors":$qErrs,"sf":"$sfDir","extract":{"docs":$docs,"docs_per_sec":${d(thrN4, 1)},"sec":${d(secN4, 3)}},"quality":{"ann_planes":$annPlanes,"ann_recall_at_5":${d(annRecall, 3)},"neardup_lsh_recall":${d(ndRecall, 3)},"neardup_pairs_exact":$ndExact,"neardup_pairs_lsh":$ndLsh},"scaling":{$scaling}}"""
+      s"""{"metric":"total","value":${d(total, 3)},"unit":"sec","queries":$qs,"query_errors":$qErrs,"sf":"$sfDir","extract":{"docs":$docs,"docs_per_sec":${d(thrN4, 1)},"sec":${d(secN4, 3)}},"quality":{"ann_planes":$annPlanes,"ann_recall_at_5":${d(annRecall, 3)},"ivf_cells":$ivfCells,"ivf_recall_at_5":${d(ivfRecall, 3)},"neardup_lsh_recall":${d(ndRecall, 3)},"neardup_pairs_exact":$ndExact,"neardup_pairs_lsh":$ndLsh},"scaling":{$scaling}}"""
     )
     if (queries.exists(_._3.isDefined)) sys.exit(1)
   }

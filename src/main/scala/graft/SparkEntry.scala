@@ -185,6 +185,16 @@ object SparkEntry {
         .select(col("qid"), col("vid"),
           floor(col("score") * lit(1e9)).cast("long").as("score_q"), col("rn").cast("long").as("rn"))
     }),
+    // IVF variant of the same ANN op: coarse-quantizer cells instead of
+    // hyperplane buckets — cells derived √n from the footer count, probe
+    // the 4 best cells per query, exact re-rank inside them
+    "s_ivf_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), 5,
+        numCells = Similarity.cellsFor(e.count()), nProbe = 4)
+        .select(col("qid"), col("vid"),
+          floor(col("score") * lit(1e9)).cast("long").as("score_q"), col("rn").cast("long").as("rn"))
+    }),
     "s_embed_neardup" -> ((s, dir) =>
       // vec_id cap bounds the exact self-join at bench scale; the sf0.01
       // correctness table has 500 vectors, all under the cap
@@ -489,6 +499,27 @@ object SparkEntry {
          |v AS (SELECT vid, ve, tt.t AS tbl, ${lshSigSql("ve", "pl.p", "tt.t * pl.p")} AS sig FROM v0, tt, pl),
          |s AS (SELECT qid, vid, max(${cosQSql("qe", "ve")}) AS score
          |      FROM q JOIN v USING (tbl, sig) WHERE qid <> vid GROUP BY qid, vid)""".stripMargin),
+    // cells = exact integer √count (double sqrt + ±1 integer fix-up,
+    // clamped [4, 65536]) — the SQL twin of Similarity.cellsFor;
+    // assignment/probe ranking and scoring mirror the Spark path step by
+    // step in integer space
+    "s_ivf_topk" -> topkSql(
+      s"""WITH cl AS (
+         |  SELECT least(65536, greatest(4,
+         |    CASE WHEN (c0+1)*(c0+1) <= n THEN c0+1 WHEN c0*c0 > n THEN c0-1 ELSE c0 END)) AS c
+         |  FROM (SELECT count(*) AS n, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS c0 FROM embeddings)),
+         |cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings, cl
+         |         QUALIFY row_number() OVER (ORDER BY vec_id) <= c),
+         |v AS (SELECT vec_id AS vid, embedding AS ve FROM embeddings),
+         |vsc AS (SELECT vid, cid, ${qdotSql("ve", "ce")} AS cs FROM v, cent),
+         |asn AS (SELECT avid, cid AS cell FROM (
+         |  SELECT vid AS avid, cid, row_number() OVER (PARTITION BY vid ORDER BY cs DESC, cid) AS rn FROM vsc) WHERE rn = 1),
+         |q0 AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |qsc AS (SELECT qid, qe, cid, ${qdotSql("qe", "ce")} AS cs FROM q0, cent),
+         |qp AS (SELECT qid, qe, cid AS cell FROM (
+         |  SELECT qid, qe, cid, row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cid) AS rn FROM qsc) WHERE rn <= 4),
+         |s AS (SELECT qid, vid, ${cosQSql("qe", "ve")} AS score
+         |      FROM qp JOIN asn ON qp.cell = asn.cell JOIN v ON asn.avid = v.vid WHERE qid <> vid)""".stripMargin),
     "s_embed_neardup_lsh" ->
       s"""WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000),
          |bands AS (SELECT vec_id, tt.t AS t, ${lshSigSql("embedding", "4", "tt.t * 4")} AS sig

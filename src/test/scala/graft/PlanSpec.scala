@@ -77,6 +77,20 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin"), s"query side must broadcast:\n$plan")
   }
 
+  test("IVF top-k: centroids and probes broadcast; embeddings never nested-loop") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val df = graft.sim.Similarity.ivfTopK(e, e.filter(col("vec_id") < 3), 2,
+      numCells = graft.sim.Similarity.cellsFor(e.count()), nProbe = 4)
+    val plan = finalPlan(df)
+    // assignment scores corpus × broadcast(centroids); the probe join is a
+    // broadcast hash join on the cell id (slim query side) — the corpus is
+    // never on the build side and never in a shuffled nested loop
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"centroids must broadcast:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"probe join must broadcast the probe side:\n$plan")
+    // exact scoring runs on the native codegen'd expression
+    assert(plan.contains("graft_qdot"), s"scoring must use the native expression:\n$plan")
+  }
+
   test("bloom resume regime: membership test is a codegen'd column predicate, not a typed lambda") {
     val root = Files.createTempDirectory("graft-plan-bloom").toString
     val pages = PagesGen.pages(spark, sfDir).limit(100)
