@@ -94,6 +94,12 @@ object SparkEntry {
     // ---- text analysis ----
     "t_token_count" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextAnalytics.tokenCount(col("text")).cast("long").as("n_tokens"))),
+    // whitespace vs BPE-pretokenizer counts side by side — the ratio is
+    // the "subword inflation" a training pipeline budgets against
+    "t_token_bpe" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalytics.tokenCount(col("text")).cast("long").as("n_ws"),
+        TextAnalytics.bpeTokenCount(col("text")).as("n_bpe"))),
     "t_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextAnalytics.fingerprint(col("text")).as("fp"))),
     "t_quality" -> ((s, dir) =>
@@ -203,6 +209,16 @@ object SparkEntry {
     // exact verify (slim id pairs shuffle, embeddings move once)
     "s_embed_neardup_lsh" -> ((s, dir) =>
       Similarity.nearDupPairsLsh(embs(s, dir).filter(col("vec_id") < 1000), 400000L)),
+    // embedding-level dedup with the CC survivor policy: the exact pair
+    // set (capped baseline) feeds the same min-label propagation the
+    // document path uses — one survivor per near-duplicate CLUSTER
+    "s_embed_drop_cc" -> ((s, dir) => {
+      val e = embs(s, dir).filter(col("vec_id") < 1000)
+      val pairs = Similarity.nearDupPairs(e, 400000L).select(col("id1"), col("id2"))
+      val drops = Dedup.connectedComponents(pairs)
+        .filter(col("id") =!= col("label")).select(col("id").as("vec_id"))
+      e.join(drops, Seq("vec_id"), "left_anti").select(col("vec_id"))
+    }),
     // ---- multimodal (stub decode; real plumbing) ----
     "m_media_meta" -> ((s, dir) =>
       MediaKernel.decodeAll(mediaRows(s, dir))(s)
@@ -383,6 +399,11 @@ object SparkEntry {
       s"SELECT doc_id, 'extract:' || lang || ':' || sha256(text) || ':$schemaHashHex' AS cache_key FROM documents",
     "t_token_count" ->
       s"SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tok) END AS BIGINT) AS n_tokens FROM documents",
+    "t_token_bpe" ->
+      s"""SELECT doc_id,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tok) END AS BIGINT) AS n_ws,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe
+         |FROM documents""".stripMargin,
     "t_fingerprint" ->
       "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM documents",
     "t_quality" ->
@@ -499,6 +520,22 @@ object SparkEntry {
          |v AS (SELECT vid, ve, tt.t AS tbl, ${lshSigSql("ve", "pl.p", "tt.t * pl.p")} AS sig FROM v0, tt, pl),
          |s AS (SELECT qid, vid, max(${cosQSql("qe", "ve")}) AS score
          |      FROM q JOIN v USING (tbl, sig) WHERE qid <> vid GROUP BY qid, vid)""".stripMargin),
+    // same recursive-CTE reachability as d_drop_neardup_cc, over the
+    // exact embedding pair set
+    "s_embed_drop_cc" ->
+      s"""WITH RECURSIVE v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000),
+         |vp AS (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2
+         |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+         |  WHERE ${qdotSql("a.embedding", "b.embedding")} >= 400000),
+         |e AS (SELECT id1 AS src, id2 AS dst FROM vp UNION SELECT id2 AS src, id1 AS dst FROM vp),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+         |lab AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+         |SELECT vec_id FROM v
+         |WHERE vec_id NOT IN (SELECT id FROM lab WHERE id <> label)""".stripMargin,
     // cells = exact integer √count (double sqrt + ±1 integer fix-up,
     // clamped [4, 65536]) — the SQL twin of Similarity.cellsFor;
     // assignment/probe ranking and scoring mirror the Spark path step by

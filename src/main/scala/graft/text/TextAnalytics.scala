@@ -32,6 +32,24 @@ object TextAnalytics {
   def tokenCount(c: Column): Column =
     when(length(trim(c)) === 0, lit(0)).otherwise(size(tokens(c)))
 
+  /** BPE-style pretokenizer pattern: alphabetic runs, digit groups of at
+    * most 3 (modern BPE vocabularies split long numbers exactly this
+    * way), and single non-alphanumeric marks. Deliberately
+    * lookahead-free so Java regex and RE2 (DuckDB) agree on every
+    * non-overlapping left-to-right match; a real tokenizer would apply a
+    * merges table AFTER this split — the pretokenizer is the part that
+    * determines corpus-scale token statistics.
+    */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]"
+
+  /** Token count under [[BpeTokenPattern]] — the "BPE-ish" estimate of
+    * what a subword tokenizer would charge for the text (vs the
+    * whitespace count, which undercounts punctuation-dense and
+    * number-dense documents).
+    */
+  def bpeTokenCount(c: Column): Column =
+    regexp_count(c, lit(BpeTokenPattern)).cast("long")
+
   /** Canonical form for fingerprinting: lowercase, whitespace collapsed. */
   def normalized(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")

@@ -19,6 +19,17 @@ class TextAnalyticsSpec extends AnyFunSuite {
     assert(one("   ", tokenCount(col("text"))) == 0)
   }
 
+  test("bpeTokenCount: letter runs, ≤3-digit groups, single marks; empty → 0") {
+    // "Hello" "," "world" → 3 (punctuation charged separately)
+    assert(one("Hello, world", bpeTokenCount(col("text"))) == 3L)
+    // "1234567" → "123"+"456"+"7"; "x" → 4 total
+    assert(one("1234567 x", bpeTokenCount(col("text"))) == 4L)
+    // "don" "'" "t" "!" "!" — marks are single tokens, ws counts 2
+    assert(one("don't !", bpeTokenCount(col("text"))) == 4L)
+    assert(one("", bpeTokenCount(col("text"))) == 0L)
+    assert(one("   ", bpeTokenCount(col("text"))) == 0L)
+  }
+
   test("fingerprint: invariant to case and whitespace runs, sensitive to content") {
     val a = one("Hello   World", fingerprint(col("text")))
     val b = one("  hello world ", fingerprint(col("text")))
