@@ -100,6 +100,13 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         TextAnalytics.tokenCount(col("text")).cast("long").as("n_ws"),
         TextAnalytics.bpeTokenCount(col("text")).as("n_bpe"))),
+    // stopword-ratio quality signal (Gopher-style: ≥ 2 common function
+    // words); integer counts only, ratio left to the consumer
+    "t_stopword" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalytics.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalytics.stopTokenCount(col("text")).as("stop_tokens"),
+        (TextAnalytics.stopTokenCount(col("text")) >= 2).as("has_min_stop"))),
     "t_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextAnalytics.fingerprint(col("text")).as("fp"))),
     "t_quality" -> ((s, dir) =>
@@ -404,6 +411,14 @@ object SparkEntry {
          |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tok) END AS BIGINT) AS n_ws,
          |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe
          |FROM documents""".stripMargin,
+    "t_stopword" -> {
+      val stopRe = "\\b(?:" + graft.text.TextAnalytics.EnStopwords.mkString("|") + ")\\b"
+      s"""SELECT doc_id,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tok) END AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '$stopRe')) AS BIGINT) AS stop_tokens,
+         |  (len(regexp_extract_all(lower(text), '$stopRe')) >= 2) AS has_min_stop
+         |FROM documents""".stripMargin
+    },
     "t_fingerprint" ->
       "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM documents",
     "t_quality" ->

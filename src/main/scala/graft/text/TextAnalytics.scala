@@ -50,6 +50,27 @@ object TextAnalytics {
   def bpeTokenCount(c: Column): Column =
     regexp_count(c, lit(BpeTokenPattern)).cast("long")
 
+  /** Fixed English stopword list for the quality-signal ratio (the
+    * C4/Gopher-style rule "a natural-language document contains common
+    * function words"; Gopher's published form requires ≥ 2 of a small
+    * stop set). Full words only — the regex wraps them in `\b`, so
+    * prefix shadowing in the alternation is harmless.
+    */
+  val EnStopwords: Seq[String] = Seq(
+    "the", "be", "to", "of", "and", "a", "in", "that", "have", "it",
+    "is", "was", "for", "on", "are", "with", "as", "at")
+
+  private val stopPattern = "\\b(?:" + EnStopwords.mkString("|") + ")\\b"
+
+  /** Exact count of stopword TOKENS (word-boundary regex count over the
+    * lowercased text — unlike [[markerMass]]'s replace arithmetic,
+    * adjacent stopwords are counted exactly because `\b` consumes no
+    * characters). Lookahead-free ASCII pattern: Java regex and RE2
+    * (DuckDB) count identical matches.
+    */
+  def stopTokenCount(c: Column): Column =
+    regexp_count(lower(c), lit(stopPattern)).cast("long")
+
   /** Canonical form for fingerprinting: lowercase, whitespace collapsed. */
   def normalized(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")

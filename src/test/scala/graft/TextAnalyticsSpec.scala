@@ -30,6 +30,15 @@ class TextAnalyticsSpec extends AnyFunSuite {
     assert(one("   ", bpeTokenCount(col("text"))) == 0L)
   }
 
+  test("stopTokenCount: word-boundary exact, adjacent stopwords, case-folded") {
+    // "the" + "and" + "the" + "of" — "theme"/"other" must not match
+    assert(one("The cat and the theme of other", stopTokenCount(col("text"))) == 4L)
+    // adjacent stopwords each counted (\b consumes no chars)
+    assert(one("of the in a", stopTokenCount(col("text"))) == 4L)
+    assert(one("xyzzy qwerty", stopTokenCount(col("text"))) == 0L)
+    assert(one("", stopTokenCount(col("text"))) == 0L)
+  }
+
   test("fingerprint: invariant to case and whitespace runs, sensitive to content") {
     val a = one("Hello   World", fingerprint(col("text")))
     val b = one("  hello world ", fingerprint(col("text")))
