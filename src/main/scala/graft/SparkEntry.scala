@@ -107,6 +107,33 @@ object SparkEntry {
         TextAnalytics.tokenCount(col("text")).cast("long").as("n_tokens"),
         TextAnalytics.stopTokenCount(col("text")).as("stop_tokens"),
         (TextAnalytics.stopTokenCount(col("text")) >= 2).as("has_min_stop"))),
+    // corpus vocabulary: term + document frequency, deterministic top-50
+    // (ties broken by token). TakeOrderedAndProject keeps the "top-k"
+    // driver-side cost at k rows; countDistinct is Spark's standard
+    // two-phase expand — the price of an exact df at any scale
+    "t_vocab_topk" -> ((s, dir) => {
+      val toks = when(length(trim(col("text"))) === 0, array().cast("array<string>"))
+        .otherwise(split(trim(lower(col("text"))), "\\s+"))
+      docs(s, dir).select(col("doc_id"), explode(toks).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(desc("tf"), asc("token"))
+        .limit(50)
+    }),
+    // Gopher-family repetition filter: duplicate-token mass + hottest
+    // adjacent bigram, HOF-free (slice/arrays_zip/explode + hash aggs)
+    "t_repetition" -> ((s, dir) =>
+      TextAnalytics.repetitionStats(docs(s, dir), "doc_id", "text")),
+    // deterministic stratified downsampling: md5-bucket filter under
+    // broadcast per-(source,lang) rates — map-only over the corpus
+    "q_sample_stratified" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val rates = d.select(col("source"), col("lang")).distinct()
+        .withColumn("rate_bp", when(col("lang") === "en", lit(7000)).otherwise(lit(3000)))
+      graft.sample.Sampler.sampleStratified(d, rates, "doc_id", Seq("source", "lang"))
+        .select(col("doc_id"), col("source"), col("lang"),
+          graft.sample.Sampler.bucket10k(col("doc_id")).cast("long").as("bucket_bp"))
+    }),
     "t_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextAnalytics.fingerprint(col("text")).as("fp"))),
     "t_quality" -> ((s, dir) =>
@@ -419,6 +446,34 @@ object SparkEntry {
          |  (len(regexp_extract_all(lower(text), '$stopRe')) >= 2) AS has_min_stop
          |FROM documents""".stripMargin
     },
+    "t_vocab_topk" ->
+      """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents WHERE length(trim(text)) > 0)
+        |SELECT token, CAST(count(*) AS BIGINT) AS tf, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM t GROUP BY 1 ORDER BY tf DESC, token LIMIT 50""".stripMargin,
+    "t_repetition" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CASE WHEN length(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\\s+') END AS l
+         |FROM documents),
+         |base AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(l)) AS BIGINT) AS n_distinct, l FROM t),
+         |bg AS (SELECT doc_id, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+         |  FROM base WHERE n_tokens >= 2),
+         |cnt AS (SELECT doc_id, z[1] AS w1, z[2] AS w2, count(*) AS c FROM bg GROUP BY 1, 2, 3),
+         |top AS (SELECT doc_id, max(c) AS top_bigram_n FROM cnt GROUP BY 1)
+         |SELECT b.doc_id, b.n_tokens, b.n_distinct,
+         |  b.n_tokens - b.n_distinct AS dup_tokens,
+         |  CAST(coalesce(t2.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+         |  ((b.n_tokens - b.n_distinct) * 100 > b.n_tokens * 75
+         |   OR coalesce(t2.top_bigram_n, 0) * 100 > greatest(b.n_tokens - 1, 1) * 20) AS is_repetitive
+         |FROM base b LEFT JOIN top t2 USING (doc_id)""".stripMargin,
+    "q_sample_stratified" ->
+      """WITH rates AS (SELECT DISTINCT source, lang,
+        |  CASE WHEN lang = 'en' THEN 7000 ELSE 3000 END AS rate_bp FROM documents)
+        |SELECT d.doc_id, d.source, d.lang,
+        |  ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS bucket_bp
+        |FROM documents d JOIN rates r USING (source, lang)
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < r.rate_bp""".stripMargin,
     "t_fingerprint" ->
       "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM documents",
     "t_quality" ->

@@ -2,7 +2,7 @@ package graft.text
 
 import java.util.regex.Pattern
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline:
@@ -135,6 +135,43 @@ object TextAnalytics {
       acc.when(s === gmax, lit(lang))
     }
     when(gmax > 0, firstMax).otherwise(lit("und"))
+  }
+
+  /** Per-document repetition signals (the Gopher repetition-filter family:
+    * duplicate-token mass and most-repeated adjacent bigram). HOF-free by
+    * construction — higher-order functions run interpreted in Spark, so
+    * bigrams come from `slice` + `arrays_zip` + `explode` (all codegen'd
+    * collection expressions) and are counted with hash aggregations.
+    *
+    * Scale shape: tokens shuffle once as slim (id, w1, w2) rows with
+    * map-side partial counts; the per-document max is a second tiny
+    * doc-keyed aggregation; documents themselves never shuffle (the final
+    * join carries only (id, n_tokens, n_distinct) against (id, top)).
+    *
+    * `is_repetitive` gates on integer cross-multiplication only:
+    * duplicate tokens > 75% of tokens, or one bigram > 20% of bigrams.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = when(length(trim(col(textCol))) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(col(textCol)), "\\s+"))
+    val base = docs
+      .select(col(idCol), size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"), toks.as("toks"))
+    val top = base
+      .where(col("n_tokens") >= 2)
+      .select(col(idCol), explode(arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - 1).as("w1"),
+        slice(col("toks"), lit(2), size(col("toks")) - 1).as("w2"))).as("bg"))
+      .groupBy(col(idCol), col("bg.w1"), col("bg.w2")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(max(col("c")).as("top_bigram_n"))
+    base.drop("toks")
+      .join(top, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"), col("n_distinct"),
+        (col("n_tokens") - col("n_distinct")).as("dup_tokens"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        ((col("n_tokens") - col("n_distinct")) * lit(100) > col("n_tokens") * lit(75) ||
+          coalesce(col("top_bigram_n"), lit(0L)) * lit(100) >
+            greatest(col("n_tokens") - 1, lit(1L)) * lit(20)).as("is_repetitive"))
   }
 
   /** Quality gate: word-count floor, punctuation ratio cap, uppercase ratio

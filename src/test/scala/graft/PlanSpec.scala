@@ -91,6 +91,24 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("graft_qdot"), s"scoring must use the native expression:\n$plan")
   }
 
+  test("stratified sampling is a broadcast join + map-only filter (no corpus shuffle)") {
+    val df = SparkEntry.queries("q_sample_stratified")(spark, sfDir)
+    val plan = finalPlan(df)
+    assert(plan.contains("BroadcastHashJoin"), s"rates must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must never shuffle for a rates lookup:\n$plan")
+  }
+
+  test("repetition stats: bigrams via codegen'd collection exprs, no interpreted HOFs") {
+    val df = SparkEntry.queries("t_repetition")(spark, sfDir)
+    val plan = finalPlan(df)
+    // slice/arrays_zip/explode, never transform/aggregate lambdas
+    assert(!plan.toLowerCase.contains("lambdavariable"),
+      s"bigram construction must not use interpreted HOFs:\n$plan")
+    // map-side partial counts before the (id, w1, w2) shuffle
+    assert(plan.contains("HashAggregate"), s"bigram counts must partial-aggregate:\n$plan")
+  }
+
   test("bloom resume regime: membership test is a codegen'd column predicate, not a typed lambda") {
     val root = Files.createTempDirectory("graft-plan-bloom").toString
     val pages = PagesGen.pages(spark, sfDir).limit(100)

@@ -39,6 +39,23 @@ class TextAnalyticsSpec extends AnyFunSuite {
     assert(one("", stopTokenCount(col("text"))) == 0L)
   }
 
+  test("repetitionStats: dup-token mass, hottest bigram, degenerate docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a a b"),        // 4 tokens, 2 distinct; bigram "a a" ×2
+      (2L, "x y z"),          // no repetition; every bigram ×1
+      (3L, "w"),              // single token: no bigrams
+      (4L, "")                // empty: all zeros
+    ).toDF("doc_id", "text")
+    val out = repetitionStats(df, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(out(0) == ((1L, 4L, 2L, 2L, 2L, true)))  // bigram 2/3 > 20%
+    assert(out(1) == ((2L, 3L, 3L, 0L, 1L, true)))  // bigram 1/2 > 20%
+    assert(out(2) == ((3L, 1L, 1L, 0L, 0L, false)))
+    assert(out(3) == ((4L, 0L, 0L, 0L, 0L, false)))
+  }
+
   test("fingerprint: invariant to case and whitespace runs, sensitive to content") {
     val a = one("Hello   World", fingerprint(col("text")))
     val b = one("  hello world ", fingerprint(col("text")))
