@@ -24,6 +24,30 @@ object StreamingExtract {
 
   val PageSchema: StructType = Encoders.product[PageRow].schema
 
+  /** Streaming content-level dedup: drop pages whose payload fingerprint
+    * was already seen within the event-time watermark — a re-crawl of the
+    * same bytes under a DIFFERENT url (mirrors, trackers, soft redirects)
+    * never re-enters the pipeline. The per-url exactly-once anti-join
+    * downstream cannot catch these; this operator is the streaming twin of
+    * the batch `Dedup.dropExactDuplicates`.
+    *
+    * Scale shape: state is one (32-hex md5, event-time) entry per distinct
+    * document inside the watermark horizon — the key, never the payload —
+    * and Spark expires entries past the watermark, so state is bounded by
+    * the dedup horizon × ingest rate, not by stream length. The dedup
+    * itself is a hash exchange on the fingerprint (slim rows precede the
+    * exchange only in the keyed state store; payloads ride along once).
+    */
+  def dedupByContent(pages: Dataset[PageRow], watermark: String = "1 hour"): Dataset[PageRow] = {
+    implicit val enc = Encoders.product[PageRow]
+    pages.toDF()
+      .withColumn("content_fp", md5(col("html")))
+      .withWatermark("warc_ts", watermark)
+      .dropDuplicatesWithinWatermark("content_fp")
+      .drop("content_fp")
+      .as[PageRow]
+  }
+
   /** Start continuous extraction from parquet files arriving in `inputDir`.
     * `Trigger.AvailableNow` drains what exists and stops (test/batch-catchup
     * mode); pass `ProcessingTime` for a long-running tail.
@@ -35,16 +59,19 @@ object StreamingExtract {
       rules: Seq[FieldRule] = ExtractKernel.DefaultRules,
       trigger: Trigger = Trigger.AvailableNow(),
       checkpointDir: String = null, // default: co-located with the table
-      maxFilesPerTrigger: Int = 0 // > 0: bound files per micro-batch (epoch granularity)
+      maxFilesPerTrigger: Int = 0, // > 0: bound files per micro-batch (epoch granularity)
+      contentDedupWatermark: String = null // non-null: dedup identical payloads within this horizon
   ): StreamingQuery = {
     val checkpoint = Option(checkpointDir).getOrElse(s"$tableRoot/_stream_checkpoint")
     import spark.implicits._
     val reader = spark.readStream.schema(PageSchema)
-    val pages =
+    val raw =
       (if (maxFilesPerTrigger > 0) reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
        else reader)
         .parquet(inputDir)
         .as[PageRow]
+    val pages =
+      if (contentDedupWatermark != null) dedupByContent(raw, contentDedupWatermark) else raw
 
     pages.writeStream
       .foreachBatch { (batch: Dataset[PageRow], batchId: Long) =>

@@ -129,6 +129,42 @@ class StreamingExtractSpec extends AnyFunSuite {
     assert(snap.commitIds.forall(rt.hasCommit))
   }
 
+  test("content dedup within watermark: identical payload under a new url is dropped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = PagesGen.pages(spark, sfDir).limit(3).collect()
+    val Array(a, b, c) = base
+    val mem = MemoryStream[graft.model.PageRow]
+    val q = StreamingExtract.dedupByContent(mem.toDS(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup_sink").outputMode("append").start()
+    try {
+      mem.addData(a, b)
+      q.processAllAvailable()
+      // a's exact bytes re-arrive under a different url, same event-time
+      // horizon, plus a genuinely new page
+      mem.addData(a.copy(url = a.url + "#mirror"), c)
+      q.processAllAvailable()
+      val urls = spark.table("dedup_sink").select($"url").as[String].collect().toSet
+      assert(urls == Set(a.url, b.url, c.url), s"got $urls")
+    } finally q.stop()
+  }
+
+  test("ingest with content dedup: mirror url is never extracted") {
+    import spark.implicits._
+    val inputDir = Files.createTempDirectory("graft-dedup-in").toString
+    val tableRoot = Files.createTempDirectory("graft-dedup-tbl").toString
+    val all = PagesGen.pages(spark, sfDir).limit(20).collect()
+    val mirrored = all :+ all.head.copy(url = all.head.url + "#mirror")
+    spark.createDataset(mirrored.toSeq).coalesce(1).write.mode("append").parquet(inputDir)
+    val q = StreamingExtract.start(spark, inputDir, tableRoot,
+      contentDedupWatermark = "1 hour")
+    q.awaitTermination()
+    val res = ExtractJob.resultsTable(tableRoot).read(spark).get
+    assert(res.count() == 20)
+    assert(res.filter($"url".contains("#mirror")).count() == 0)
+  }
+
   test("windowed metrics: event-time windows by lang, counts and bytes add up") {
     import spark.implicits._
     val pages = PagesGen.pages(spark, sfDir).limit(120)
