@@ -150,6 +150,26 @@ object SparkEntry {
       }
       docs(s, dir).select(col("doc_id") +: cols :+ TextAnalytics.langId(col("text")).as("lang_guess"): _*)
     }),
+    // the composed "give me training data" call: quality gate + lang-ID +
+    // language-scoped stopword gate + repetition gate in ONE codegen'd
+    // filter pass, then exact dedup (min doc_id per content fingerprint).
+    // One scan, one slim (fp, id) shuffle — the E2E cleaning pipeline
+    "q_clean_corpus" -> ((s, dir) => {
+      val toks = when(length(trim(col("text"))) === 0, array().cast("array<string>"))
+        .otherwise(split(trim(col("text")), "\\s+"))
+      val staged = docs(s, dir).select(col("doc_id"), col("text"),
+        TextAnalytics.langId(col("text")).as("lg"),
+        size(toks).cast("long").as("nt"),
+        size(array_distinct(toks)).cast("long").as("nd"))
+      staged.filter(
+        TextAnalytics.isQuality(col("text")) &&
+          col("lg") =!= "und" &&
+          (col("lg") =!= "en" || TextAnalytics.stopTokenCount(col("text")) >= 2) &&
+          !((col("nt") - col("nd")) * lit(100) > col("nt") * lit(75)))
+        .groupBy(TextAnalytics.fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+    }),
     // ---- deduplication ----
     "d_exact_groups" -> ((s, dir) =>
       Dedup.exactGroups(docs(s, dir), "doc_id", "text")),
@@ -445,6 +465,34 @@ object SparkEntry {
          |  CAST(len(regexp_extract_all(lower(text), '$stopRe')) AS BIGINT) AS stop_tokens,
          |  (len(regexp_extract_all(lower(text), '$stopRe')) >= 2) AS has_min_stop
          |FROM documents""".stripMargin
+    },
+    "q_clean_corpus" -> {
+      val stopRe = "\\b(?:" + graft.text.TextAnalytics.EnStopwords.mkString("|") + ")\\b"
+      val masses = TextAnalytics.LangMarkers
+        .map { case (lang, ms) => s"CAST(${markerMassSql(ms)} AS BIGINT) AS m_$lang" }
+        .mkString(",\n  ")
+      val gm = "greatest(m_en, m_es, m_de, m_fr)"
+      s"""WITH n AS (SELECT doc_id, text,
+         |  ' ' || regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') || ' ' AS p FROM documents),
+         |m AS (SELECT doc_id, text, $masses FROM n),
+         |l AS (SELECT doc_id, text,
+         |  CASE WHEN $gm > 0 THEN
+         |    CASE WHEN m_en = $gm THEN 'en' WHEN m_es = $gm THEN 'es'
+         |         WHEN m_de = $gm THEN 'de' ELSE 'fr' END
+         |  ELSE 'und' END AS lg FROM m),
+         |q AS (SELECT doc_id, text, lg,
+         |  CASE WHEN length(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+         |FROM l),
+         |f AS (SELECT doc_id, text FROM q WHERE
+         |  (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(tk) END) >= 5
+         |  AND (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 100 <= length(text) * 20
+         |  AND (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))) * 100 <= length(text) * 30
+         |  AND length(text) <= (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(tk) END) * 20
+         |  AND lg <> 'und'
+         |  AND (lg <> 'en' OR len(regexp_extract_all(lower(text), '$stopRe')) >= 2)
+         |  AND NOT ((len(tk) - len(list_distinct(tk))) * 100 > len(tk) * 75))
+         |SELECT min(doc_id) AS doc_id FROM f
+         |GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))""".stripMargin
     },
     "t_vocab_topk" ->
       """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
