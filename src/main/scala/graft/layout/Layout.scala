@@ -49,14 +49,27 @@ object LineClusterer {
   /** The raw clustered word groups (same fold as [[cluster]]); exposed for
     * operators that need per-line word geometry, e.g. [[TableDetector]].
     */
+  // (y0, x0) comparator — same total order as sortBy on the tuple
+  // (coordinates are parsed finite, so Double.compare == the tuple
+  // Ordering), sorted stably by TimSort without boxing a Tuple2 per word
+  private val YXOrder: java.util.Comparator[Word] = new java.util.Comparator[Word] {
+    def compare(a: Word, b: Word): Int = {
+      val c = java.lang.Double.compare(a.y0, b.y0)
+      if (c != 0) c else java.lang.Double.compare(a.x0, b.x0)
+    }
+  }
+
   def clusterGroups(words: Seq[Word]): Vector[List[Word]] = {
     if (words.isEmpty) return Vector.empty
-    val sorted = words.sortBy(w => (w.y0, w.x0))
+    val sorted = words.toArray
+    java.util.Arrays.sort(sorted, YXOrder)
     val groups = Vector.newBuilder[List[Word]]
     var current = List.newBuilder[Word]
     var currentSize = 0
-    var anchorY = sorted.head.y0
-    sorted.foreach { w =>
+    var anchorY = sorted(0).y0
+    var i = 0
+    while (i < sorted.length) {
+      val w = sorted(i)
       if (math.abs(w.y0 - anchorY) <= YThreshold) {
         current += w; currentSize += 1
       } else {
@@ -66,6 +79,7 @@ object LineClusterer {
         currentSize = 1
         anchorY = w.y0
       }
+      i += 1
     }
     if (currentSize > 0) groups += current.result()
     groups.result()
