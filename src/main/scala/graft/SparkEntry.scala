@@ -1,13 +1,14 @@
 package graft
 
-import graft.dedup.Dedup
+import graft.dedup.{Decontaminate, Dedup}
 import graft.extract.SpanExtractor
 import graft.job.{ExtractJob, ExtractKernel}
 import graft.media.MediaKernel
 import graft.pages.PagesGen
 import graft.sim.Similarity
 import graft.sniff.ContentSniffer
-import graft.text.TextAnalytics
+import graft.text.{Chunker, Redactor, TextAnalytics}
+import graft.web.UrlOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -27,6 +28,46 @@ object SparkEntry {
     s.read.parquet(s"$dir/embeddings.parquet")
 
   private val schemaHashHex: String = SpanExtractor.schemaHash(ExtractKernel.DefaultRules)
+
+  /** Deterministic messy-url synthesis from doc_id (mirrored verbatim in
+    * the oracle SQL): mixed-case scheme and host, explicit default ports,
+    * tracking query parameters, fragments — the url spellings a crawl
+    * actually sees, exercising every [[UrlOps.canonicalize]] rule.
+    */
+  private def synthUrl: Column = {
+    val id = col("doc_id")
+    val isHttps = id % 7 === 0 || id % 2 === 0
+    val scheme = when(id % 7 === 0, lit("HTTPS")).when(id % 2 === 0, lit("https")).otherwise(lit("http"))
+    val sub = when(id % 2 === 0, lit("WWW.")).otherwise(lit("cdn."))
+    val tld = when(id % 3 === 0, lit(".COM")).when(id % 3 === 1, lit(".ORG")).otherwise(lit(".NET"))
+    val hostPart = concat(sub, lit("Site"), (id % 13).cast("string"), tld)
+    val port = when(id % 5 === 0, when(isHttps, lit(":443")).otherwise(lit(":80"))).otherwise(lit(""))
+    val path = concat(lit("/Docs/Page"), (id % 50).cast("string"))
+    val query = when(id % 4 === 0, lit("?a=1&utm_source=feed&b=2"))
+      .when(id % 4 === 1, lit("?utm_campaign=x"))
+      .when(id % 4 === 2, concat(lit("?id="), id.cast("string")))
+      .otherwise(lit(""))
+    val frag = when(id % 3 === 0, lit("#Section-2")).otherwise(lit(""))
+    concat(scheme, lit("://"), hostPart, port, path, query, frag)
+  }
+
+  /** Blocklist for `w_blocklist_keep` (mirrored in the oracle SQL). */
+  private val BlockedDomains: Seq[String] =
+    Seq("site3.com", "site5.org", "site7.net", "site0.com")
+
+  /** Text with deterministic synthetic PII appended (mirrored in the oracle
+    * SQL) so the redaction operator has known e-mails/IPs/phones to find.
+    */
+  private def piiText: Column = {
+    val id = col("doc_id")
+    concat(col("text"),
+      when(id % 4 === 0, concat(lit(" Contact user"), id.cast("string"), lit("@Mail"),
+        (id % 10).cast("string"), lit(".example.com now."))).otherwise(lit("")),
+      when(id % 6 === 0, concat(lit(" Server at 10.0."), (id % 256).cast("string"), lit("."),
+        (id % 100).cast("string"), lit(" up."))).otherwise(lit("")),
+      when(id % 9 === 0, concat(lit(" Call +1555"),
+        (lit(1000000L) + id % 1000000).cast("string"), lit("."))).otherwise(lit("")))
+  }
 
   /** Flagship: the full extraction pipeline (sniff → PDF-layout | HTML
     * boilerplate-strip → spans) over pages synthesized from sf0.001.
@@ -169,6 +210,52 @@ object SparkEntry {
         .groupBy(TextAnalytics.fingerprint(col("text")).as("fp"))
         .agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
+    }),
+    // ---- web-corpus operators (urls, PII, packing, decontamination) ----
+    // url canonicalization: the key-normalization step every url-keyed op
+    // (dedup, resume, frontier, domain stats) depends on — map-only
+    "w_url_canon" -> ((s, dir) => {
+      val withUrl = docs(s, dir).select(col("doc_id"), synthUrl.as("url"))
+      withUrl.select(col("doc_id"), col("url"),
+        UrlOps.canonicalize(col("url")).as("canon_url"),
+        UrlOps.host(col("url")).as("host"),
+        UrlOps.registeredDomain(UrlOps.host(col("url"))).as("domain"))
+    }),
+    // per-registered-domain curation stats: map-side partial agg, only
+    // (domain, counters) shuffle
+    "w_domain_stats" -> ((s, dir) =>
+      UrlOps.domainStats(
+        docs(s, dir).select(synthUrl.as("url"), TextAnalytics.isQuality(col("text")).as("q")),
+        "url", "q")),
+    // blocklist pruning as a broadcast anti-join (never isin literals):
+    // the corpus side stays map-only
+    "w_blocklist_keep" -> ((s, dir) => {
+      import s.implicits._
+      val blocked = BlockedDomains.toDF("domain")
+      UrlOps.dropBlockedDomains(docs(s, dir).select(col("doc_id"), synthUrl.as("url")), "url", blocked)
+        .select(col("doc_id"), col("domain"))
+    }),
+    // PII scrub: three codegen'd regexp passes + audit counts, map-only
+    "t_redact" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), piiText.as("pii"))
+        .select(col("doc_id"),
+          Redactor.emailCount(col("pii")).as("n_emails"),
+          Redactor.ipCount(col("pii")).as("n_ips"),
+          Redactor.phoneCount(col("pii")).as("n_phones"),
+          Redactor.redact(col("pii")).as("redacted"))),
+    // token-window packing for a fixed-context trainer: slice/sequence/
+    // array_join collection exprs, zero shuffle
+    "t_chunks" -> ((s, dir) =>
+      Chunker.chunks(docs(s, dir), "doc_id", "text", window = 16, stride = 12)),
+    // eval-set decontamination: benchmark = 28-token excerpts of every
+    // 101st document (benchmarks quote web text); corpus docs sharing any
+    // word-8-gram with an excerpt are flagged with their overlap count
+    "q_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val toks = split(trim(col("text")), "\\s+")
+      val bench = d.filter(col("doc_id") % 101 === 0 && size(toks) >= 33)
+        .select(array_join(slice(toks, 6, 28), " ").as("bench_text"))
+      Decontaminate.overlap(d, "doc_id", "text", bench, "bench_text", 8)
     }),
     // ---- deduplication ----
     "d_exact_groups" -> ((s, dir) =>
@@ -322,6 +409,48 @@ object SparkEntry {
   // ---------------------------------------------------------------- oracle
 
   private val tok = "regexp_split_to_array(trim(text), '\\s+')"
+
+  /** Shared CTE chain: the synthetic messy url (twin of [[synthUrl]]) and
+    * its canonical decomposition (twin of [[UrlOps.canonicalize]]). The
+    * final stage `p5` exposes doc_id, url, text, scheme, host, path, q2
+    * (cleaned query) and domain.
+    */
+  private val urlCte =
+    """u AS (SELECT doc_id, text,
+      |  (CASE WHEN doc_id % 7 = 0 THEN 'HTTPS' WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) ||
+      |  '://' || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'cdn.' END) ||
+      |  'Site' || CAST(doc_id % 13 AS VARCHAR) ||
+      |  (CASE WHEN doc_id % 3 = 0 THEN '.COM' WHEN doc_id % 3 = 1 THEN '.ORG' ELSE '.NET' END) ||
+      |  (CASE WHEN doc_id % 5 = 0 THEN (CASE WHEN doc_id % 7 = 0 OR doc_id % 2 = 0 THEN ':443' ELSE ':80' END) ELSE '' END) ||
+      |  '/Docs/Page' || CAST(doc_id % 50 AS VARCHAR) ||
+      |  (CASE doc_id % 4 WHEN 0 THEN '?a=1&utm_source=feed&b=2' WHEN 1 THEN '?utm_campaign=x'
+      |                   WHEN 2 THEN '?id=' || CAST(doc_id AS VARCHAR) ELSE '' END) ||
+      |  (CASE WHEN doc_id % 3 = 0 THEN '#Section-2' ELSE '' END) AS url
+      |FROM documents),
+      |p2 AS (SELECT doc_id, text, url,
+      |  lower(split_part(regexp_replace(url, '#.*$', ''), '://', 1)) AS scheme,
+      |  split_part(regexp_replace(url, '#.*$', ''), '://', 2) AS rest FROM u),
+      |p3 AS (SELECT *, split_part(rest, '/', 1) AS hostport,
+      |  substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq FROM p2),
+      |p4 AS (SELECT *,
+      |  CASE WHEN scheme = 'https' THEN regexp_replace(lower(hostport), ':443$', '')
+      |       WHEN scheme = 'http' THEN regexp_replace(lower(hostport), ':80$', '')
+      |       ELSE lower(hostport) END AS host,
+      |  split_part(pathq, '?', 1) AS path,
+      |  CASE WHEN contains(pathq, '?') THEN substr(pathq, length(split_part(pathq, '?', 1)) + 2) ELSE '' END AS q
+      |FROM p3),
+      |p5 AS (SELECT *,
+      |  regexp_replace(regexp_replace('&' || q || '&', '&(utm_[^&]*|gclid=[^&]*|fbclid=[^&]*)', '', 'g'), '^&+|&+$', '', 'g') AS q2,
+      |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain FROM p4)""".stripMargin
+
+  /** Quality predicate columns over `text` (twin of `t_quality`), reused by
+    * the domain-stats oracle.
+    */
+  private val qualityPredSql =
+    s"""(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tok) END) >= 5
+       |  AND (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 100 <= length(text) * 20
+       |  AND (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))) * 100 <= length(text) * 30
+       |  AND length(text) <= (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tok) END) * 20""".stripMargin
 
   /** Shared CTE: word-3-gram shingles per doc (1-indexed, space-joined) —
     * the SQL twin of [[Dedup.shingles]].
@@ -494,6 +623,58 @@ object SparkEntry {
          |SELECT min(doc_id) AS doc_id FROM f
          |GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))""".stripMargin
     },
+    "w_url_canon" ->
+      s"""WITH $urlCte
+         |SELECT doc_id, url,
+         |  scheme || '://' || host || path || (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END) AS canon_url,
+         |  host, domain
+         |FROM p5""".stripMargin,
+    "w_domain_stats" ->
+      s"""WITH $urlCte
+         |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+         |  CAST(count(*) FILTER (WHERE $qualityPredSql) AS BIGINT) AS n_quality
+         |FROM p5 GROUP BY 1""".stripMargin,
+    "w_blocklist_keep" ->
+      s"""WITH $urlCte
+         |SELECT doc_id, domain FROM p5
+         |WHERE domain NOT IN (${BlockedDomains.map(d => s"'$d'").mkString(", ")})""".stripMargin,
+    "t_redact" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || (CASE WHEN doc_id % 4 = 0 THEN ' Contact user' || CAST(doc_id AS VARCHAR) || '@Mail' || CAST(doc_id % 10 AS VARCHAR) || '.example.com now.' ELSE '' END)
+        |       || (CASE WHEN doc_id % 6 = 0 THEN ' Server at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) || ' up.' ELSE '' END)
+        |       || (CASE WHEN doc_id % 9 = 0 THEN ' Call +1555' || CAST(1000000 + doc_id % 1000000 AS VARCHAR) || '.' ELSE '' END) AS pii
+        |FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(pii, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(pii, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(pii, '\+[0-9]{7,15}')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(pii,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+        |    '\+[0-9]{7,15}', '<PHONE>', 'g') AS redacted
+        |FROM t""".stripMargin,
+    "t_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $tok AS tk FROM documents WHERE length(trim(text)) > 0),
+         |n AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM t),
+         |c AS (SELECT doc_id, tk, n,
+         |  CASE WHEN n <= 16 THEN 1 ELSE 1 + (n - 16 + 11) // 12 END AS nc FROM n),
+         |e AS (SELECT doc_id, tk, n, unnest(generate_series(0, nc - 1)) AS i FROM c)
+         |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+         |  CAST(least(16, n - i*12) AS BIGINT) AS n_chunk_tokens,
+         |  array_to_string(tk[i*12 + 1 : i*12 + 16], ' ') AS chunk_text
+         |FROM e""".stripMargin,
+    "q_decontaminate" ->
+      s"""WITH w AS (SELECT doc_id, $tok AS ws FROM documents),
+         |bw AS (SELECT doc_id, ws[6:33] AS ws FROM w WHERE doc_id % 101 = 0 AND len(ws) >= 33),
+         |bench AS (SELECT DISTINCT md5(
+         |  ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7]) AS gh
+         |  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM bw)),
+         |corpus AS (SELECT DISTINCT doc_id, md5(
+         |  ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7]) AS gh
+         |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM w))
+         |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+         |FROM corpus c JOIN bench b USING (gh) GROUP BY 1""".stripMargin,
     "t_vocab_topk" ->
       """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
         |  FROM documents WHERE length(trim(text)) > 0)

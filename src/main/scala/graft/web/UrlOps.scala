@@ -1,0 +1,115 @@
+package graft.web
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL operators for a Common-Crawl-style web corpus: canonicalization,
+  * host/registered-domain extraction, and blocklist filtering.
+  *
+  * A crawl sees the same page under many spellings — mixed-case scheme and
+  * host, explicit default ports, tracking query parameters, fragments. A
+  * corpus pipeline canonicalizes the url FIRST so that url-keyed dedup,
+  * resume anti-joins, and per-domain statistics all operate on one spelling
+  * per page. The reference keys its cache on a content hash only
+  * (`/root/reference/src/core/pipeline.py:45-47`); at corpus scale the url
+  * key must be normalized too, because the same bytes under two url
+  * spellings would double both the crawl frontier and the per-domain stats.
+  *
+  * Everything here is a pure `Column` expression (`lower`, `substring_index`,
+  * `regexp_replace`, `when`) — codegen'd, no UDFs, engine-portable. All
+  * regexes are lookaround-free so Java regex and RE2 (the DuckDB oracle)
+  * agree on every match.
+  *
+  * Scale shape: canonicalization is a map-only projection (no shuffle);
+  * per-domain aggregation shuffles only `(domain, counters)` after map-side
+  * partial aggregation; the blocklist is a small broadcast anti-join — the
+  * corpus never shuffles for any operator in this file.
+  */
+object UrlOps {
+
+  /** Query-string parameters stripped during canonicalization (tracking
+    * parameters that do not affect page content). Matched as a whole
+    * `&`-delimited token: the class `[^&]*` consumes to the next delimiter,
+    * so one linear replace pass removes every occurrence without lookahead.
+    */
+  val TrackingParamPattern = "&(utm_[^&]*|gclid=[^&]*|fbclid=[^&]*)"
+
+  /** Scheme of the url (lowercased); text before the first `://`. */
+  def scheme(u: Column): Column = lower(substring_index(u, "://", 1))
+
+  private def afterScheme(u: Column): Column = substring_index(u, "://", -1)
+
+  private def stripFragment(u: Column): Column = regexp_replace(u, "#.*$", "")
+
+  /** host[:port] part — text between `://` and the first `/`. */
+  private def hostPort(u: Column): Column =
+    substring_index(afterScheme(stripFragment(u)), "/", 1)
+
+  /** Canonical host: lowercased, default port stripped (`:80` for http,
+    * `:443` for https); non-default ports are kept.
+    */
+  def host(u: Column): Column = {
+    val h = lower(hostPort(u))
+    when(scheme(u) === "https", regexp_replace(h, ":443$", ""))
+      .when(scheme(u) === "http", regexp_replace(h, ":80$", ""))
+      .otherwise(h)
+  }
+
+  /** Registered domain: the last two dot-labels of the host. A naive eTLD
+    * rule (no public-suffix list in the sandbox) — adequate for grouping
+    * synthetic corpora; a production list would swap in here as a broadcast
+    * lookup without changing the plan shape.
+    */
+  def registeredDomain(h: Column): Column =
+    regexp_extract(h, "([^.]+\\.[^.]+)$", 1)
+
+  /** Canonical url: lowercase scheme+host, default port stripped, fragment
+    * removed, tracking query parameters removed (empty query drops its
+    * `?`). Path case and non-tracking parameter order are preserved — they
+    * are content-significant.
+    */
+  def canonicalize(u: Column): Column = {
+    val rest = afterScheme(stripFragment(u))
+    val hp = substring_index(rest, "/", 1)
+    val pathq = rest.substr(length(hp) + 1, lit(1000000))
+    val path = substring_index(pathq, "?", 1)
+    val query = when(pathq.contains("?"),
+      pathq.substr(length(path) + 2, lit(1000000))).otherwise(lit(""))
+    val cleaned = regexp_replace(
+      regexp_replace(concat(lit("&"), query, lit("&")), TrackingParamPattern, ""),
+      "^&+|&+$", "")
+    concat(scheme(u), lit("://"), host(u), path,
+      when(cleaned === "", lit("")).otherwise(concat(lit("?"), cleaned)))
+  }
+
+  /** Per-registered-domain corpus statistics: page count, distinct hosts,
+    * and a caller-supplied boolean quality column counted per domain — the
+    * aggregate a crawl-curation step ranks and prunes domains by.
+    *
+    * Scale: map-side partial agg on a low-cardinality string key; only
+    * `(domain, partial counters)` shuffle. `count_distinct(host)` is the
+    * one expand-shuffle (exact distinct-per-key is inherently two-phase);
+    * hosts are short strings and domains are few, so the exchange is tiny
+    * relative to the corpus.
+    */
+  def domainStats(df: DataFrame, urlCol: String, qualityCol: String): DataFrame = {
+    val h = host(col(urlCol))
+    df.select(registeredDomain(h).as("domain"), h.as("host"), col(qualityCol))
+      .groupBy(col("domain"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("host")).as("n_hosts"),
+        sum(when(col(qualityCol), 1L).otherwise(0L)).as("n_quality"))
+  }
+
+  /** Drop rows whose registered domain is on the blocklist. The blocklist
+    * (spam/adult/boilerplate domains — thousands of rows in production) is
+    * built as a DataFrame and broadcast anti-joined, so the corpus side is
+    * a map-only probe: no corpus shuffle, no `isin` literal explosion in
+    * the plan.
+    */
+  def dropBlockedDomains(df: DataFrame, urlCol: String, blocked: DataFrame): DataFrame = {
+    val withDomain = df.withColumn("domain", registeredDomain(host(col(urlCol))))
+    withDomain.join(broadcast(blocked.select(col("domain"))), Seq("domain"), "left_anti")
+  }
+}

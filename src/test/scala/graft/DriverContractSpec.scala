@@ -22,7 +22,10 @@ class DriverContractSpec extends AnyFunSuite {
 
   test("every query executes at sf0.001; oracle-paired ones return rows") {
     // genuine near-dup candidate/pair sets can be empty on a tiny corpus
-    val mayBeEmpty = Set("d_lsh_pairs", "d_jaccard_pairs", "d_lsh_jaccard", "s_embed_neardup_lsh")
+    // q_decontaminate: the sf0.001 slice may have no ≥33-token doc at the
+    // bench stride (doc_id % 101), leaving a legitimately empty overlap
+    val mayBeEmpty = Set("d_lsh_pairs", "d_jaccard_pairs", "d_lsh_jaccard",
+      "s_embed_neardup_lsh", "q_decontaminate")
     SparkEntry.queries.foreach { case (name, fn) =>
       val rows = fn(spark, sfDir).collect()
       if (SparkEntry.oracleSql.contains(name) && !mayBeEmpty.contains(name))

@@ -109,6 +109,28 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), s"bigram counts must partial-aggregate:\n$plan")
   }
 
+  test("url canonicalization, redaction, and chunking are map-only (no Exchange)") {
+    for (q <- Seq("w_url_canon", "t_redact", "t_chunks")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$q must not shuffle:\n$plan")
+      assert(plan.contains("*(1)"), s"$q must stay in whole-stage codegen:\n$plan")
+    }
+  }
+
+  test("blocklist prune is a broadcast anti-join (corpus stays map-only)") {
+    val plan = finalPlan(SparkEntry.queries("w_blocklist_keep")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"blocklist must broadcast, corpus must not shuffle:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no corpus shuffle for a blocklist:\n$plan")
+  }
+
+  test("decontamination probes a broadcast gram set; corpus grams never sort-merge") {
+    val plan = finalPlan(SparkEntry.queries("q_decontaminate")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), s"bench grams must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus gram stream must stay map-side:\n$plan")
+  }
+
   test("bloom resume regime: membership test is a codegen'd column predicate, not a typed lambda") {
     val root = Files.createTempDirectory("graft-plan-bloom").toString
     val pages = PagesGen.pages(spark, sfDir).limit(100)

@@ -1,0 +1,136 @@
+package graft
+
+import graft.dedup.Decontaminate
+import graft.text.{Chunker, Redactor}
+import graft.web.UrlOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage for the web-corpus operator family: url canonicalization,
+  * domain stats/blocklist, PII redaction, token-window chunking, and
+  * eval-set decontamination. Value-exactness vs DuckDB is gated by the
+  * driver (`w_url_canon`, `w_domain_stats`, `w_blocklist_keep`, `t_redact`,
+  * `t_chunks`, `q_decontaminate`); these tests pin the SEMANTICS on
+  * hand-built edge cases the synthetic corpus may not hit.
+  */
+class WebCorpusSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def urls(us: String*): DataFrame = {
+    import spark.implicits._
+    us.zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("id", "url")
+  }
+
+  private def canon(u: String): String =
+    urls(u).select(UrlOps.canonicalize(col("url"))).collect()(0).getString(0)
+
+  test("canonicalize: lowercases scheme+host, strips default port, fragment, tracking params") {
+    assert(canon("HTTPS://WWW.Example.COM:443/Path/Page?a=1&utm_source=f&b=2#frag")
+      == "https://www.example.com/Path/Page?a=1&b=2")
+    assert(canon("http://Host.Org:80/x") == "http://host.org/x")
+  }
+
+  test("canonicalize: keeps non-default ports, path case, and param order") {
+    assert(canon("https://h.com:8443/A/B?z=1&a=2") == "https://h.com:8443/A/B?z=1&a=2")
+    assert(canon("http://h.com:443/x") == "http://h.com:443/x") // 443 is not http's default
+  }
+
+  test("canonicalize: all-tracking query drops its '?'; empty query unchanged") {
+    assert(canon("https://h.com/p?utm_campaign=x&fbclid=abc") == "https://h.com/p")
+    assert(canon("https://h.com/p?gclid=1") == "https://h.com/p")
+    assert(canon("https://h.com/p") == "https://h.com/p")
+  }
+
+  test("host and registeredDomain") {
+    val r = urls("HTTPS://a.B.Site7.ORG:443/x?q=1")
+      .select(UrlOps.host(col("url")).as("h"))
+      .select(col("h"), UrlOps.registeredDomain(col("h")).as("d")).collect()(0)
+    assert(r.getString(0) == "a.b.site7.org")
+    assert(r.getString(1) == "site7.org")
+  }
+
+  test("dropBlockedDomains removes exactly the blocked registered domains") {
+    import spark.implicits._
+    val df = urls(
+      "https://www.bad.com/x", "https://sub.good.org/y", "https://Bad.COM/z")
+    val blocked = Seq("bad.com").toDF("domain")
+    val kept = UrlOps.dropBlockedDomains(df, "url", blocked)
+      .select(col("id")).collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L))
+  }
+
+  test("redact: all three PII shapes replaced, counts exact, order-safe") {
+    import spark.implicits._
+    val t = "Mail a.user+tag@sub.domain-x.co, host 10.0.255.7, call +4915512345678 or +1234567."
+    val r = Seq(t).toDF("text").select(
+      Redactor.redact(col("text")).as("red"),
+      Redactor.emailCount(col("text")).as("e"),
+      Redactor.ipCount(col("text")).as("i"),
+      Redactor.phoneCount(col("text")).as("p")).collect()(0)
+    assert(r.getString(0) == "Mail <EMAIL>, host <IP>, call <PHONE> or <PHONE>.")
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((1L, 1L, 2L)))
+  }
+
+  test("redact: email local/domain digits never leak into the IP pass; short +digits not a phone") {
+    import spark.implicits._
+    val t = "x 1.2.3.4567 y +123456 z a1.2@3.4.example.com"
+    val r = Seq(t).toDF("text").select(Redactor.redact(col("text"))).collect()(0).getString(0)
+    // 1.2.3.456 matches (pattern is unanchored by design); +123456 is 6 digits → kept
+    assert(r == "x <IP>7 y +123456 z <EMAIL>")
+  }
+
+  private def chunkRows(text: String, w: Int, s: Int): Seq[(Long, Long, String)] = {
+    import spark.implicits._
+    Chunker.chunks(Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text", w, s)
+      .select(col("chunk_id"), col("n_chunk_tokens"), col("chunk_text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq.sortBy(_._1)
+  }
+
+  test("chunks: short doc → one whole-document chunk; blank doc → none") {
+    assert(chunkRows("a b c", 4, 2) == Seq((0L, 3L, "a b c")))
+    assert(chunkRows("   ", 4, 2).isEmpty)
+  }
+
+  test("chunks: stride overlap and truncated tail; every token covered") {
+    val toks = (1 to 10).map(i => s"t$i").mkString(" ") // n=10
+    val rows = chunkRows(toks, 4, 3) // nc = 1 + ceil(6/3) = 3
+    assert(rows == Seq(
+      (0L, 4L, "t1 t2 t3 t4"),
+      (1L, 4L, "t4 t5 t6 t7"),
+      (2L, 4L, "t7 t8 t9 t10")))
+    val n11 = chunkRows(toks + " t11", 4, 3) // nc = 1 + ceil(7/3) = 4; tail 2 tokens
+    assert(n11.last == ((3L, 2L, "t10 t11")))
+  }
+
+  test("chunks: exact boundary n = window + stride → 2 chunks") {
+    val toks = (1 to 7).map(i => s"t$i").mkString(" ")
+    assert(chunkRows(toks, 4, 3).map(_._1) == Seq(0L, 1L))
+  }
+
+  test("decontaminate: corpus docs sharing an 8-gram with the bench set are flagged; others kept") {
+    import spark.implicits._
+    val quoted = (1 to 12).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"prefix $quoted suffix tokens here"), // contains the quote
+      (2L, (100 to 120).map(i => s"v$i").mkString(" ")), // unrelated
+      (3L, quoted)) // the quote verbatim
+      .toDF("doc_id", "text")
+    val bench = Seq(quoted).toDF("bench_text")
+    val flagged = Decontaminate.overlap(corpus, "doc_id", "text", bench, "bench_text", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 12-token quote → 5 8-grams, all shared by doc 1 and doc 3
+    assert(flagged == Map(1L -> 5L, 3L -> 5L))
+    val kept = Decontaminate.dropContaminated(corpus, "doc_id", "text", bench, "bench_text", 8)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(2L))
+  }
+
+  test("decontaminate: sub-n overlap is not flagged") {
+    import spark.implicits._
+    val bench = Seq((1 to 8).map(i => s"w$i").mkString(" ")).toDF("bench_text")
+    val corpus = Seq((1L, (1 to 7).map(i => s"w$i").mkString(" ") + " other words following here now"))
+      .toDF("doc_id", "text")
+    assert(Decontaminate.overlap(corpus, "doc_id", "text", bench, "bench_text", 8).count() == 0)
+  }
+}
