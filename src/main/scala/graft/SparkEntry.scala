@@ -257,6 +257,16 @@ object SparkEntry {
         .select(array_join(slice(toks, 6, 28), " ").as("bench_text"))
       Decontaminate.overlap(d, "doc_id", "text", bench, "bench_text", 8)
     }),
+    // the composed E2E export: clean gates → exact dedup → decontaminate
+    // → redact → chunk, over the PII-augmented corpus so every stage has
+    // real work to do (see pipeline/TrainingExport for the shuffle budget)
+    "q_training_export" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), piiText.as("text"))
+      val toks = split(trim(col("text")), "\\s+")
+      val bench = d.filter(col("doc_id") % 101 === 0 && size(toks) >= 33)
+        .select(array_join(slice(toks, 6, 28), " ").as("bench_text"))
+      graft.pipeline.TrainingExport.export(d, "doc_id", "text", bench, "bench_text")
+    }),
     // ---- deduplication ----
     "d_exact_groups" -> ((s, dir) =>
       Dedup.exactGroups(docs(s, dir), "doc_id", "text")),
@@ -675,6 +685,58 @@ object SparkEntry {
          |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM w))
          |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
          |FROM corpus c JOIN bench b USING (gh) GROUP BY 1""".stripMargin,
+    "q_training_export" -> {
+      val stopRe = "\\b(?:" + graft.text.TextAnalytics.EnStopwords.mkString("|") + ")\\b"
+      val masses = TextAnalytics.LangMarkers
+        .map { case (lang, ms) => s"CAST(${markerMassSql(ms)} AS BIGINT) AS m_$lang" }
+        .mkString(",\n  ")
+      val gm = "greatest(m_en, m_es, m_de, m_fr)"
+      s"""WITH d0 AS (SELECT doc_id,
+         |  text || (CASE WHEN doc_id % 4 = 0 THEN ' Contact user' || CAST(doc_id AS VARCHAR) || '@Mail' || CAST(doc_id % 10 AS VARCHAR) || '.example.com now.' ELSE '' END)
+         |       || (CASE WHEN doc_id % 6 = 0 THEN ' Server at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) || ' up.' ELSE '' END)
+         |       || (CASE WHEN doc_id % 9 = 0 THEN ' Call +1555' || CAST(1000000 + doc_id % 1000000 AS VARCHAR) || '.' ELSE '' END) AS text
+         |FROM documents),
+         |n AS (SELECT doc_id, text, ' ' || regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') || ' ' AS p FROM d0),
+         |m AS (SELECT doc_id, text, $masses FROM n),
+         |l AS (SELECT doc_id, text,
+         |  CASE WHEN $gm > 0 THEN
+         |    CASE WHEN m_en = $gm THEN 'en' WHEN m_es = $gm THEN 'es'
+         |         WHEN m_de = $gm THEN 'de' ELSE 'fr' END
+         |  ELSE 'und' END AS lg FROM m),
+         |q AS (SELECT doc_id, text, lg,
+         |  CASE WHEN length(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk FROM l),
+         |f AS (SELECT doc_id, text FROM q WHERE
+         |  $qualityPredSql
+         |  AND lg <> 'und'
+         |  AND (lg <> 'en' OR len(regexp_extract_all(lower(text), '$stopRe')) >= 2)
+         |  AND NOT ((len(tk) - len(list_distinct(tk))) * 100 > len(tk) * 75)),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text)),
+         |fk AS (SELECT f.doc_id, f.text FROM f JOIN keep USING (doc_id)),
+         |w2 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM d0),
+         |bw AS (SELECT ws[6:33] AS ws FROM w2 WHERE doc_id % 101 = 0 AND len(ws) >= 33),
+         |bench AS (SELECT DISTINCT md5(
+         |  ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7]) AS gh
+         |  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM bw)),
+         |cg AS (SELECT DISTINCT doc_id, md5(
+         |  ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7]) AS gh
+         |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i
+         |        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM fk))),
+         |bad AS (SELECT DISTINCT c.doc_id FROM cg c JOIN bench b USING (gh)),
+         |fd AS (SELECT fk.doc_id, fk.text FROM fk LEFT JOIN bad ON fk.doc_id = bad.doc_id WHERE bad.doc_id IS NULL),
+         |red AS (SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g'),
+         |    '\\+[0-9]{7,15}', '<PHONE>', 'g') AS rtext FROM fd),
+         |t AS (SELECT doc_id, regexp_split_to_array(trim(rtext), '\\s+') AS tk FROM red WHERE length(trim(rtext)) > 0),
+         |nn AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM t),
+         |cc AS (SELECT doc_id, tk, n, CASE WHEN n <= 16 THEN 1 ELSE 1 + (n - 16 + 11) // 12 END AS nc FROM nn),
+         |e AS (SELECT doc_id, tk, n, unnest(generate_series(0, nc - 1)) AS i FROM cc)
+         |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+         |  CAST(least(16, n - i*12) AS BIGINT) AS n_chunk_tokens,
+         |  array_to_string(tk[i*12 + 1 : i*12 + 16], ' ') AS chunk_text
+         |FROM e""".stripMargin
+    },
     "t_vocab_topk" ->
       """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
         |  FROM documents WHERE length(trim(text)) > 0)

@@ -1,0 +1,45 @@
+package graft.pipeline
+
+import graft.dedup.{Decontaminate, Dedup}
+import graft.text.{Chunker, Redactor, TextAnalytics}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The composed "give me training data" call: one operator that takes a raw
+  * document table and an eval set and emits trainer-ready chunks —
+  *
+  *   clean gates → exact dedup → eval-set decontamination → PII redaction
+  *   → token-window chunking
+  *
+  * Each stage is the library operator it names ([[TextAnalytics.isClean]],
+  * [[Dedup.dropExactDuplicates]], [[Decontaminate.dropContaminated]],
+  * [[Redactor.redact]], [[Chunker.chunks]]); this object only fixes their
+  * composition order, which IS the semantics a pipeline user relies on:
+  * dedup before decontamination (fewer docs to gram-probe), redaction after
+  * all content-hash stages (placeholders must not perturb fingerprints or
+  * overlap grams), chunking last (chunks inherit the redacted text).
+  *
+  * Shuffle budget at 10^12 rows — four exchanges total, none carrying
+  * documents except the one that must:
+  *  1. dedup ships slim (32-hex fp, id) with map-side partial `min`;
+  *  2. the survivor semi-join is the one doc-keyed corpus shuffle (needed
+  *     to get surviving TEXT back; AQE broadcasts it when the survivor set
+  *     is small);
+  *  3. decontamination probes a BROADCAST gram set — only matched ids
+  *     reach its tiny groupBy, and the flagged-id set broadcast-anti-joins;
+  *  4. redaction and chunking are map-only codegen'd projections.
+  */
+object TrainingExport {
+
+  def export(docs: DataFrame, idCol: String, textCol: String,
+             bench: DataFrame, benchTextCol: String,
+             window: Int = 16, stride: Int = 12): DataFrame = {
+    val clean = docs.filter(TextAnalytics.isClean(col(textCol)))
+    val deduped = Dedup.dropExactDuplicates(clean, idCol, textCol)
+    val decontaminated =
+      Decontaminate.dropContaminated(deduped, idCol, textCol, bench, benchTextCol)
+    val redacted = decontaminated
+      .select(col(idCol), Redactor.redact(col(textCol)).as(textCol))
+    Chunker.chunks(redacted, idCol, textCol, window, stride)
+  }
+}

@@ -174,6 +174,25 @@ object TextAnalytics {
             greatest(col("n_tokens") - 1, lit(1L)) * lit(20)).as("is_repetitive"))
   }
 
+  /** The full cleaning gate a training pipeline applies per document, as ONE
+    * boolean Column (the same four gates `q_clean_corpus` stages): quality
+    * heuristics, resolvable language, the English stopword floor, and the
+    * duplicate-token repetition cap. Codegen's subexpression elimination
+    * collapses the repeated `split`/`lower` calls inside the generated
+    * filter, so composing this as a single predicate costs one pass.
+    */
+  def isClean(c: Column): Column = {
+    val toks = when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+    val nt = size(toks).cast("long")
+    val nd = size(array_distinct(toks)).cast("long")
+    val lg = langId(c)
+    isQuality(c) &&
+      lg =!= "und" &&
+      (lg =!= "en" || stopTokenCount(c) >= 2) &&
+      !((nt - nd) * lit(100) > nt * lit(75))
+  }
+
   /** Quality gate: word-count floor, punctuation ratio cap, uppercase ratio
     * cap, average-word-length cap — all as integer cross-multiplications
     * (never float division) so the predicate is engine-portable and

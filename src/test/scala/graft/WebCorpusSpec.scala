@@ -126,6 +126,28 @@ class WebCorpusSpec extends AnyFunSuite {
     assert(kept == Seq(2L))
   }
 
+  test("training export composes: dedup survivor, decontamination drop, redacted chunks") {
+    import spark.implicits._
+    // 20 clean English tokens + an e-mail; doc 2 is an exact duplicate of 1;
+    // doc 3 quotes the bench text; doc 4 fails the quality gate (too short)
+    val body = "the data is clean and the text is long enough for the gate to pass " +
+      "contact a.b@c.example.org now"
+    val quoted = (1 to 12).map(i => s"q$i").mkString(" ")
+    val corpus = Seq(
+      (1L, body),
+      (2L, body),
+      (3L, s"the quote is here and the gate is passed with it $quoted trailing"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val bench = Seq(quoted).toDF("bench_text")
+    val out = graft.pipeline.TrainingExport.export(corpus, "doc_id", "text", bench, "bench_text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    // only doc 1 survives (2 = dup, 3 = contaminated, 4 = unclean)
+    assert(out.map(_._1).toSet == Set(1L))
+    // its chunks carry the redacted text
+    assert(out.exists(_._3.contains("<EMAIL>")))
+    assert(!out.exists(_._3.contains("a.b@c.example.org")))
+  }
+
   test("decontaminate: sub-n overlap is not flagged") {
     import spark.implicits._
     val bench = Seq((1 to 8).map(i => s"w$i").mkString(" ")).toDF("bench_text")
