@@ -440,8 +440,8 @@ object SparkEntry {
       |p2 AS (SELECT doc_id, text, url,
       |  lower(split_part(regexp_replace(url, '#.*$', ''), '://', 1)) AS scheme,
       |  split_part(regexp_replace(url, '#.*$', ''), '://', 2) AS rest FROM u),
-      |p3 AS (SELECT *, split_part(rest, '/', 1) AS hostport,
-      |  substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq FROM p2),
+      |p3 AS (SELECT *, split_part(split_part(rest, '/', 1), '?', 1) AS hostport,
+      |  substr(rest, length(split_part(split_part(rest, '/', 1), '?', 1)) + 1) AS pathq FROM p2),
       |p4 AS (SELECT *,
       |  CASE WHEN scheme = 'https' THEN regexp_replace(lower(hostport), ':443$', '')
       |       WHEN scheme = 'http' THEN regexp_replace(lower(hostport), ':80$', '')

@@ -41,9 +41,11 @@ object UrlOps {
 
   private def stripFragment(u: Column): Column = regexp_replace(u, "#.*$", "")
 
-  /** host[:port] part — text between `://` and the first `/`. */
+  /** host[:port] part — text between `://` and the first `/` or `?`
+    * (a query can follow the authority directly, with no path).
+    */
   private def hostPort(u: Column): Column =
-    substring_index(afterScheme(stripFragment(u)), "/", 1)
+    substring_index(substring_index(afterScheme(stripFragment(u)), "/", 1), "?", 1)
 
   /** Canonical host: lowercased, default port stripped (`:80` for http,
     * `:443` for https); non-default ports are kept.
@@ -70,7 +72,7 @@ object UrlOps {
     */
   def canonicalize(u: Column): Column = {
     val rest = afterScheme(stripFragment(u))
-    val hp = substring_index(rest, "/", 1)
+    val hp = hostPort(u)
     val pathq = rest.substr(length(hp) + 1, lit(1000000))
     val path = substring_index(pathq, "?", 1)
     val query = when(pathq.contains("?"),
