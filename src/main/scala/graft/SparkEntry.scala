@@ -268,6 +268,11 @@ object SparkEntry {
       graft.pipeline.TrainingExport.export(d, "doc_id", "text", bench, "bench_text")
     }),
     // ---- deduplication ----
+    // passage-level boilerplate mass: word-8-grams shared by ≥ 2 distinct
+    // documents (cookie banners / footers document-level dedup misses);
+    // one explode into slim (id, md5) rows, df agg, join-back, doc agg
+    "d_freq_grams" -> ((s, dir) =>
+      Dedup.frequentGramStats(docs(s, dir), "doc_id", "text", 8, 2, 50)),
     "d_exact_groups" -> ((s, dir) =>
       Dedup.exactGroups(docs(s, dir), "doc_id", "text")),
     "d_minhash_sig" -> ((s, dir) =>
@@ -795,6 +800,18 @@ object SparkEntry {
     },
     "d_exact_groups" ->
       "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY 1",
+    "d_freq_grams" ->
+      s"""WITH w AS (SELECT doc_id, $tok AS ws FROM documents),
+         |g AS (SELECT DISTINCT doc_id, md5(
+         |  ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7]) AS gh
+         |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM w)),
+         |fr AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+         |fd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frequent FROM g JOIN fr USING (gh) GROUP BY 1),
+         |ng AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY 1)
+         |SELECT ng.doc_id, ng.n_grams,
+         |  CAST(coalesce(fd.n_frequent, 0) AS BIGINT) AS n_frequent,
+         |  (coalesce(fd.n_frequent, 0) * 100 > ng.n_grams * 50) AS is_boilerplate
+         |FROM ng LEFT JOIN fd ON ng.doc_id = fd.doc_id""".stripMargin,
     "d_minhash_sig" ->
       s"""WITH $shingleCte
          |SELECT doc_id, $minhashSelect FROM sh GROUP BY doc_id""".stripMargin,

@@ -212,6 +212,44 @@ object Dedup {
     df.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** Corpus-frequent-passage (boilerplate) mass per document: how much of
+    * each document consists of word n-grams that appear in at least
+    * `minDf` DISTINCT documents (cookie banners, nav footers, license
+    * blurbs — the passages document-level dedup misses because the
+    * documents differ everywhere else; the passage-level complement of
+    * RefinedWeb/CCNet line dedup).
+    *
+    * Output: (id, n_grams, n_frequent, is_boilerplate) for every document
+    * with ≥ n words; `is_boilerplate` gates on integer
+    * cross-multiplication (frequent grams > `tauPct`% of grams).
+    *
+    * Scale shape: the corpus explodes ONCE into slim (id, 32-hex md5)
+    * rows (per-document sets — `array_distinct` is row-local, so a gram's
+    * count IS its document frequency); the df aggregation shuffles those
+    * keys with map-side partials; the frequent head (Zipf: df ≥ minDf is
+    * a tiny fraction of distinct grams) joins back — broadcast when small
+    * enough, a slim key-shuffle otherwise (AQE decides); the final
+    * per-document counts aggregate on id. Documents never shuffle.
+    */
+  def frequentGramStats(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 8, minDf: Int = 2, tauPct: Int = 50): DataFrame = {
+    val grams = df
+      .select(col(idCol).as("id"), explode(shingleSet(col(textCol), n)).as("g"))
+      .select(col("id"), md5(col("g")).as("gh"))
+    val frequent = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("gdf"))
+      .filter(col("gdf") >= minDf)
+      .select(col("gh"))
+    val freqPerDoc = grams.join(frequent, Seq("gh"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_frequent"))
+    grams.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
+      .join(freqPerDoc, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_grams"),
+        coalesce(col("n_frequent"), lit(0L)).as("n_frequent"),
+        (coalesce(col("n_frequent"), lit(0L)) * lit(100) > col("n_grams") * lit(tauPct))
+          .as("is_boilerplate"))
+  }
+
   // -------------------------------------------------------------- jaccard
 
   /** n-gram Jaccard for given candidate pairs: returns integer

@@ -148,6 +148,23 @@ class WebCorpusSpec extends AnyFunSuite {
     assert(!out.exists(_._3.contains("a.b@c.example.org")))
   }
 
+  test("frequentGramStats: shared passages counted per doc; mostly-boiler docs flagged") {
+    import spark.implicits._
+    val boiler = (1 to 16).map(i => s"b$i").mkString(" ") // 16 shared tokens
+    val corpus = Seq(
+      (1L, boiler + " x1 x2"), // 18 tokens → 11 grams, 9 inside the boiler span
+      (2L, boiler + " y1 y2"),
+      (3L, (1 to 12).map(i => s"z$i").mkString(" "))) // 5 grams, all unique
+      .toDF("doc_id", "text")
+    val rows = graft.dedup.Dedup.frequentGramStats(corpus, "doc_id", "text", 8, 2, 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      (1L, 11L, 9L, true),
+      (2L, 11L, 9L, true),
+      (3L, 5L, 0L, false)))
+  }
+
   test("decontaminate: sub-n overlap is not flagged") {
     import spark.implicits._
     val bench = Seq((1 to 8).map(i => s"w$i").mkString(" ")).toDF("bench_text")
