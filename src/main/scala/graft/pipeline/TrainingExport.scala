@@ -31,11 +31,23 @@ import org.apache.spark.sql.functions._
   */
 object TrainingExport {
 
+  /** `materialize` (default true) checkpoints the clean and deduped stages
+    * (`localCheckpoint`): dedup consumes its input twice (group + survivor
+    * semi-join) and decontamination three more times (corpus grams,
+    * flagged-id probe, final anti-join), so without materialization
+    * Catalyst re-evaluates the expensive clean filter — lang-ID alone is
+    * 16 regexp passes per document — in every branch (measured 29 s vs
+    * ~6 s at sf0.1). This mirrors what a production 10^12-row pipeline
+    * does anyway: write each stage's output as a table and read it back,
+    * rather than carrying one ever-branching plan.
+    */
   def export(docs: DataFrame, idCol: String, textCol: String,
              bench: DataFrame, benchTextCol: String,
-             window: Int = 16, stride: Int = 12): DataFrame = {
-    val clean = docs.filter(TextAnalytics.isClean(col(textCol)))
-    val deduped = Dedup.dropExactDuplicates(clean, idCol, textCol)
+             window: Int = 16, stride: Int = 12,
+             materialize: Boolean = true): DataFrame = {
+    def stage(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint() else df
+    val clean = stage(docs.filter(TextAnalytics.isClean(col(textCol))))
+    val deduped = stage(Dedup.dropExactDuplicates(clean, idCol, textCol))
     val decontaminated =
       Decontaminate.dropContaminated(deduped, idCol, textCol, bench, benchTextCol)
     val redacted = decontaminated
