@@ -69,6 +69,17 @@ object SparkEntry {
         (lit(1000000L) + id % 1000000).cast("string"), lit("."))).otherwise(lit("")))
   }
 
+  /** Benchmark/eval set for the decontamination queries: 28-token excerpts
+    * of every 101st sufficiently long document (benchmarks quote web
+    * text). Shared by `q_decontaminate` and `q_training_export`; the
+    * oracle mirrors it as the `bw`/`bench` CTEs.
+    */
+  private def benchExcerpt(d: DataFrame): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    d.filter(col("doc_id") % 101 === 0 && size(toks) >= 33)
+      .select(array_join(slice(toks, 6, 28), " ").as("bench_text"))
+  }
+
   /** Flagship: the full extraction pipeline (sniff → PDF-layout | HTML
     * boilerplate-strip → spans) over pages synthesized from sf0.001.
     */
@@ -252,20 +263,14 @@ object SparkEntry {
     // word-8-gram with an excerpt are flagged with their overlap count
     "q_decontaminate" -> ((s, dir) => {
       val d = docs(s, dir)
-      val toks = split(trim(col("text")), "\\s+")
-      val bench = d.filter(col("doc_id") % 101 === 0 && size(toks) >= 33)
-        .select(array_join(slice(toks, 6, 28), " ").as("bench_text"))
-      Decontaminate.overlap(d, "doc_id", "text", bench, "bench_text", 8)
+      Decontaminate.overlap(d, "doc_id", "text", benchExcerpt(d), "bench_text", 8)
     }),
     // the composed E2E export: clean gates → exact dedup → decontaminate
     // → redact → chunk, over the PII-augmented corpus so every stage has
     // real work to do (see pipeline/TrainingExport for the shuffle budget)
     "q_training_export" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), piiText.as("text"))
-      val toks = split(trim(col("text")), "\\s+")
-      val bench = d.filter(col("doc_id") % 101 === 0 && size(toks) >= 33)
-        .select(array_join(slice(toks, 6, 28), " ").as("bench_text"))
-      graft.pipeline.TrainingExport.export(d, "doc_id", "text", bench, "bench_text")
+      graft.pipeline.TrainingExport.export(d, "doc_id", "text", benchExcerpt(d), "bench_text")
     }),
     // ---- deduplication ----
     // passage-level boilerplate mass: word-8-grams shared by ≥ 2 distinct
@@ -442,9 +447,10 @@ object SparkEntry {
       |                   WHEN 2 THEN '?id=' || CAST(doc_id AS VARCHAR) ELSE '' END) ||
       |  (CASE WHEN doc_id % 3 = 0 THEN '#Section-2' ELSE '' END) AS url
       |FROM documents),
+      |p1 AS (SELECT doc_id, text, url, regexp_replace(url, '#.*$', '') AS nf FROM u),
       |p2 AS (SELECT doc_id, text, url,
-      |  lower(split_part(regexp_replace(url, '#.*$', ''), '://', 1)) AS scheme,
-      |  split_part(regexp_replace(url, '#.*$', ''), '://', 2) AS rest FROM u),
+      |  lower(split_part(nf, '://', 1)) AS scheme,
+      |  CASE WHEN instr(nf, '://') = 0 THEN nf ELSE substr(nf, instr(nf, '://') + 3) END AS rest FROM p1),
       |p3 AS (SELECT *, split_part(split_part(rest, '/', 1), '?', 1) AS hostport,
       |  substr(rest, length(split_part(split_part(rest, '/', 1), '?', 1)) + 1) AS pathq FROM p2),
       |p4 AS (SELECT *,
@@ -456,7 +462,34 @@ object SparkEntry {
       |FROM p3),
       |p5 AS (SELECT *,
       |  regexp_replace(regexp_replace('&' || q || '&', '&(utm_[^&]*|gclid=[^&]*|fbclid=[^&]*)', '', 'g'), '^&+|&+$', '', 'g') AS q2,
-      |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain FROM p4)""".stripMargin
+      |  regexp_extract(regexp_replace(host, ':[0-9]+$', ''), '([^.]+\.[^.]+)$', 1) AS domain FROM p4)""".stripMargin
+
+  /** Space-joined word-8-gram over a token-array column `ws` at position
+    * `i` — the SQL twin of [[Dedup.shingles]] at n=8, shared by every
+    * passage-level oracle (decontamination, frequent grams, export).
+    */
+  private val gram8 =
+    "ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7]"
+
+  /** The PII-augmented text expression (twin of [[piiText]]), shared by the
+    * redaction and export oracles.
+    */
+  // single line: this value is interpolated into stripMargin oracle
+  // strings, where a continuation line starting with `||` would lose its
+  // first `|` to the OUTER stripMargin and become bitwise-or
+  private val piiSqlExpr =
+    "text || (CASE WHEN doc_id % 4 = 0 THEN ' Contact user' || CAST(doc_id AS VARCHAR) || '@Mail' || CAST(doc_id % 10 AS VARCHAR) || '.example.com now.' ELSE '' END)" +
+      " || (CASE WHEN doc_id % 6 = 0 THEN ' Server at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) || ' up.' ELSE '' END)" +
+      " || (CASE WHEN doc_id % 9 = 0 THEN ' Call +1555' || CAST(1000000 + doc_id % 1000000 AS VARCHAR) || '.' ELSE '' END)"
+
+  /** Redaction chain over a source expression (twin of
+    * [[graft.text.Redactor.redact]]).
+    */
+  private def redactSql(src: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace($src,
+       |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+       |    '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g'),
+       |    '\\+[0-9]{7,15}', '<PHONE>', 'g')""".stripMargin
 
   /** Quality predicate columns over `text` (twin of `t_quality`), reused by
     * the domain-stats oracle.
@@ -655,20 +688,14 @@ object SparkEntry {
          |SELECT doc_id, domain FROM p5
          |WHERE domain NOT IN (${BlockedDomains.map(d => s"'$d'").mkString(", ")})""".stripMargin,
     "t_redact" ->
-      """WITH t AS (SELECT doc_id,
-        |  text || (CASE WHEN doc_id % 4 = 0 THEN ' Contact user' || CAST(doc_id AS VARCHAR) || '@Mail' || CAST(doc_id % 10 AS VARCHAR) || '.example.com now.' ELSE '' END)
-        |       || (CASE WHEN doc_id % 6 = 0 THEN ' Server at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) || ' up.' ELSE '' END)
-        |       || (CASE WHEN doc_id % 9 = 0 THEN ' Call +1555' || CAST(1000000 + doc_id % 1000000 AS VARCHAR) || '.' ELSE '' END) AS pii
-        |FROM documents)
-        |SELECT doc_id,
-        |  CAST(len(regexp_extract_all(pii, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-        |  CAST(len(regexp_extract_all(pii, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
-        |  CAST(len(regexp_extract_all(pii, '\+[0-9]{7,15}')) AS BIGINT) AS n_phones,
-        |  regexp_replace(regexp_replace(regexp_replace(pii,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
-        |    '\+[0-9]{7,15}', '<PHONE>', 'g') AS redacted
-        |FROM t""".stripMargin,
+      s"""WITH t AS (SELECT doc_id, $piiSqlExpr AS pii
+         |FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(pii, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(pii, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(pii, '\\+[0-9]{7,15}')) AS BIGINT) AS n_phones,
+         |  ${redactSql("pii")} AS redacted
+         |FROM t""".stripMargin,
     "t_chunks" ->
       s"""WITH t AS (SELECT doc_id, $tok AS tk FROM documents WHERE length(trim(text)) > 0),
          |n AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM t),
@@ -683,10 +710,10 @@ object SparkEntry {
       s"""WITH w AS (SELECT doc_id, $tok AS ws FROM documents),
          |bw AS (SELECT doc_id, ws[6:33] AS ws FROM w WHERE doc_id % 101 = 0 AND len(ws) >= 33),
          |bench AS (SELECT DISTINCT md5(
-         |  ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7]) AS gh
+         |  $gram8) AS gh
          |  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM bw)),
          |corpus AS (SELECT DISTINCT doc_id, md5(
-         |  ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7]) AS gh
+         |  $gram8) AS gh
          |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM w))
          |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
          |FROM corpus c JOIN bench b USING (gh) GROUP BY 1""".stripMargin,
@@ -696,10 +723,7 @@ object SparkEntry {
         .map { case (lang, ms) => s"CAST(${markerMassSql(ms)} AS BIGINT) AS m_$lang" }
         .mkString(",\n  ")
       val gm = "greatest(m_en, m_es, m_de, m_fr)"
-      s"""WITH d0 AS (SELECT doc_id,
-         |  text || (CASE WHEN doc_id % 4 = 0 THEN ' Contact user' || CAST(doc_id AS VARCHAR) || '@Mail' || CAST(doc_id % 10 AS VARCHAR) || '.example.com now.' ELSE '' END)
-         |       || (CASE WHEN doc_id % 6 = 0 THEN ' Server at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) || ' up.' ELSE '' END)
-         |       || (CASE WHEN doc_id % 9 = 0 THEN ' Call +1555' || CAST(1000000 + doc_id % 1000000 AS VARCHAR) || '.' ELSE '' END) AS text
+      s"""WITH d0 AS (SELECT doc_id, $piiSqlExpr AS text
          |FROM documents),
          |n AS (SELECT doc_id, text, ' ' || regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') || ' ' AS p FROM d0),
          |m AS (SELECT doc_id, text, $masses FROM n),
@@ -715,24 +739,21 @@ object SparkEntry {
          |  AND lg <> 'und'
          |  AND (lg <> 'en' OR len(regexp_extract_all(lower(text), '$stopRe')) >= 2)
          |  AND NOT ((len(tk) - len(list_distinct(tk))) * 100 > len(tk) * 75)),
-         |keep AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text)),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM f
+         |  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
          |fk AS (SELECT f.doc_id, f.text FROM f JOIN keep USING (doc_id)),
          |w2 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM d0),
          |bw AS (SELECT ws[6:33] AS ws FROM w2 WHERE doc_id % 101 = 0 AND len(ws) >= 33),
          |bench AS (SELECT DISTINCT md5(
-         |  ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7]) AS gh
+         |  $gram8) AS gh
          |  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM bw)),
          |cg AS (SELECT DISTINCT doc_id, md5(
-         |  ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7]) AS gh
+         |  $gram8) AS gh
          |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i
          |        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM fk))),
          |bad AS (SELECT DISTINCT c.doc_id FROM cg c JOIN bench b USING (gh)),
          |fd AS (SELECT fk.doc_id, fk.text FROM fk LEFT JOIN bad ON fk.doc_id = bad.doc_id WHERE bad.doc_id IS NULL),
-         |red AS (SELECT doc_id,
-         |  regexp_replace(regexp_replace(regexp_replace(text,
-         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-         |    '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g'),
-         |    '\\+[0-9]{7,15}', '<PHONE>', 'g') AS rtext FROM fd),
+         |red AS (SELECT doc_id, ${redactSql("text")} AS rtext FROM fd),
          |t AS (SELECT doc_id, regexp_split_to_array(trim(rtext), '\\s+') AS tk FROM red WHERE length(trim(rtext)) > 0),
          |nn AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM t),
          |cc AS (SELECT doc_id, tk, n, CASE WHEN n <= 16 THEN 1 ELSE 1 + (n - 16 + 11) // 12 END AS nc FROM nn),
@@ -803,7 +824,7 @@ object SparkEntry {
     "d_freq_grams" ->
       s"""WITH w AS (SELECT doc_id, $tok AS ws FROM documents),
          |g AS (SELECT DISTINCT doc_id, md5(
-         |  ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7]) AS gh
+         |  $gram8) AS gh
          |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM w)),
          |fr AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
          |fd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frequent FROM g JOIN fr USING (gh) GROUP BY 1),

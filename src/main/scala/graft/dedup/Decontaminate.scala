@@ -32,8 +32,10 @@ object Decontaminate {
   /** Distinct per-document n-gram hashes as slim (id, gh) rows.
     * `array_distinct` runs row-locally so within-document repeats never
     * reach the join; md5 keeps the probe key at 32 chars regardless of n.
+    * Shared with [[Dedup.frequentGramStats]] — the gram key definition
+    * must stay identical across the passage-level operators.
     */
-  private def ngramHashes(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+  private[dedup] def ngramHashes(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"), explode(Dedup.shingleSet(col(textCol), n)).as("g"))
       .select(col("id"), md5(col("g")).as("gh"))
 

@@ -39,8 +39,16 @@ object Dedup {
     * Broadcast-ineligible at corpus scale — this is the canonical
     * shuffle-on-short-key pattern; only (id, hash) move, not documents.
     */
-  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val keep = exactGroups(df, idCol, textCol).select(col("keep_id").as(idCol))
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    dropExactDuplicatesBy(df, idCol, md5(col(textCol)))
+
+  /** [[dropExactDuplicates]] under a caller-supplied duplicate key (e.g.
+    * [[graft.text.TextAnalytics.fingerprint]] for whitespace/case-
+    * insensitive dedup) — the key definition is the policy decision; the
+    * shuffle shape is identical.
+    */
+  def dropExactDuplicatesBy(df: DataFrame, idCol: String, key: org.apache.spark.sql.Column): DataFrame = {
+    val keep = df.groupBy(key.as("h")).agg(min(col(idCol)).as(idCol)).select(col(idCol))
     df.join(keep, Seq(idCol), "left_semi")
   }
 
@@ -233,9 +241,7 @@ object Dedup {
     */
   def frequentGramStats(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 8, minDf: Int = 2, tauPct: Int = 50): DataFrame = {
-    val grams = df
-      .select(col(idCol).as("id"), explode(shingleSet(col(textCol), n)).as("g"))
-      .select(col("id"), md5(col("g")).as("gh"))
+    val grams = Decontaminate.ngramHashes(df, idCol, textCol, n)
     val frequent = grams.groupBy(col("gh"))
       .agg(count(lit(1)).as("gdf"))
       .filter(col("gdf") >= minDf)

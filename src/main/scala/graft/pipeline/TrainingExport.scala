@@ -47,7 +47,11 @@ object TrainingExport {
              materialize: Boolean = true): DataFrame = {
     def stage(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint() else df
     val clean = stage(docs.filter(TextAnalytics.isClean(col(textCol))))
-    val deduped = stage(Dedup.dropExactDuplicates(clean, idCol, textCol))
+    // normalized fingerprint key (lower/trim/ws-collapse), matching the
+    // q_clean_corpus flagship: "same text modulo case and spacing" is the
+    // duplicate policy a training corpus wants
+    val deduped = stage(Dedup.dropExactDuplicatesBy(
+      clean, idCol, TextAnalytics.fingerprint(col(textCol))))
     val decontaminated =
       Decontaminate.dropContaminated(deduped, idCol, textCol, bench, benchTextCol)
     val redacted = decontaminated

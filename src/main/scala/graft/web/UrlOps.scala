@@ -37,7 +37,13 @@ object UrlOps {
   /** Scheme of the url (lowercased); text before the first `://`. */
   def scheme(u: Column): Column = lower(substring_index(u, "://", 1))
 
-  private def afterScheme(u: Column): Column = substring_index(u, "://", -1)
+  /** Text after the FIRST `://` — `substring_index(…, -1)` would split at
+    * the last occurrence and mis-parse redirect/tracking urls that embed
+    * another url in their query (`…/redirect?to=https://other.com/x`).
+    */
+  private def afterScheme(u: Column): Column =
+    when(instr(u, "://") === 0, u)
+      .otherwise(u.substr(instr(u, "://") + 3, lit(1000000)))
 
   private def stripFragment(u: Column): Column = regexp_replace(u, "#.*$", "")
 
@@ -57,13 +63,16 @@ object UrlOps {
       .otherwise(h)
   }
 
-  /** Registered domain: the last two dot-labels of the host. A naive eTLD
-    * rule (no public-suffix list in the sandbox) — adequate for grouping
-    * synthetic corpora; a production list would swap in here as a broadcast
-    * lookup without changing the plan shape.
+  /** Registered domain: the last two dot-labels of the host, with any
+    * port stripped first (the canonical host deliberately KEEPS
+    * non-default ports, but a blocklist keyed by domain must not let
+    * `bad.com:8080` evade a `bad.com` entry). A naive eTLD rule (no
+    * public-suffix list in the sandbox) — adequate for grouping synthetic
+    * corpora; a production list would swap in here as a broadcast lookup
+    * without changing the plan shape.
     */
   def registeredDomain(h: Column): Column =
-    regexp_extract(h, "([^.]+\\.[^.]+)$", 1)
+    regexp_extract(regexp_replace(h, ":[0-9]+$", ""), "([^.]+\\.[^.]+)$", 1)
 
   /** Canonical url: lowercase scheme+host, default port stripped, fragment
     * removed, tracking query parameters removed (empty query drops its

@@ -42,6 +42,19 @@ class WebCorpusSpec extends AnyFunSuite {
     assert(canon("https://h.com/p") == "https://h.com/p")
   }
 
+  test("canonicalize: url embedded in the query does not hijack the host") {
+    assert(canon("https://A.com/redirect?to=https://b.com/x")
+      == "https://a.com/redirect?to=https://b.com/x")
+  }
+
+  test("registeredDomain strips non-default ports; blocklist cannot be evaded via a port") {
+    import spark.implicits._
+    val df = urls("http://www.bad.com:8080/x", "https://ok.org/y")
+    val kept = UrlOps.dropBlockedDomains(df, "url", Seq("bad.com").toDF("domain"))
+      .select(col("id")).collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L))
+  }
+
   test("host and registeredDomain") {
     val r = urls("HTTPS://a.B.Site7.ORG:443/x?q=1")
       .select(UrlOps.host(col("url")).as("h"))
