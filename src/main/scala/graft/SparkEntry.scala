@@ -51,6 +51,18 @@ object SparkEntry {
     concat(scheme, lit("://"), hostPart, port, path, query, frag)
   }
 
+  /** Text with deterministic multi-script suffixes (mirrored in the oracle
+    * SQL): prefix-substrings of constant Han/Cyrillic/Arabic blocks, so
+    * the script-detection operator sees every dominance combination.
+    */
+  private def multiScriptText: Column = {
+    val id = col("doc_id")
+    concat(col("text"), lit(" "),
+      lit("中文漢字中文漢字中文漢字").substr(lit(1), ((id % 4) * 4).cast("int")),
+      lit("приветпривет").substr(lit(1), ((id % 3) * 6).cast("int")),
+      lit("مرحبامرحبا").substr(lit(1), ((id % 2) * 5).cast("int")))
+  }
+
   /** Blocklist for `w_blocklist_keep` (mirrored in the oracle SQL). */
   private val BlockedDomains: Seq[String] =
     Seq("site3.com", "site5.org", "site7.net", "site0.com")
@@ -245,6 +257,17 @@ object SparkEntry {
       val blocked = BlockedDomains.toDF("domain")
       UrlOps.dropBlockedDomains(docs(s, dir).select(col("doc_id"), synthUrl.as("url")), "url", blocked)
         .select(col("doc_id"), col("domain"))
+    }),
+    // writing-system detection over multi-script synthesis: four
+    // replace-and-measure passes + argmax, map-only codegen
+    "t_script" -> ((s, dir) => {
+      val st = multiScriptText
+      docs(s, dir).select(col("doc_id"),
+        TextAnalytics.scriptChars(st, "latin").as("latin_chars"),
+        TextAnalytics.scriptChars(st, "han").as("han_chars"),
+        TextAnalytics.scriptChars(st, "cyrillic").as("cyr_chars"),
+        TextAnalytics.scriptChars(st, "arabic").as("ara_chars"),
+        TextAnalytics.dominantNonLatin(st).as("dominant_nonlatin"))
     }),
     // PII scrub: three codegen'd regexp passes + audit counts, map-only
     "t_redact" -> ((s, dir) =>
@@ -687,6 +710,24 @@ object SparkEntry {
       s"""WITH $urlCte
          |SELECT doc_id, domain FROM p5
          |WHERE domain NOT IN (${BlockedDomains.map(d => s"'$d'").mkString(", ")})""".stripMargin,
+    "t_script" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || ' ' || substr('中文漢字中文漢字中文漢字', 1, (doc_id % 4) * 4)
+        |       || substr('приветпривет', 1, (doc_id % 3) * 6)
+        |       || substr('مرحبامرحبا', 1, (doc_id % 2) * 5) AS st
+        |FROM documents),
+        |c AS (SELECT doc_id,
+        |  CAST(length(st) - length(regexp_replace(st, '[A-Za-z]', '', 'g')) AS BIGINT) AS latin_chars,
+        |  CAST(length(st) - length(regexp_replace(st, '[\x{4e00}-\x{9fff}]', '', 'g')) AS BIGINT) AS han_chars,
+        |  CAST(length(st) - length(regexp_replace(st, '[\x{0400}-\x{04ff}]', '', 'g')) AS BIGINT) AS cyr_chars,
+        |  CAST(length(st) - length(regexp_replace(st, '[\x{0600}-\x{06ff}]', '', 'g')) AS BIGINT) AS ara_chars
+        |FROM t)
+        |SELECT doc_id, latin_chars, han_chars, cyr_chars, ara_chars,
+        |  CASE WHEN greatest(han_chars, cyr_chars, ara_chars) = 0 THEN 'none'
+        |       WHEN han_chars = greatest(han_chars, cyr_chars, ara_chars) THEN 'han'
+        |       WHEN cyr_chars = greatest(han_chars, cyr_chars, ara_chars) THEN 'cyrillic'
+        |       ELSE 'arabic' END AS dominant_nonlatin
+        |FROM c""".stripMargin,
     "t_redact" ->
       s"""WITH t AS (SELECT doc_id, $piiSqlExpr AS pii
          |FROM documents)

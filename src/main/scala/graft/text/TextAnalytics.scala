@@ -174,6 +174,39 @@ object TextAnalytics {
             greatest(col("n_tokens") - 1, lit(1L)) * lit(20)).as("is_repetitive"))
   }
 
+  /** Unicode-range patterns for script (writing-system) detection. Plain
+    * BMP character classes via `\x{...}` escapes — accepted identically by
+    * Java regex and RE2 (DuckDB), lookaround-free; each count is one
+    * codegen'd replace-and-measure pass, and `length()` counts CODE POINTS
+    * in both engines, so the arithmetic is portable.
+    */
+  val ScriptPatterns: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z]",
+    "han" -> "[\\x{4e00}-\\x{9fff}]",
+    "cyrillic" -> "[\\x{0400}-\\x{04ff}]",
+    "arabic" -> "[\\x{0600}-\\x{06ff}]")
+
+  /** Characters of `script` (a [[ScriptPatterns]] key) in the text. */
+  def scriptChars(c: Column, script: String): Column = {
+    val p = ScriptPatterns.toMap.apply(script)
+    (length(c) - length(regexp_replace(c, p, ""))).cast("long")
+  }
+
+  /** Dominant NON-Latin script (argmax with fixed precedence han >
+    * cyrillic > arabic; all-zero → "none") — the writing-system signal a
+    * multilingual pipeline routes and filters by (Latin is excluded
+    * because it dominates any mixed web page's markup-ish residue).
+    */
+  def dominantNonLatin(c: Column): Column = {
+    val scripts = ScriptPatterns.filter(_._1 != "latin")
+    val counts = scripts.map { case (s, _) => s -> scriptChars(c, s) }
+    val gmax = greatest(counts.map(_._2): _*)
+    val firstMax = counts.foldLeft(when(lit(false), lit(""))) { case (acc, (s, n)) =>
+      acc.when(n === gmax, lit(s))
+    }
+    when(gmax > 0, firstMax).otherwise(lit("none"))
+  }
+
   /** The full cleaning gate a training pipeline applies per document, as ONE
     * boolean Column (the same four gates `q_clean_corpus` stages): quality
     * heuristics, resolvable language, the English stopword floor, and the

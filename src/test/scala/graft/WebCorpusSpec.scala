@@ -161,6 +161,26 @@ class WebCorpusSpec extends AnyFunSuite {
     assert(!out.exists(_._3.contains("a.b@c.example.org")))
   }
 
+  test("script detection: code-point counts per range, precedence argmax, latin excluded") {
+    import spark.implicits._
+    val t = "abc 中文 привет مرحبا 漢"
+    val r = Seq(t).toDF("text").select(
+      graft.text.TextAnalytics.scriptChars(col("text"), "latin").as("l"),
+      graft.text.TextAnalytics.scriptChars(col("text"), "han").as("h"),
+      graft.text.TextAnalytics.scriptChars(col("text"), "cyrillic").as("c"),
+      graft.text.TextAnalytics.scriptChars(col("text"), "arabic").as("a"),
+      graft.text.TextAnalytics.dominantNonLatin(col("text")).as("d")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((3L, 3L, 6L, 5L)))
+    assert(r.getString(4) == "cyrillic")
+    val none = Seq("only ascii words").toDF("text")
+      .select(graft.text.TextAnalytics.dominantNonLatin(col("text"))).collect()(0).getString(0)
+    assert(none == "none")
+    // tie goes to the earlier script in precedence order (han)
+    val tie = Seq("中 п").toDF("text")
+      .select(graft.text.TextAnalytics.dominantNonLatin(col("text"))).collect()(0).getString(0)
+    assert(tie == "han")
+  }
+
   test("frequentGramStats: shared passages counted per doc; mostly-boiler docs flagged") {
     import spark.implicits._
     val boiler = (1 to 16).map(i => s"b$i").mkString(" ") // 16 shared tokens
