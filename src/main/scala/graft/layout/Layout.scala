@@ -85,18 +85,30 @@ object LineClusterer {
     groups.result()
   }
 
+  // x0 comparator for within-line ordering (stable TimSort, no tuple boxing)
+  private val XOrder: java.util.Comparator[Word] = new java.util.Comparator[Word] {
+    def compare(a: Word, b: Word): Int = java.lang.Double.compare(a.x0, b.x0)
+  }
+
   /** Cf. `_create_line_dict`, `/root/reference/src/core/extractor.py:207-237`. */
   def assemble(ws: List[Word]): Line = {
-    val byX = ws.sortBy(_.x0)
+    val byX = ws.toArray
+    java.util.Arrays.sort(byX, XOrder)
     var x0 = Double.MaxValue; var y0 = Double.MaxValue
     var x1 = Double.MinValue; var y1 = Double.MinValue
-    byX.foreach { w =>
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < byX.length) {
+      val w = byX(i)
       if (w.x0 < x0) x0 = w.x0
       if (w.y0 < y0) y0 = w.y0
       if (w.x1 > x1) x1 = w.x1
       if (w.y1 > y1) y1 = w.y1
+      if (i > 0) sb.append(' ')
+      sb.append(w.text)
+      i += 1
     }
-    Line(byX.iterator.map(_.text).mkString(" "), x0, y0, x1, y1, byX.head.zone, byX.size)
+    Line(sb.toString, x0, y0, x1, y1, byX(0).zone, byX.length)
   }
 }
 
@@ -112,11 +124,15 @@ object LayoutFormatter {
     s"[${l.zone}] [x:${l.x0.toInt}-${l.x1.toInt}, y:${l.y0.toInt}] ${l.text}"
 
   def format(lines: Seq[Line]): String = {
-    val sb = new StringBuilder
+    // appends the parts directly (no per-line interpolated intermediate);
+    // byte-equal to formatLine per line
+    val sb = new java.lang.StringBuilder
     var first = true
     lines.foreach { l =>
       if (!first) sb.append('\n')
-      sb.append(formatLine(l))
+      sb.append('[').append(l.zone).append("] [x:").append(l.x0.toInt)
+        .append('-').append(l.x1.toInt).append(", y:").append(l.y0.toInt)
+        .append("] ").append(l.text)
       first = false
     }
     sb.toString
