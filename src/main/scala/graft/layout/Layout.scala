@@ -120,19 +120,27 @@ object LineClusterer {
   * formatted bytes match for any finite coordinate.
   */
 object LayoutFormatter {
-  def formatLine(l: Line): String =
-    s"[${l.zone}] [x:${l.x0.toInt}-${l.x1.toInt}, y:${l.y0.toInt}] ${l.text}"
+  // the ONE definition of the line format (direct appends, no per-line
+  // interpolated intermediates) — formatLine and format both emit through it
+  private def appendLine(sb: java.lang.StringBuilder, l: Line): Unit = {
+    sb.append('[').append(l.zone).append("] [x:").append(l.x0.toInt)
+      .append('-').append(l.x1.toInt).append(", y:").append(l.y0.toInt)
+      .append("] ").append(l.text)
+    ()
+  }
+
+  def formatLine(l: Line): String = {
+    val sb = new java.lang.StringBuilder
+    appendLine(sb, l)
+    sb.toString
+  }
 
   def format(lines: Seq[Line]): String = {
-    // appends the parts directly (no per-line interpolated intermediate);
-    // byte-equal to formatLine per line
     val sb = new java.lang.StringBuilder
     var first = true
     lines.foreach { l =>
       if (!first) sb.append('\n')
-      sb.append('[').append(l.zone).append("] [x:").append(l.x0.toInt)
-        .append('-').append(l.x1.toInt).append(", y:").append(l.y0.toInt)
-        .append("] ").append(l.text)
+      appendLine(sb, l)
       first = false
     }
     sb.toString

@@ -12,7 +12,9 @@ import org.apache.spark.sql.functions._
   *   → token-window chunking
   *
   * Each stage is the library operator it names ([[TextAnalytics.isClean]],
-  * [[Dedup.dropExactDuplicates]], [[Decontaminate.dropContaminated]],
+  * [[Dedup.dropExactDuplicatesBy]] keyed on the NORMALIZED
+  * [[TextAnalytics.fingerprint]] — case/whitespace variants collapse to
+  * one survivor, [[Decontaminate.dropContaminated]],
   * [[Redactor.redact]], [[Chunker.chunks]]); this object only fixes their
   * composition order, which IS the semantics a pipeline user relies on:
   * dedup before decontamination (fewer docs to gram-probe), redaction after
@@ -32,20 +34,26 @@ import org.apache.spark.sql.functions._
 object TrainingExport {
 
   /** `materialize` (default true) checkpoints the clean and deduped stages
-    * (`localCheckpoint`): dedup consumes its input twice (group + survivor
-    * semi-join) and decontamination three more times (corpus grams,
-    * flagged-id probe, final anti-join), so without materialization
-    * Catalyst re-evaluates the expensive clean filter — lang-ID alone is
-    * 16 regexp passes per document — in every branch (measured 29 s vs
-    * ~6 s at sf0.1). This mirrors what a production 10^12-row pipeline
-    * does anyway: write each stage's output as a table and read it back,
-    * rather than carrying one ever-branching plan.
+    * (LAZY `localCheckpoint` — no job runs until the result is consumed):
+    * dedup consumes its input twice (group + survivor semi-join) and
+    * decontamination three more times (corpus grams, flagged-id probe,
+    * final anti-join), so without materialization Catalyst re-evaluates
+    * the expensive clean filter — lang-ID alone is 16 regexp passes per
+    * document — in every branch (measured 29 s vs ~7 s at sf0.1).
+    *
+    * Trade-off stated plainly: `localCheckpoint` blocks are NOT
+    * recomputable after executor loss (lineage is truncated). On a real
+    * long-running cluster the equivalent move is writing each stage to a
+    * table (or reliable `checkpoint()` with a checkpoint dir) and reading
+    * it back — same materialization, durable storage; pass
+    * `materialize = false` to keep the pure lazy plan instead.
     */
   def export(docs: DataFrame, idCol: String, textCol: String,
              bench: DataFrame, benchTextCol: String,
              window: Int = 16, stride: Int = 12,
              materialize: Boolean = true): DataFrame = {
-    def stage(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint() else df
+    def stage(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(eager = false) else df
     val clean = stage(docs.filter(TextAnalytics.isClean(col(textCol))))
     // normalized fingerprint key (lower/trim/ws-collapse), matching the
     // q_clean_corpus flagship: "same text modulo case and spacing" is the

@@ -128,13 +128,19 @@ object TextAnalytics {
   /** Language-ID: argmax of marker mass with fixed precedence order
     * (earlier wins ties); all-zero → "und". Deterministic by construction.
     */
-  def langId(c: Column): Column = {
-    val scores = LangMarkers.map { case (lang, ms) => lang -> markerMass(c, ms) }
+  def langId(c: Column): Column =
+    argmaxLabel(LangMarkers.map { case (lang, ms) => lang -> markerMass(c, ms) }, "und")
+
+  /** First label whose (integer) score equals the maximum — fixed
+    * precedence order, earlier wins ties; all scores zero → `default`.
+    * Shared argmax for [[langId]] and [[dominantNonLatin]].
+    */
+  private def argmaxLabel(scores: Seq[(String, Column)], default: String): Column = {
     val gmax = greatest(scores.map(_._2): _*)
-    val firstMax = scores.foldLeft(when(lit(false), lit(""))) { case (acc, (lang, s)) =>
-      acc.when(s === gmax, lit(lang))
+    val firstMax = scores.foldLeft(when(lit(false), lit(""))) { case (acc, (label, s)) =>
+      acc.when(s === gmax, lit(label))
     }
-    when(gmax > 0, firstMax).otherwise(lit("und"))
+    when(gmax > 0, firstMax).otherwise(lit(default))
   }
 
   /** Per-document repetition signals (the Gopher repetition-filter family:
@@ -197,15 +203,10 @@ object TextAnalytics {
     * multilingual pipeline routes and filters by (Latin is excluded
     * because it dominates any mixed web page's markup-ish residue).
     */
-  def dominantNonLatin(c: Column): Column = {
-    val scripts = ScriptPatterns.filter(_._1 != "latin")
-    val counts = scripts.map { case (s, _) => s -> scriptChars(c, s) }
-    val gmax = greatest(counts.map(_._2): _*)
-    val firstMax = counts.foldLeft(when(lit(false), lit(""))) { case (acc, (s, n)) =>
-      acc.when(n === gmax, lit(s))
-    }
-    when(gmax > 0, firstMax).otherwise(lit("none"))
-  }
+  def dominantNonLatin(c: Column): Column =
+    argmaxLabel(
+      ScriptPatterns.collect { case (s, _) if s != "latin" => s -> scriptChars(c, s) },
+      "none")
 
   /** The full cleaning gate a training pipeline applies per document, as ONE
     * boolean Column (the same four gates `q_clean_corpus` stages): quality

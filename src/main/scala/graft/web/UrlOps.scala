@@ -43,7 +43,7 @@ object UrlOps {
     */
   private def afterScheme(u: Column): Column =
     when(instr(u, "://") === 0, u)
-      .otherwise(u.substr(instr(u, "://") + 3, lit(1000000)))
+      .otherwise(u.substr(instr(u, "://") + 3, length(u)))
 
   private def stripFragment(u: Column): Column = regexp_replace(u, "#.*$", "")
 
@@ -82,10 +82,10 @@ object UrlOps {
   def canonicalize(u: Column): Column = {
     val rest = afterScheme(stripFragment(u))
     val hp = hostPort(u)
-    val pathq = rest.substr(length(hp) + 1, lit(1000000))
+    val pathq = rest.substr(length(hp) + 1, length(rest))
     val path = substring_index(pathq, "?", 1)
     val query = when(pathq.contains("?"),
-      pathq.substr(length(path) + 2, lit(1000000))).otherwise(lit(""))
+      pathq.substr(length(path) + 2, length(pathq))).otherwise(lit(""))
     val cleaned = regexp_replace(
       regexp_replace(concat(lit("&"), query, lit("&")), TrackingParamPattern, ""),
       "^&+|&+$", "")
