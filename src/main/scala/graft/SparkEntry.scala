@@ -67,6 +67,16 @@ object SparkEntry {
   private val BlockedDomains: Seq[String] =
     Seq("site3.com", "site5.org", "site7.net", "site0.com")
 
+  /** Session gap for `e_sessionize`: 6 h in µs (the events table's median
+    * intra-user gap is ~7.3 h, so real sessions split). Mirrored in the
+    * oracle SQL. */
+  private val SessionGapUs: Long = 6L * 3600 * 1000000
+
+  /** As-of cutoff for `e_latest_asof`: 2024-01-16T00:00:00Z in µs — the
+    * midpoint of the events table's one-month span. Mirrored in the
+    * oracle SQL. */
+  private val AsOfCutoffUs: Long = 1705363200000000L
+
   /** Text with deterministic synthetic PII appended (mirrored in the oracle
     * SQL) so the redaction operator has known e-mails/IPs/phones to find.
     */
@@ -295,6 +305,31 @@ object SparkEntry {
       val d = docs(s, dir).select(col("doc_id"), piiText.as("text"))
       graft.pipeline.TrainingExport.export(d, "doc_id", "text", benchExcerpt(d), "bench_text")
     }),
+    // deterministic balanced shard packing (trainer feed): size-bucket
+    // round-robin; windows partition by (bucket, sub) so no key funnels
+    // the corpus — see pipeline/Sharder for the balance bound
+    "q_shard_pack" -> ((s, dir) => {
+      val weighted = docs(s, dir).select(col("doc_id"),
+        TextAnalytics.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.pipeline.Sharder.assignShards(weighted, "doc_id", "n_tokens",
+        numShards = 8, bucketWidth = 64, subGroups = 4)
+    }),
+    // per-source length distribution (exact quartiles, ×4-integerized so
+    // the interpolated values hash engine-portably)
+    "t_len_quartiles" -> ((s, dir) =>
+      graft.stats.CorpusStats.quartilesX4(docs(s, dir), "source", "n_chars")),
+    // ---- event-stream operators (crawl-log shape) ----
+    // gap-based sessionization over the events table: one shuffle on the
+    // entity key, two in-partition window passes sharing it
+    "e_sessionize" -> ((s, dir) =>
+      graft.events.EventOps.sessionize(s.read.parquet(s"$dir/events.parquet"),
+        "user_id", "ts", "event_id", gapMicros = SessionGapUs)),
+    // as-of pick: latest event per entity before the cutoff — the recency
+    // dedup a re-crawl pipeline applies per url (hash agg with map-side
+    // partial, deliberately not a window rank; see events/EventOps)
+    "e_latest_asof" -> ((s, dir) =>
+      graft.events.EventOps.latestAsOf(s.read.parquet(s"$dir/events.parquet"),
+        "user_id", "ts", "event_id", cutoffMicros = AsOfCutoffUs, payloadCols = Seq("event_type"))),
     // ---- deduplication ----
     // passage-level boilerplate mass: word-8-grams shared by ≥ 2 distinct
     // documents (cookie banners / footers document-level dedup misses);
@@ -804,6 +839,43 @@ object SparkEntry {
          |  array_to_string(tk[i*12 + 1 : i*12 + 16], ' ') AS chunk_text
          |FROM e""".stripMargin
     },
+    "q_shard_pack" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tok) END AS BIGINT) AS n_tokens
+         |FROM documents),
+         |b AS (SELECT doc_id, n_tokens,
+         |  CAST(floor(n_tokens / 64.0) AS BIGINT) AS bucket, doc_id % 4 AS sub FROM t),
+         |r AS (SELECT doc_id, n_tokens, bucket,
+         |  (bucket * 31 + sub) % 8 AS phase,
+         |  row_number() OVER (PARTITION BY bucket, sub
+         |                     ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn FROM b)
+         |SELECT doc_id, n_tokens, bucket, CAST((rn - 1 + phase) % 8 AS BIGINT) AS shard FROM r""".stripMargin,
+    "t_len_quartiles" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(n_chars) AS BIGINT) AS v_min,
+        |  CAST(quantile_cont(n_chars, 0.25) * 4 AS BIGINT) AS p25_x4,
+        |  CAST(quantile_cont(n_chars, 0.5) * 4 AS BIGINT) AS p50_x4,
+        |  CAST(quantile_cont(n_chars, 0.75) * 4 AS BIGINT) AS p75_x4,
+        |  CAST(max(n_chars) AS BIGINT) AS v_max
+        |FROM documents GROUP BY 1""".stripMargin,
+    "e_sessionize" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+         |l AS (SELECT user_id, ts_us, event_id,
+         |  CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+         |         OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > $SessionGapUs
+         |       THEN 1 ELSE 0 END AS is_new FROM e),
+         |s AS (SELECT user_id, ts_us,
+         |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM l)
+         |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+         |  min(ts_us) AS start_us, max(ts_us) AS end_us
+         |FROM s GROUP BY 1, 2""".stripMargin,
+    "e_latest_asof" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+         |  FROM events WHERE epoch_us(ts) <= $AsOfCutoffUs),
+         |r AS (SELECT user_id, ts_us, event_id, event_type,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn FROM e)
+         |SELECT user_id, ts_us, event_id, event_type FROM r WHERE rn = 1""".stripMargin,
     "t_vocab_topk" ->
       """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
         |  FROM documents WHERE length(trim(text)) > 0)

@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic balanced shard packing — the last step of a trainer feed:
+  * spread documents across `numShards` output shards so every shard gets
+  * close to the same total token weight (a trainer reading shards in
+  * parallel is bottlenecked by the heaviest one; naive hash-mod sharding
+  * balances COUNTS, not weights).
+  *
+  * Strategy: size-bucket round-robin, a deterministic LPT relaxation.
+  * Documents are bucketed by coarse weight class (`weight / bucketWidth` —
+  * within a bucket all weights agree to within bucketWidth), and each
+  * bucket is dealt round-robin across the shards IN HASH ORDER of the id.
+  * Two balance properties follow: (a) hard — per shard, the COUNT from
+  * each size class differs by at most 1, so count balance is exact and
+  * weight spread per stream is bounded by ceil(k/numShards)·bucketWidth;
+  * (b) statistical — the md5 deal order decorrelates weight from position
+  * (id order must NOT be used: any periodicity in weight-vs-id, common in
+  * synthetic or crawl-ordered corpora, would alias with the shard cycle
+  * and systematically load one shard), so the expected spread shrinks to
+  * O(bucketWidth·√k) per stream and amortizes as the corpus grows.
+  *
+  * Caveat for size classes RARER than numShards (a handful of giant
+  * documents): their placement is balls-into-bins over the hashed stream
+  * phases — max load O(log k), not exactly 1 — so the spread can reach a
+  * few giant-weights. A pipeline needing exact giant placement should LPT
+  * the giant tail driver-side (it is tiny by definition; cf. ExtractJob's
+  * giants-first layout) and union it back; this operator stays fully
+  * distributed and oblivious by design.
+  *
+  * Scale shape: the round-robin needs a per-bucket row_number. A window
+  * partitioned only by bucket would funnel the whole corpus through
+  * ~maxWeight/bucketWidth partitions — hot keys at 10^12 rows. So each
+  * bucket is split into `subGroups` deterministic sub-streams
+  * (`id % subGroups`) and the window partitions by (bucket, sub): the sort
+  * key space scales with subGroups (tune it to the cluster), and since
+  * every sub-stream is dealt round-robin independently, the union stays
+  * balanced. One Exchange on (bucket, sub), in-partition sort by id, zero
+  * further shuffles.
+  */
+object Sharder {
+
+  def assignShards(d: DataFrame, idCol: String, weightCol: String,
+                   numShards: Int, bucketWidth: Long, subGroups: Int): DataFrame = {
+    require(numShards > 0 && bucketWidth > 0 && subGroups > 0,
+      s"numShards/bucketWidth/subGroups must be positive, got $numShards/$bucketWidth/$subGroups")
+    val bucket = floor(col(weightCol) / lit(bucketWidth.toDouble)).cast("long")
+    val sub = pmod(col(idCol), lit(subGroups.toLong)).cast("long")
+    // deal order = md5(id): deterministic, engine-portable, and free of
+    // weight-position correlation (see scaladoc); unique ids → total order
+    val w = Window.partitionBy(col("bucket"), col("sub"))
+      .orderBy(md5(col(idCol).cast("string")))
+    // each stream starts its cycle at a deterministic per-stream phase:
+    // without it every stream's FIRST document lands on shard 0, biasing
+    // shard 0 by one bucket-weight per stream (visible whenever streams
+    // are short — e.g. a rare giant-document bucket)
+    val phase = pmod(col("bucket") * 31L + col("sub"), lit(numShards.toLong))
+    d.withColumn("bucket", bucket)
+      .withColumn("sub", sub)
+      .withColumn("shard",
+        pmod(row_number().over(w).cast("long") - 1L + phase, lit(numShards.toLong)))
+      .drop("sub")
+  }
+
+  /** Per-shard totals over an assignment — the balance report a pipeline
+    * operator reads before kicking off training (map-side partial agg;
+    * only (shard, counters) rows shuffle). */
+  def shardStats(assigned: DataFrame, weightCol: String): DataFrame =
+    assigned.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col(weightCol)).as("total_weight"))
+}

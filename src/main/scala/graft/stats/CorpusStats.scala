@@ -1,0 +1,38 @@
+package graft.stats
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Grouped corpus distribution statistics — the per-stratum length/size
+  * profile a curation pass reads to set its gates (cf. Gopher/RefinedWeb
+  * per-source length distributions).
+  *
+  * Exact quartiles, not sketches: Spark's `percentile` aggregate buckets
+  * by distinct VALUE (an OpenHashMap of value→count per group), so memory
+  * is bounded by the number of distinct lengths per stratum — a few
+  * hundred thousand at most, independent of row count — which makes the
+  * exact form safe at any corpus scale. (For unbounded-cardinality value
+  * domains, switch to `percentile_approx`; that variant has no value-exact
+  * oracle, so the gated query uses the exact one.)
+  *
+  * Portability: linear-interpolated quartiles at p∈{25,50,75} over integer
+  * values are exact quarter-fractions — `4 × q` is an INTEGER, and every
+  * step of its double computation (`lower + (upper−lower)·f`, f a dyadic
+  * rational) is exactly representable, so both engines agree bit-for-bit
+  * after the ×4 integerization. The gated query ships `q×4` longs.
+  */
+object CorpusStats {
+
+  /** (group, n_docs, min, p25×4, p50×4, p75×4, max) over an integer value
+    * column. One map-side-partial hash aggregate; only (group, value
+    * histogram) rows shuffle. */
+  def quartilesX4(d: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    d.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col(valueCol)).cast("long").as("v_min"),
+        (percentile(col(valueCol), lit(0.25)) * 4).cast("long").as("p25_x4"),
+        (percentile(col(valueCol), lit(0.5)) * 4).cast("long").as("p50_x4"),
+        (percentile(col(valueCol), lit(0.75)) * 4).cast("long").as("p75_x4"),
+        max(col(valueCol)).cast("long").as("v_max"))
+}

@@ -128,4 +128,26 @@ object StreamingExtract {
       .withWatermark("warc_ts", watermark)
       .groupBy(window(col("warc_ts"), windowLen), col("lang"))
       .agg(count(lit(1)).as("n_pages"), sum(length(col("html"))).as("payload_bytes"))
+
+  /** Event-time SESSION windows over a keyed event stream — the streaming
+    * twin of [[graft.events.EventOps.sessionize]], built on Spark's native
+    * merging `session_window` state (watermark-expired, so state is
+    * bounded by the live-session horizon, not stream length).
+    *
+    * Semantics vs the batch fold: `session_window` is half-open — an event
+    * landing EXACTLY `gap` after the previous one opens a NEW session
+    * (batch keeps it: `> gap` splits), and the reported `end_us` is
+    * `last_event + gap` rather than the last event time. Parity away from
+    * those boundaries is asserted in StreamingExtractSpec.
+    */
+  def sessionMetrics(events: DataFrame, userCol: String, tsCol: String,
+                     gap: String = "30 minutes", watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(userCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(userCol),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"))
 }

@@ -1,0 +1,68 @@
+package graft
+
+import graft.pipeline.Sharder
+import graft.stats.CorpusStats
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CorpusOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("assignShards: total-weight balance bounded, all shards used, deterministic") {
+    import spark.implicits._
+    val rows = (0L until 4000L).map(i => (i, 10L + i % 200))
+    val d = rows.toDF("doc_id", "w")
+    val a = Sharder.assignShards(d, "doc_id", "w", numShards = 8, bucketWidth = 64, subGroups = 4)
+    val stats = Sharder.shardStats(a, "w").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(stats.map(_._1).sorted.toSeq == (0L until 8L), "all shards populated")
+    assert(stats.map(_._2).sum == 4000L, "every doc assigned exactly once")
+    val totals = stats.map(_._3)
+    // amortizing regime (streams much longer than numShards): spread stays
+    // within a tight relative band of the mean
+    assert(totals.max <= totals.min * 1.10,
+      s"shard totals too skewed: ${totals.mkString(",")}")
+    val b = Sharder.assignShards(d, "doc_id", "w", 8, 64, 4)
+    assert(a.exceptAll(b).isEmpty, "assignment is deterministic")
+  }
+
+  test("assignShards: rare giant documents honor the additive balance bound") {
+    import spark.implicits._
+    // a handful of 5000-weight giants over a small-doc corpus: the giant
+    // bucket's streams are SHORT, so only the additive bound holds —
+    // spread <= max giant weight + numBuckets*subGroups*bucketWidth
+    val rows = (0L until 4000L).map(i => (i, if (i % 997 == 0) 5000L else 10L + i % 200))
+    val d = rows.toDF("doc_id", "w")
+    val a = Sharder.assignShards(d, "doc_id", "w", numShards = 8, bucketWidth = 64, subGroups = 4)
+    val totals = Sharder.shardStats(a, "w").collect().map(_.getLong(2))
+    // giants rarer than shards place balls-into-bins over hashed phases
+    // (see Sharder scaladoc): 5 giants over 8 shards can double up once,
+    // so the bound is TWO giant quanta + the statistical small-doc spread
+    assert(totals.max - totals.min <= 2 * 5000L + 2000L,
+      s"giant regime spread exceeded the bound: ${totals.mkString(",")}")
+    // the per-stream phase offset spreads stream heads: the giants must
+    // not all land on one shard
+    val giantShards = a.filter(col("w") === 5000L).select("shard").as[Long].collect().toSet
+    assert(giantShards.size >= 3, s"giants piled onto shards $giantShards")
+  }
+
+  test("assignShards: within one (bucket,sub) stream, shards cycle round-robin in hash order") {
+    import spark.implicits._
+    val d = (0L until 64L).map(i => (i * 4, 100L)).toDF("doc_id", "w") // one bucket, sub=0
+    val got = Sharder.assignShards(d, "doc_id", "w", numShards = 8, bucketWidth = 64, subGroups = 4)
+      .orderBy(md5($"doc_id".cast("string"))).select("shard").as[Long].collect().toSeq
+    // bucket = 100/64 = 1 -> stream phase (1*31 + 0) % 8 = 7
+    assert(got == (0L until 64L).map(i => (i + 7) % 8))
+  }
+
+  test("quartilesX4: interpolation parity with hand-computed quartiles") {
+    import spark.implicits._
+    // odd count: 1..5 -> q25=2, q50=3, q75=4; even count: 1..4 -> 1.75, 2.5, 3.25
+    val d = ((1 to 5).map(v => ("odd", v.toLong)) ++ (1 to 4).map(v => ("even", v.toLong)))
+      .toDF("g", "v")
+    val got = CorpusStats.quartilesX4(d, "g", "v").collect()
+      .map(r => (r.getString(0), (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got("odd") == ((1L, 8L, 12L, 16L, 5L)))
+    assert(got("even") == ((1L, 7L, 10L, 13L, 4L)))
+  }
+}

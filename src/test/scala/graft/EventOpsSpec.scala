@@ -1,0 +1,77 @@
+package graft
+
+import graft.events.EventOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def events(rows: Seq[(Long, String, Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("user_id", "ts_str", "event_id", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_str"))).drop("ts_str")
+  }
+
+  test("sessionize: splits strictly above the gap, holds at exactly the gap") {
+    // gap = 60s. deltas: 60s (hold), 61s (split), 1s (hold)
+    val e = events(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "view"),
+      (1L, "2024-01-01 00:01:00", 2L, "view"),   // +60s  -> same session
+      (1L, "2024-01-01 00:02:01", 3L, "view"),   // +61s  -> new session
+      (1L, "2024-01-01 00:02:02", 4L, "view"),   // +1s   -> same
+      (2L, "2024-01-01 00:00:00", 5L, "view")))  // other user independent
+    val got = EventOps.sessionize(e, "user_id", "ts", "event_id", 60L * 1000000)
+      .orderBy("user_id", "session_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 1L, 2L), (1L, 2L, 2L), (2L, 1L, 1L)))
+  }
+
+  test("sessionize: every event lands in exactly one session; bounds are real event times") {
+    import spark.implicits._
+    // user i%7; bursts of 3 events 10s apart, bursts 1h apart
+    val e = (0L until 200L).map { i =>
+      val off = (i / 3) * 3600 + (i % 3) * 10
+      (i % 7, 1704067200L + off, i, "view")
+    }.toDF("user_id", "epoch_s", "event_id", "event_type")
+      .withColumn("ts", timestamp_seconds(col("epoch_s"))).drop("epoch_s")
+    val sess = EventOps.sessionize(e, "user_id", "ts", "event_id", 1800L * 1000000)
+    val total = sess.agg(sum("n_events")).collect()(0).getLong(0)
+    assert(total == 200L, "every event in exactly one session")
+    assert(sess.filter(col("end_us") < col("start_us")).count() == 0)
+    // no session spans a gap: (end - start) within a 3-event 10s burst is <= 20s
+    assert(sess.filter(col("end_us") - col("start_us") > 20L * 1000000).count() == 0)
+  }
+
+  test("latestAsOf: brute-force parity and cutoff respected") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = (0L until 500L).map { i =>
+      val sec = rng.nextInt(100000)
+      (i % 23, f"2024-01-0${1 + sec / 86400}%d ${sec / 3600 % 24}%02d:${sec / 60 % 60}%02d:${sec % 60}%02d", i, s"t${i % 3}")
+    }
+    val e = events(rows)
+    val cutoff = 1704100000000000L // 2024-01-01T09:06:40Z
+    val got = EventOps.latestAsOf(e, "user_id", "ts", "event_id", cutoff, Seq("event_type"))
+    // brute force via window rank
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy(desc("ts_us"), desc("event_id"))
+    val exp = e.withColumn("ts_us", unix_micros($"ts".cast("timestamp")))
+      .filter($"ts_us" <= cutoff)
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"user_id", $"ts_us", $"event_id", $"event_type")
+    assert(got.count() == exp.count())
+    assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty)
+    assert(got.filter($"ts_us" > cutoff).count() == 0)
+  }
+
+  test("latestAsOf: equal timestamps break ties by id (deterministic)") {
+    val e = events(Seq(
+      (1L, "2024-01-01 00:00:00", 5L, "a"),
+      (1L, "2024-01-01 00:00:00", 9L, "b"),
+      (1L, "2024-01-01 00:00:00", 2L, "c")))
+    val got = EventOps.latestAsOf(e, "user_id", "ts", "event_id", Long.MaxValue, Seq("event_type"))
+      .collect()(0)
+    assert(got.getLong(2) == 9L && got.getString(3) == "b")
+  }
+}

@@ -131,6 +131,36 @@ class PlanSpec extends AnyFunSuite {
       s"the corpus gram stream must stay map-side:\n$plan")
   }
 
+  test("sessionize: one Exchange feeds both window passes and the rollup") {
+    val plan = finalPlan(SparkEntry.queries("e_sessionize")(spark, "/root/testdata/sf0.01"))
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 1,
+      s"both windows and the session agg must share ONE user-key shuffle:\n$plan")
+  }
+
+  test("latestAsOf is a hash agg with a map-side partial, never a window rank") {
+    val plan = finalPlan(SparkEntry.queries("e_latest_asof")(spark, "/root/testdata/sf0.01"))
+    assert(!plan.contains("Window"),
+      s"the as-of pick must not sort every event under a window:\n$plan")
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 1,
+      s"one shuffle of partially-aggregated (user, max) rows:\n$plan")
+  }
+
+  test("shard packing shuffles once on (bucket, sub), never on a global key") {
+    val plan = finalPlan(SparkEntry.queries("q_shard_pack")(spark, sfDir))
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 1,
+      s"one (bucket, sub) shuffle:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition") && !plan.contains("rangepartitioning"),
+      s"round-robin must not funnel the corpus through one partition or a global sort:\n$plan")
+  }
+
+  test("exact quartiles partial-aggregate map-side (value histograms shuffle, not rows)") {
+    val plan = finalPlan(SparkEntry.queries("t_len_quartiles")(spark, sfDir))
+    assert(plan.contains("ObjectHashAggregate"),
+      s"percentile must run as a typed-imperative hash agg:\n$plan")
+    assert(plan.split("ObjectHashAggregate").length - 1 >= 2,
+      s"expected partial + final aggregation stages:\n$plan")
+  }
+
   test("bloom resume regime: membership test is a codegen'd column predicate, not a typed lambda") {
     val root = Files.createTempDirectory("graft-plan-bloom").toString
     val pages = PagesGen.pages(spark, sfDir).limit(100)

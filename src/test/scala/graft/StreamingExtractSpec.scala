@@ -165,6 +165,39 @@ class StreamingExtractSpec extends AnyFunSuite {
     assert(res.filter($"url".contains("#mirror")).count() == 0)
   }
 
+  test("streaming session windows match the batch sessionizer away from gap boundaries") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gapUs = 1800L * 1000000
+    // bursts of 3 events 10s apart, bursts 1h apart (never exactly at the
+    // 30 min gap, where streaming/batch split semantics legitimately differ)
+    val rows = (0L until 90L).map { i =>
+      (i % 5, 1704067200L + (i / 3) * 3600 + (i % 3) * 10, i)
+    }
+    val mem = MemoryStream[(Long, Long, Long)]
+    val events = mem.toDF().toDF("user_id", "epoch_s", "event_id")
+      .withColumn("ts", timestamp_seconds(col("epoch_s")))
+    val q = StreamingExtract.sessionMetrics(events, "user_id", "ts", gap = "30 minutes")
+      .writeStream.format("memory").queryName("sess_sink").outputMode("complete").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sess_sink")
+        .select($"user_id", $"start_us", $"end_us", $"n_events")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val batch = graft.events.EventOps.sessionize(
+          spark.createDataset(rows).toDF("user_id", "epoch_s", "event_id")
+            .withColumn("ts", timestamp_seconds(col("epoch_s"))),
+          "user_id", "ts", "event_id", gapUs)
+        // streaming session end = last event + gap (half-open window)
+        .select($"user_id", $"start_us", ($"end_us" + gapUs).as("end_us"), $"n_events")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch, s"streaming=$streamed\nbatch=$batch")
+    } finally q.stop()
+  }
+
   test("windowed metrics: event-time windows by lang, counts and bytes add up") {
     import spark.implicits._
     val pages = PagesGen.pages(spark, sfDir).limit(120)
