@@ -77,6 +77,37 @@ object SparkEntry {
     * oracle SQL. */
   private val AsOfCutoffUs: Long = 1705363200000000L
 
+  /** Document text with deterministic duplicate planting for the
+    * incremental-dedup query (mirrored in the oracle SQL): `% 7 == 0` docs
+    * collapse to one shared boilerplate (present in BOTH the committed
+    * index and the new batch), batch-only `% 3 == 0` docs collapse to a
+    * second (present only within the batch).
+    */
+  private def deltaText: Column = {
+    val id = col("doc_id")
+    when(id % 7 === 0, lit("Subscribe to our newsletter. (c) 2024 Synth Crawl Portal."))
+      .when(id % 10 >= 8 && id % 3 === 0, lit("Flash sale! Everything must go."))
+      .otherwise(col("text"))
+  }
+
+  /** Text with deterministic synthetic outlinks appended (mirrored in the
+    * oracle SQL): 1–3 absolute urls per document into the same
+    * site0–12 × {com,org,net} domain space [[synthUrl]] draws page urls
+    * from, so the harvested link graph connects.
+    */
+  private def outlinkText: Column = {
+    val id = col("doc_id")
+    def link(j: Int): Column = {
+      val site = (id * 3 + lit(j * 5 + 1)) % 13
+      val tld = when((id + lit(j)) % 3 === 0, lit(".com"))
+        .when((id + lit(j)) % 3 === 1, lit(".org")).otherwise(lit(".net"))
+      concat(lit(" https://site"), site.cast("string"), tld, lit(s"/p$j"))
+    }
+    concat(col("text"), link(0),
+      when(id % 3 >= 1, link(1)).otherwise(lit("")),
+      when(id % 3 >= 2, link(2)).otherwise(lit("")))
+  }
+
   /** Text with deterministic synthetic PII appended (mirrored in the oracle
     * SQL) so the redaction operator has known e-mails/IPs/phones to find.
     */
@@ -268,6 +299,20 @@ object SparkEntry {
       UrlOps.dropBlockedDomains(docs(s, dir).select(col("doc_id"), synthUrl.as("url")), "url", blocked)
         .select(col("doc_id"), col("domain"))
     }),
+    // outlink harvesting → weighted registered-domain edge list: map-only
+    // regexp harvest + explode, then a (src, dst) count with map-side
+    // partials — the corpus never shuffles, only domain pairs
+    "w_link_graph" -> ((s, dir) =>
+      graft.web.LinkGraph.domainEdges(
+        docs(s, dir).select(synthUrl.as("url"), outlinkText.as("text")), "url", "text")),
+    // fixed-iteration integerized PageRank over the harvested graph: five
+    // join rounds over slim (domain, rank) rows; documents appear only in
+    // the one edge-building pass
+    "w_domain_rank" -> ((s, dir) =>
+      graft.web.LinkGraph.domainRank(
+        graft.web.LinkGraph.domainEdges(
+          docs(s, dir).select(synthUrl.as("url"), outlinkText.as("text")), "url", "text"),
+        iters = 5)),
     // writing-system detection over multi-script synthesis: four
     // replace-and-measure passes + argmax, map-only codegen
     "t_script" -> ((s, dir) => {
@@ -338,6 +383,22 @@ object SparkEntry {
       Dedup.frequentGramStats(docs(s, dir), "doc_id", "text", 8, 2, 50)),
     "d_exact_groups" -> ((s, dir) =>
       Dedup.exactGroups(docs(s, dir), "doc_id", "text")),
+    // incremental (delta) dedup: the new-crawl batch (doc_id % 10 ∈ {8,9})
+    // against the fingerprint index of the committed corpus (% 10 < 8) —
+    // the at-scale shape where the corpus is never re-deduplicated, only
+    // the delta anti-joins a slim key index. Deterministic duplicate texts
+    // (mirrored in the oracle) make BOTH drop arms fire: % 7 == 0 docs
+    // share one boilerplate across index and batch (seen-in-index drop);
+    // batch-only % 3 == 0 docs share another (within-batch keep-min drop).
+    "d_delta_new" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("text", deltaText)
+      val index = d.filter(col("doc_id") % 10 < 8)
+        .select(TextAnalytics.fingerprint(col("text")).as("fp"))
+      Dedup.dropSeenDocuments(
+          d.filter(col("doc_id") % 10 >= 8), "doc_id",
+          TextAnalytics.fingerprint(col("text")), index, "fp")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
     "d_minhash_sig" -> ((s, dir) =>
       Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", 8)
         .withColumnRenamed("id", "doc_id")),
@@ -488,6 +549,11 @@ object SparkEntry {
 
   private val tok = "regexp_split_to_array(trim(text), '\\s+')"
 
+  /** SQL twin of [[TextAnalytics.fingerprint]] over the `text` column,
+    * shared by the fingerprint and incremental-dedup oracles.
+    */
+  private val fpSql = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
   /** Shared CTE chain: the synthetic messy url (twin of [[synthUrl]]) and
     * its canonical decomposition (twin of [[UrlOps.canonicalize]]). The
     * final stage `p5` exposes doc_id, url, text, scheme, host, path, q2
@@ -521,6 +587,56 @@ object SparkEntry {
       |p5 AS (SELECT *,
       |  regexp_replace(regexp_replace('&' || q || '&', '&(utm_[^&]*|gclid=[^&]*|fbclid=[^&]*)', '', 'g'), '^&+|&+$', '', 'g') AS q2,
       |  regexp_extract(regexp_replace(host, ':[0-9]+$', ''), '([^.]+\.[^.]+)$', 1) AS domain FROM p4)""".stripMargin
+
+  /** The synthetic-outlink text expression (twin of [[outlinkText]]).
+    * Single line for the same stripMargin reason as [[piiSqlExpr]].
+    */
+  private val outlinkSqlExpr: String = {
+    def link(j: Int) =
+      s"' https://site' || CAST((doc_id * 3 + ${j * 5 + 1}) % 13 AS VARCHAR) || " +
+        s"(CASE WHEN (doc_id + $j) % 3 = 0 THEN '.com' WHEN (doc_id + $j) % 3 = 1 THEN '.org' ELSE '.net' END) || '/p$j'"
+    s"text || ${link(0)} || (CASE WHEN doc_id % 3 >= 1 THEN ${link(1)} ELSE '' END)" +
+      s" || (CASE WHEN doc_id % 3 >= 2 THEN ${link(2)} ELSE '' END)"
+  }
+
+  /** Shared CTE chain for the link-graph oracles: outlink-augmented text
+    * (`lt`), harvested urls (`hv`, twin of [[graft.web.LinkGraph.harvestUrls]]),
+    * destination registered domains (`dp` — strips fragment/scheme/port like
+    * [[UrlOps.host]] + [[UrlOps.registeredDomain]]; stripping ALL ports is
+    * equivalent to the scheme-conditional strip because registeredDomain
+    * strips any remaining port), and the weighted `edges` list.
+    * Assumes nothing; starts its own chain from [[urlCte]]'s `p5`.
+    */
+  private val linkEdgesCte =
+    s"""$urlCte,
+       |lt AS (SELECT domain AS src, $outlinkSqlExpr AS ltext FROM p5),
+       |hv AS (SELECT src, unnest(regexp_extract_all(ltext, '${graft.web.LinkGraph.UrlPattern}')) AS ourl FROM lt),
+       |nf AS (SELECT src, regexp_replace(ourl, '#.*$$', '') AS u2 FROM hv),
+       |hp AS (SELECT src, split_part(split_part(CASE WHEN instr(u2, '://') = 0 THEN u2 ELSE substr(u2, instr(u2, '://') + 3) END, '/', 1), '?', 1) AS hostport FROM nf),
+       |dp AS (SELECT src, regexp_extract(regexp_replace(lower(hostport), ':[0-9]+$$', ''), '([^.]+\\.[^.]+)$$', 1) AS dst FROM hp),
+       |edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS weight FROM dp GROUP BY 1, 2)""".stripMargin
+
+  /** Unrolled fixed-iteration PageRank (twin of
+    * [[graft.web.LinkGraph.domainRank]]): chained CTEs r0..rN, all integer
+    * arithmetic (`//` in DuckDB = `DIV` in Spark for the non-negative
+    * values here).
+    */
+  private def domainRankSql(iters: Int): String = {
+    val head =
+      s"""WITH $linkEdgesCte,
+         |nodes AS (SELECT DISTINCT domain FROM (SELECT src AS domain FROM edges UNION ALL SELECT dst AS domain FROM edges) t),
+         |pr AS (SELECT CAST(${graft.web.LinkGraph.RankScale} // count(*) AS BIGINT) AS init FROM nodes),
+         |ow AS (SELECT src, CAST(sum(weight) AS BIGINT) AS out_w FROM edges GROUP BY 1),
+         |e2 AS (SELECT e.src, e.dst, e.weight, o.out_w FROM edges e JOIN ow o ON e.src = o.src),
+         |r0 AS (SELECT domain, (SELECT init FROM pr) AS rank_mass FROM nodes)""".stripMargin
+    val iterCtes = (1 to iters).map { k =>
+      s""",
+         |r$k AS (SELECT n.domain, CAST((15 * (SELECT init FROM pr)) // 100 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank_mass
+         |  FROM nodes n LEFT JOIN (SELECT e2.dst AS domain, CAST(sum((r.rank_mass * e2.weight) // e2.out_w) AS BIGINT) AS s
+         |    FROM e2 JOIN r${k - 1} r ON r.domain = e2.src GROUP BY 1) c ON n.domain = c.domain)""".stripMargin
+    }.mkString
+    head + iterCtes + s"\nSELECT domain, rank_mass FROM r$iters"
+  }
 
   /** Space-joined word-8-gram over a token-array column `ws` at position
     * `i` — the SQL twin of [[Dedup.shingles]] at n=8, shared by every
@@ -745,6 +861,10 @@ object SparkEntry {
       s"""WITH $urlCte
          |SELECT doc_id, domain FROM p5
          |WHERE domain NOT IN (${BlockedDomains.map(d => s"'$d'").mkString(", ")})""".stripMargin,
+    "w_link_graph" ->
+      s"""WITH $linkEdgesCte
+         |SELECT src, dst, weight FROM edges""".stripMargin,
+    "w_domain_rank" -> domainRankSql(5),
     "t_script" ->
       """WITH t AS (SELECT doc_id,
         |  text || ' ' || substr('中文漢字中文漢字中文漢字', 1, (doc_id % 4) * 4)
@@ -905,7 +1025,7 @@ object SparkEntry {
         |FROM documents d JOIN rates r USING (source, lang)
         |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < r.rate_bp""".stripMargin,
     "t_fingerprint" ->
-      "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM documents",
+      s"SELECT doc_id, $fpSql AS fp FROM documents",
     "t_quality" ->
       s"""SELECT doc_id,
          |  CAST(length(text) AS BIGINT) AS chars,
@@ -934,6 +1054,18 @@ object SparkEntry {
     },
     "d_exact_groups" ->
       "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY 1",
+    "d_delta_new" ->
+      s"""WITH dt AS (SELECT doc_id, source, n_chars,
+         |  CASE WHEN doc_id % 7 = 0 THEN 'Subscribe to our newsletter. (c) 2024 Synth Crawl Portal.'
+         |       WHEN doc_id % 10 >= 8 AND doc_id % 3 = 0 THEN 'Flash sale! Everything must go.'
+         |       ELSE text END AS text FROM documents),
+         |f AS (SELECT doc_id, source, n_chars, $fpSql AS fp FROM dt),
+         |idx AS (SELECT DISTINCT fp FROM f WHERE doc_id % 10 < 8),
+         |b AS (SELECT * FROM f WHERE doc_id % 10 >= 8),
+         |fst AS (SELECT fp, min(doc_id) AS doc_id FROM b GROUP BY 1)
+         |SELECT b.doc_id, b.source, b.n_chars FROM b
+         |JOIN fst ON b.doc_id = fst.doc_id
+         |WHERE NOT EXISTS (SELECT 1 FROM idx WHERE idx.fp = b.fp)""".stripMargin,
     "d_freq_grams" ->
       s"""WITH w AS (SELECT doc_id, $tok AS ws FROM documents),
          |g AS (SELECT DISTINCT doc_id, md5(

@@ -52,6 +52,36 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  // ---------------------------------------------------------- incremental
+
+  /** Incremental (delta) dedup: keep only the genuinely-NEW documents of a
+    * crawl batch, given the duplicate-key index of the already-committed
+    * corpus. A document survives iff (a) it is the first (min-id) holder of
+    * its key WITHIN the batch and (b) its key is absent from the index.
+    *
+    * This is how dedup actually runs at the 10^12-row design point: the
+    * committed corpus is never re-scanned. A slim key index (one 32-hex
+    * fingerprint per committed document) is maintained alongside the
+    * snapshot — the same shape as the resume cache in
+    * [[graft.job.ExtractJob]], which anti-joins urls instead of content
+    * keys — and each crawl delta is checked against it. All dedup work
+    * happens on slim (id, key) rows: the batch projects to (id, key),
+    * collapses to its min-id survivor per key (map-side partial `min`),
+    * anti-joins the index on the constant-width key, and only the
+    * surviving ids pull their payload back via a semi-join. Document
+    * bodies never shuffle on the content key; with both the index and the
+    * batch bucketed by key the anti-join is co-located and shuffle-free.
+    */
+  def dropSeenDocuments(batch: DataFrame, idCol: String, key: Column,
+                        index: DataFrame, indexKeyCol: String): DataFrame = {
+    val firstInBatch = batch.select(col(idCol), key.as("graft_fp"))
+      .groupBy(col("graft_fp")).agg(min(col(idCol)).as(idCol))
+    val novel = firstInBatch
+      .join(index.select(col(indexKeyCol).as("graft_fp")).distinct(), Seq("graft_fp"), "left_anti")
+      .select(col(idCol))
+    batch.join(novel, Seq(idCol), "left_semi")
+  }
+
   // ------------------------------------------------------------- shingles
 
   /** Word n-gram shingles (space-joined), 1-indexed positions to match the

@@ -27,6 +27,24 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L, 2L))
   }
 
+  test("incremental dedup: drops index hits and within-batch dups, keeps novel docs") {
+    import spark.implicits._
+    // committed corpus holds "aaa"; the new batch re-crawls it (11, 14),
+    // carries an internal duplicate ("bbb" at 12 < 13), and one novel doc
+    val index = Seq("aaa").map(t => Tuple1(md5Hex(t))).toDF("fp")
+    val batch = df(11L -> "aaa", 12L -> "bbb", 13L -> "bbb", 14L -> "aaa", 15L -> "ccc")
+    val kept = Dedup.dropSeenDocuments(batch, "doc_id",
+        org.apache.spark.sql.functions.md5(org.apache.spark.sql.functions.col("text")),
+        index, "fp")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(12L, 15L),
+      "min-id batch survivor per key, minus keys already committed")
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
   test("shingles: 3-grams in order; short text → empty") {
     import spark.implicits._
     val sh = Seq("a b c d e").toDF("text")

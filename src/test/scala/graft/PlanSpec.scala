@@ -161,6 +161,25 @@ class PlanSpec extends AnyFunSuite {
       s"expected partial + final aggregation stages:\n$plan")
   }
 
+  test("link graph: one (src, dst) exchange with map-side partial counts; corpus stays map-only") {
+    val plan = finalPlan(SparkEntry.queries("w_link_graph")(spark, sfDir))
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 1,
+      s"harvest + explode + domain projection must stay map-side of ONE edge-key shuffle:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial, [count"),
+      s"edge weights must partial-aggregate before the exchange:\n$plan")
+  }
+
+  test("delta dedup: index anti-join and batch dedup run on slim keys, payload joins back by id") {
+    val plan = finalPlan(SparkEntry.queries("d_delta_new")(spark, sfDir))
+    assert(!plan.contains("Exchange SinglePartition") && !plan.contains("rangepartitioning"),
+      s"no global funnel in the delta path:\n$plan")
+    // the payload columns ride only the final LeftSemi by doc_id — no
+    // shuffle carries `source`/`n_chars` keyed by fingerprint
+    val fpExchanges = plan.split("Exchange hashpartitioning\\(graft_fp").toSeq.tail
+    assert(fpExchanges.forall(s => !s.takeWhile(_ != ')').contains("source")),
+      s"fingerprint-keyed exchanges must carry (id, fp) only:\n$plan")
+  }
+
   test("bloom resume regime: membership test is a codegen'd column predicate, not a typed lambda") {
     val root = Files.createTempDirectory("graft-plan-bloom").toString
     val pages = PagesGen.pages(spark, sfDir).limit(100)

@@ -205,4 +205,55 @@ class WebCorpusSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     assert(Decontaminate.overlap(corpus, "doc_id", "text", bench, "bench_text", 8).count() == 0)
   }
+
+  test("link graph: urls harvested out of text, edges weighted by outlink count") {
+    import spark.implicits._
+    val d = Seq(
+      (s"https://a.com/p", "see https://b.org/x and https://b.org/y plus http://c.net:8080/z#f"),
+      (s"https://a.com/q", "again https://b.org/z, no other links"),
+      (s"http://b.org/home", "loop https://b.org/self")).toDF("url", "text")
+    val edges = graft.web.LinkGraph.domainEdges(d, "url", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // trailing ',' after b.org/z is not url-class, so the match ends cleanly;
+    // the :8080 port never leaks into c.net's registered domain
+    assert(edges == Map(("a.com", "b.org") -> 3L, ("a.com", "c.net") -> 1L,
+      ("b.org", "b.org") -> 1L))
+  }
+
+  test("domainRank: hand-computed integerized PageRank on a 2-node graph") {
+    import spark.implicits._
+    // a → b (weight 1), b → a (weight 1): symmetric, so every iteration
+    // keeps rank = init for both nodes (15% base + 85% of a full share)
+    val sym = Seq(("a.com", "b.org", 1L), ("b.org", "a.com", 1L)).toDF("src", "dst", "weight")
+    val init = graft.web.LinkGraph.RankScale / 2
+    val expect = (15L * init) / 100 + (85L * init) / 100 // integer-rounding drift only
+    val ranks = graft.web.LinkGraph.domainRank(sym, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ranks.keySet == Set("a.com", "b.org"))
+    assert(ranks.values.toSet.size == 1, s"symmetric graph must rank equally: $ranks")
+    assert(ranks("a.com") == expect, s"got ${ranks("a.com")}, want $expect")
+  }
+
+  test("domainRank: star graph ranks the hub above the leaves; mass never exceeds scale") {
+    import spark.implicits._
+    val star = (1 to 6).map(i => (s"leaf$i.com", "hub.org", 1L)).toDF("src", "dst", "weight")
+    val ranks = graft.web.LinkGraph.domainRank(star, iters = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ranks.size == 7)
+    val hub = ranks("hub.org")
+    assert((1 to 6).forall(i => ranks(s"leaf$i.com") < hub), s"hub must dominate: $ranks")
+    assert(ranks.values.forall(_ > 0) && ranks.values.sum <= graft.web.LinkGraph.RankScale,
+      s"integerized mass is conservative (dangling hub leaks): $ranks")
+  }
+
+  test("domainRank: deterministic across parallelism levels") {
+    import spark.implicits._
+    val edges = (0 until 40).map { i =>
+      (s"s${i % 7}.com", s"s${(i * 3 + 1) % 7}.com", 1L + i % 4)
+    }.toDF("src", "dst", "weight")
+    val r1 = graft.web.LinkGraph.domainRank(edges.repartition(1), iters = 4)
+    val r8 = graft.web.LinkGraph.domainRank(edges.repartition(8), iters = 4)
+    assert(r1.exceptAll(r8).isEmpty && r8.exceptAll(r1).isEmpty,
+      "integer PageRank must be bit-identical at any parallelism")
+  }
 }
