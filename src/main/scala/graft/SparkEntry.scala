@@ -359,6 +359,24 @@ object SparkEntry {
       graft.pipeline.Sharder.assignShards(weighted, "doc_id", "n_tokens",
         numShards = 8, bucketWidth = 64, subGroups = 4)
     }),
+    // token-budget sequence packing (trainer feed): ONE stream-key
+    // Exchange, prefix-sum + offset windows share its sort, bins from
+    // integer DIV — docs never split, bins within one doc of capacity
+    "q_seq_pack" -> ((s, dir) => {
+      val weighted = docs(s, dir).select(col("doc_id"),
+        TextAnalytics.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.pipeline.SeqPacker.packSequences(weighted, "doc_id", "n_tokens",
+        capacity = 256L, streams = 4)
+    }),
+    // per-registered-domain quota (≤ 5 docs, hash-order subsample): exact
+    // two-phase top-k — sub-stream prefilter bounds the mega-domain hot
+    // key; the one-phase oracle proves the prefilter changes nothing
+    "w_domain_cap" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), synthUrl.as("url"))
+      UrlOps.capPerDomain(d, "url", "doc_id", maxPerDomain = 5, subStreams = 4)
+        .select(col("doc_id"),
+          UrlOps.registeredDomain(UrlOps.host(col("url"))).as("domain"))
+    }),
     // per-source length distribution (exact quartiles, ×4-integerized so
     // the interpolated values hash engine-portably)
     "t_len_quartiles" -> ((s, dir) =>
@@ -865,6 +883,23 @@ object SparkEntry {
       s"""WITH $linkEdgesCte
          |SELECT src, dst, weight FROM edges""".stripMargin,
     "w_domain_rank" -> domainRankSql(5),
+    "w_domain_cap" ->
+      s"""WITH $urlCte,
+         |r AS (SELECT doc_id, domain,
+         |  row_number() OVER (PARTITION BY domain ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+         |FROM p5)
+         |SELECT doc_id, domain FROM r WHERE rn <= 5""".stripMargin,
+    "q_seq_pack" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tok) END AS BIGINT) AS n_tokens
+         |FROM documents),
+         |s AS (SELECT doc_id, n_tokens, CAST(doc_id % 4 AS BIGINT) AS stream,
+         |  COALESCE(SUM(n_tokens) OVER (PARTITION BY doc_id % 4
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR))
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM t)
+         |SELECT doc_id, n_tokens, stream,
+         |  CAST(cum // 256 AS BIGINT) AS seq_no,
+         |  CAST(cum % 256 AS BIGINT) AS seq_offset FROM s""".stripMargin,
     "t_script" ->
       """WITH t AS (SELECT doc_id,
         |  text || ' ' || substr('中文漢字中文漢字中文漢字', 1, (doc_id % 4) * 4)

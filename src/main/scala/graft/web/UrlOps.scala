@@ -27,6 +27,44 @@ import org.apache.spark.sql.functions._
   */
 object UrlOps {
 
+  /** Cap the corpus at `maxPerDomain` documents per registered domain —
+    * the curation gate that stops one mega-domain from dominating a
+    * training mix. The kept set is DETERMINISTIC and crawl-order-free:
+    * the `maxPerDomain` smallest `md5(id)` values within each domain
+    * (hash order, so the subsample is unbiased w.r.t. anything correlated
+    * with id or crawl position).
+    *
+    * Scale shape — the naive formulation (one window over `domain`) makes
+    * every mega-domain a hot key: 10^9 rows of one domain funnel through
+    * a single partition's sort. This runs an EXACT two-phase top-k
+    * instead: phase 1 ranks within (domain, id % subStreams) — key space
+    * scales with subStreams — and keeps `maxPerDomain` per sub-stream,
+    * which is a correct prefilter (a row among the k smallest of its
+    * domain is among the k smallest of any subset containing it); phase 2
+    * ranks the ≤ subStreams × maxPerDomain survivors per domain, a
+    * bounded input no matter how large the domain. Both phases move only
+    * rows that are still candidates.
+    */
+  def capPerDomain(df: DataFrame, urlCol: String, idCol: String,
+                   maxPerDomain: Int, subStreams: Int = 16): DataFrame = {
+    require(maxPerDomain > 0 && subStreams > 0,
+      s"maxPerDomain/subStreams must be positive, got $maxPerDomain/$subStreams")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df
+      .withColumn("graft_dom", registeredDomain(host(col(urlCol))))
+      .withColumn("graft_key", md5(col(idCol).cast("string")))
+    val pre = Window
+      .partitionBy(col("graft_dom"), pmod(col(idCol), lit(subStreams.toLong)))
+      .orderBy(col("graft_key"))
+    val fin = Window.partitionBy(col("graft_dom")).orderBy(col("graft_key"))
+    keyed
+      .withColumn("graft_rn", row_number().over(pre))
+      .filter(col("graft_rn") <= maxPerDomain)
+      .withColumn("graft_rn", row_number().over(fin))
+      .filter(col("graft_rn") <= maxPerDomain)
+      .drop("graft_rn", "graft_key", "graft_dom")
+  }
+
   /** Query-string parameters stripped during canonicalization (tracking
     * parameters that do not affect page content). Matched as a whole
     * `&`-delimited token: the class `[^&]*` consumes to the next delimiter,

@@ -55,6 +55,40 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got == (0L until 64L).map(i => (i + 7) % 8))
   }
 
+  test("packSequences: every doc assigned once; non-last bins filled within one doc of capacity") {
+    import spark.implicits._
+    val cap = 100L
+    val rows = (0L until 3000L).map(i => (i, 1L + (i * 7) % 40)) // weights 1..40
+    val maxW = rows.map(_._2).max
+    val d = rows.toDF("doc_id", "w")
+    val p = graft.pipeline.SeqPacker.packSequences(d, "doc_id", "w", cap, streams = 4)
+    assert(p.count() == 3000L, "every doc assigned exactly once")
+    assert(p.filter(col("seq_offset") >= cap || col("seq_offset") < 0).count() == 0)
+    val stats = graft.pipeline.SeqPacker.sequenceStats(p, "w")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val lastSeq = stats.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    stats.foreach { case (stream, seq, total) =>
+      assert(total <= cap + maxW - 1, s"bin ($stream,$seq) overflows beyond one doc: $total")
+      if (seq != lastSeq(stream))
+        assert(total >= cap - maxW + 1, s"non-last bin ($stream,$seq) underfilled: $total")
+    }
+  }
+
+  test("packSequences: deterministic across parallelism; giant doc owns its bin span") {
+    import spark.implicits._
+    val d = (0L until 500L).map(i => (i, if (i == 250L) 900L else 10L)).toDF("doc_id", "w")
+    val a = graft.pipeline.SeqPacker.packSequences(d.repartition(1), "doc_id", "w", 100L, 4)
+    val b = graft.pipeline.SeqPacker.packSequences(d.repartition(16), "doc_id", "w", 100L, 4)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, "bit-identical at any parallelism")
+    // the 900-weight giant spans 9 capacity units: no other doc shares a
+    // seq_no strictly inside its span
+    val g = a.filter($"doc_id" === 250L).select($"stream", $"seq_no", $"seq_offset")
+      .as[(Long, Long, Long)].head()
+    val inside = a.filter($"stream" === g._1 && $"doc_id" =!= 250L &&
+      $"seq_no" > g._2 && $"seq_no" < g._2 + (g._3 + 900L) / 100L).count()
+    assert(inside == 0, "bins covered by the giant's span stay empty")
+  }
+
   test("quartilesX4: interpolation parity with hand-computed quartiles") {
     import spark.implicits._
     // odd count: 1..5 -> q25=2, q50=3, q75=4; even count: 1..4 -> 1.75, 2.5, 3.25

@@ -180,6 +180,22 @@ class PlanSpec extends AnyFunSuite {
       s"fingerprint-keyed exchanges must carry (id, fp) only:\n$plan")
   }
 
+  test("sequence packing: one stream-key exchange shared by both window passes") {
+    val plan = finalPlan(SparkEntry.queries("q_seq_pack")(spark, sfDir))
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 1,
+      s"prefix-sum and offset windows must share ONE stream shuffle:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition") && !plan.contains("rangepartitioning"),
+      s"no global funnel:\n$plan")
+  }
+
+  test("domain cap: two bounded exchanges (sub-stream prefilter, then per-domain rank), no funnel") {
+    val plan = finalPlan(SparkEntry.queries("w_domain_cap")(spark, sfDir))
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 2,
+      s"exactly the prefilter and final-rank shuffles:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition") && !plan.contains("rangepartitioning"),
+      s"no global funnel:\n$plan")
+  }
+
   test("bloom resume regime: membership test is a codegen'd column predicate, not a typed lambda") {
     val root = Files.createTempDirectory("graft-plan-bloom").toString
     val pages = PagesGen.pages(spark, sfDir).limit(100)

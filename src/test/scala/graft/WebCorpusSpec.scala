@@ -246,6 +246,29 @@ class WebCorpusSpec extends AnyFunSuite {
       s"integerized mass is conservative (dangling hub leaks): $ranks")
   }
 
+  test("capPerDomain: keeps exactly the k smallest md5(id) per domain; prefilter changes nothing") {
+    import spark.implicits._
+    val d = (0L until 90L).map(i => (i, s"https://d${i % 3}.com/p$i")).toDF("doc_id", "url")
+    val capped = UrlOps.capPerDomain(d, "url", "doc_id", maxPerDomain = 4, subStreams = 7)
+    val kept = capped.select("doc_id").as[Long].collect().toSet
+    assert(capped.count() == 12, "3 domains x cap 4")
+    // reference: k smallest md5 per domain, computed driver-side
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = (0L until 90L).groupBy(_ % 3)
+      .flatMap { case (_, ids) => ids.sortBy(i => md5hex(i.toString)).take(4) }.toSet
+    assert(kept == expect, s"hash-order subsample mismatch: $kept vs $expect")
+    val onePhase = UrlOps.capPerDomain(d, "url", "doc_id", 4, subStreams = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(onePhase == kept, "the sub-stream prefilter must be semantics-free")
+  }
+
+  test("capPerDomain: domains under the cap keep everything") {
+    import spark.implicits._
+    val d = (0L until 6L).map(i => (i, s"https://d$i.org/x")).toDF("doc_id", "url")
+    assert(UrlOps.capPerDomain(d, "url", "doc_id", 5).count() == 6)
+  }
+
   test("domainRank: deterministic across parallelism levels") {
     import spark.implicits._
     val edges = (0 until 40).map { i =>
