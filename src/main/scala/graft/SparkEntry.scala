@@ -239,6 +239,29 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("lang"),
           graft.sample.Sampler.bucket10k(col("doc_id")).cast("long").as("bucket_bp"))
     }),
+    // mixture construction: sample each source down to a TOKEN budget
+    // (broadcast budgets; ONE (stratum, sub-stream) exchange — a
+    // mega-stratum never funnels through one sort)
+    "q_sample_budget" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        TextAnalytics.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val budgets = d.select(col("source")).distinct()
+        .withColumn("budget",
+          when(length(col("source")) === 4, lit(601L)).otherwise(lit(350L)))
+      graft.sample.Sampler.sampleToTokenBudget(d, budgets, "doc_id",
+        "source", "n_tokens", subStreams = 4)
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+    }),
+    // mixture construction, up direction: fractional-epoch repeats
+    // (broadcast epochs; map-only explode — ZERO shuffle)
+    "q_sample_epochs" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"))
+      val epochs = d.select(col("source")).distinct()
+        .withColumn("epochs_bp",
+          when(length(col("source")) === 4, lit(25000L)).otherwise(lit(5000L)))
+      graft.sample.Sampler.upsampleByEpochs(d, epochs, "doc_id", "source")
+        .select(col("doc_id"), col("source"), col("copy"))
+    }),
     "t_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextAnalytics.fingerprint(col("text")).as("fp"))),
     "t_quality" -> ((s, dir) =>
@@ -1059,6 +1082,32 @@ object SparkEntry {
         |  ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS bucket_bp
         |FROM documents d JOIN rates r USING (source, lang)
         |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < r.rate_bp""".stripMargin,
+    "q_sample_budget" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tok) END AS BIGINT) AS n_tokens
+         |FROM documents),
+         |b AS (SELECT DISTINCT source,
+         |  CAST(CASE WHEN length(source) = 4 THEN 601 ELSE 350 END AS BIGINT) AS budget FROM documents),
+         |s AS (SELECT t.doc_id, t.source, t.n_tokens, b.budget,
+         |  ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 9, 8))::BIGINT % 4 AS sub,
+         |  COALESCE(SUM(t.n_tokens) OVER (
+         |    PARTITION BY t.source, ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 9, 8))::BIGINT % 4
+         |    ORDER BY md5(CAST(t.doc_id AS VARCHAR))
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |FROM t JOIN b USING (source))
+         |SELECT doc_id, source, n_tokens FROM s
+         |WHERE cum < budget // 4 + CASE WHEN sub < budget % 4 THEN 1 ELSE 0 END""".stripMargin,
+    "q_sample_epochs" ->
+      """WITH b AS (SELECT DISTINCT source,
+        |  CAST(CASE WHEN length(source) = 4 THEN 25000 ELSE 5000 END AS BIGINT) AS epochs_bp
+        |FROM documents),
+        |s AS (SELECT d.doc_id, d.source,
+        |  b.epochs_bp // 10000 + CASE WHEN
+        |    ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < b.epochs_bp % 10000
+        |  THEN 1 ELSE 0 END AS n_copies
+        |FROM documents d JOIN b USING (source))
+        |SELECT s.doc_id, s.source, u.copy
+        |FROM s, LATERAL UNNEST(generate_series(0, CAST(s.n_copies - 1 AS BIGINT))) AS u(copy)""".stripMargin,
     "t_fingerprint" ->
       s"SELECT doc_id, $fpSql AS fp FROM documents",
     "t_quality" ->

@@ -27,6 +27,16 @@ object Sampler {
   def bucket10k(id: Column): Column =
     (conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % 10000).cast("int")
 
+  /** Deterministic sub-stream in [0, n) from md5 hex chars 9–16 — a hash
+    * window, NOT `id % n`: ids are routinely assigned round-robin by
+    * source, so `id % n` can correlate with a stratum and starve
+    * sub-streams. Chars 9–16 keep it independent of [[bucket10k]]
+    * (chars 1–8), so budget sampling composes with rate sampling.
+    * Portable: `('0x' || substr(md5(id::varchar), 9, 8))::BIGINT % n`.
+    */
+  def subStream(id: Column, n: Int): Column =
+    pmod(conv(substring(md5(id.cast("string")), 9, 8), 16, 10).cast("long"), lit(n.toLong))
+
   /** Keep rows whose md5 bucket falls under their stratum's rate.
     *
     * @param rates one row per stratum: the join keys in `strataCols`
@@ -37,4 +47,87 @@ object Sampler {
       strataCols: Seq[String]): DataFrame =
     docs.join(broadcast(rates), strataCols)
       .where(bucket10k(col(idCol)) < col("rate_bp"))
+
+  /** Sample each stratum down to a TOKEN budget — the mixture-construction
+    * step of a training run ("x billion tokens of web, y of code"), where
+    * the unit that matters is tokens, not documents, so a per-document
+    * rate cannot express it.
+    *
+    * Semantics: within each (stratum, [[subStream]]) sub-stream — the
+    * sub-stream is a HASH of the id, not `id % n`, so id-assignment
+    * schemes that correlate with strata cannot starve a sub-stream —
+    * documents are taken in `md5(id)` order (hash order — unbiased
+    * w.r.t. crawl position or anything correlated with id) until the
+    * sub-stream's share of the budget is spent; the document straddling
+    * the boundary is KEPT, so each sub-stream overshoots its share by
+    * less than one document. Shares are `budget DIV subStreams`, with the
+    * remainder dealt one token each to the lowest sub-streams, so shares
+    * sum exactly to `budget`. Bound, stated plainly: if every sub-stream
+    * holds at least its share of tokens, total kept weight is in
+    * `[budget, budget + subStreams × maxDocWeight)`; a starved sub-stream
+    * keeps everything it has (it cannot borrow another stream's budget —
+    * the price of never funneling a stratum through one sort).
+    *
+    * Scale shape: `budgets` is one row per stratum and broadcast; the
+    * corpus takes ONE Exchange on (stratum, sub-stream) — key space =
+    * strata × subStreams, tuned to the cluster, so a mega-stratum never
+    * becomes a single-partition sort — then an in-partition prefix-sum
+    * window and a codegen'd filter. All arithmetic is BIGINT DIV/mod,
+    * replayed bit-for-bit by the DuckDB oracle.
+    *
+    * @param budgets one row per stratum: `stratumCol` plus `budget`
+    *                (tokens, BIGINT ≥ 0); must be small — it is broadcast.
+    * @param weightCol per-document token count (BIGINT ≥ 0).
+    */
+  def sampleToTokenBudget(docs: DataFrame, budgets: DataFrame, idCol: String,
+      stratumCol: String, weightCol: String, subStreams: Int = 16): DataFrame = {
+    require(subStreams > 0, s"subStreams must be positive, got $subStreams")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol), col("graft_sub"))
+      .orderBy(md5(col(idCol).cast("string")))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.join(broadcast(budgets), Seq(stratumCol))
+      .withColumn("graft_sub", subStream(col(idCol), subStreams))
+      .withColumn("graft_cum", coalesce(sum(col(weightCol)).over(w), lit(0L)))
+      .withColumn("graft_share",
+        expr(s"budget DIV ${subStreams}L") +
+          when(col("graft_sub") < expr(s"budget % ${subStreams}L"), lit(1L))
+            .otherwise(lit(0L)))
+      .where(col("graft_cum") < col("graft_share"))
+      .drop("graft_sub", "graft_cum", "graft_share", "budget")
+  }
+
+  /** Up-sample strata by FRACTIONAL epoch counts — the other half of
+    * mixture construction (training recipes repeat high-quality sources:
+    * "2.5 epochs of wiki, 0.5 of crawl"). Each document appears
+    * `floor(epochs)` times, plus one more copy iff its [[bucket10k]]
+    * bucket falls under the fractional part — so a stratum at 2.5 epochs
+    * emits every document twice and a uniform, deterministic half of them
+    * a third time. Epochs are in basis points (25000 = 2.5) to keep the
+    * arithmetic integer and engine-portable; 0 bp drops the stratum.
+    *
+    * Output adds a `copy` column (0-based repeat index) so downstream
+    * feed stages (shard packing, sequence packing) can keep copies apart.
+    *
+    * Scale shape: `epochs` is one row per stratum and broadcast; the
+    * repeat is a map-only `explode(sequence(...))` — ZERO shuffle, no
+    * skew (each row fans out by its own small factor), and the output
+    * keeps the input's partitioning. The `sequence` bounds are guarded so
+    * a 0-copy row yields an empty array, never a descending sequence.
+    *
+    * @param epochs one row per stratum: `stratumCol` plus `epochs_bp`
+    *               (basis points ≥ 0); must be small — it is broadcast.
+    */
+  def upsampleByEpochs(docs: DataFrame, epochs: DataFrame, idCol: String,
+      stratumCol: String): DataFrame = {
+    val base = expr("epochs_bp DIV 10000L")
+    val extra = when(bucket10k(col(idCol)) < expr("epochs_bp % 10000L"), lit(1L))
+      .otherwise(lit(0L))
+    docs.join(broadcast(epochs), Seq(stratumCol))
+      .withColumn("graft_copies", base + extra)
+      .where(col("graft_copies") > 0)
+      .withColumn("copy",
+        explode(sequence(lit(0L), col("graft_copies") - 1)))
+      .drop("graft_copies", "epochs_bp")
+  }
 }

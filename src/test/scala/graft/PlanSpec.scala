@@ -188,6 +188,28 @@ class PlanSpec extends AnyFunSuite {
       s"no global funnel:\n$plan")
   }
 
+  test("token-budget sampling: broadcast budgets; corpus shuffles once on (stratum, sub-stream)") {
+    val plan = finalPlan(SparkEntry.queries("q_sample_budget")(spark, sfDir))
+    assert(plan.contains("BroadcastExchange"),
+      s"budgets must broadcast, not shuffle the corpus for the join:\n$plan")
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 2,
+      s"exactly the budgets-distinct agg and the (stratum, sub) window shuffle:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition") && !plan.contains("rangepartitioning"),
+      s"no global funnel:\n$plan")
+  }
+
+  test("epoch up-sampling: map-only explode — the corpus never shuffles") {
+    val plan = finalPlan(SparkEntry.queries("q_sample_epochs")(spark, sfDir))
+    assert(plan.contains("BroadcastExchange"),
+      s"epochs must broadcast:\n$plan")
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 1,
+      s"only the epochs-distinct agg may shuffle; the repeat itself is map-only:\n$plan")
+    assert(plan.contains("Generate explode"),
+      s"the repeat must be an explode, not a join against a series table:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition") && !plan.contains("rangepartitioning"),
+      s"no global funnel:\n$plan")
+  }
+
   test("domain cap: two bounded exchanges (sub-stream prefilter, then per-domain rank), no funnel") {
     val plan = finalPlan(SparkEntry.queries("w_domain_cap")(spark, sfDir))
     assert(plan.split("Exchange hashpartitioning").length - 1 == 2,

@@ -31,4 +31,72 @@ class SamplerSpec extends AnyFunSuite {
     assert(half.subsetOf(run(7000, 0)))
     assert(run(10000, 10000).size == 1000)
   }
+
+  test("sampleToTokenBudget: per-sub-stream shares sum to budget; overshoot under one doc each") {
+    import spark.implicits._
+    val subStreams = 4
+    val docs = (0L until 800L)
+      .map(i => (i, if (i % 2 == 0) "a" else "b", 1L + (i * 13) % 29)) // weights 1..29
+      .toDF("id", "s", "w")
+    val budgets = Seq(("a", 1003L), ("b", 350L)).toDF("s", "budget")
+    val kept = Sampler.sampleToTokenBudget(docs, budgets, "id", "s", "w", subStreams)
+    assert(kept.columns.toSeq == Seq("s", "id", "w"), "helper columns dropped")
+    val perSub = kept.groupBy($"s", Sampler.subStream($"id", subStreams).as("sub"))
+      .agg(sum($"w").as("kw")).as[(String, Long, Long)].collect()
+    val maxW = 29L
+    perSub.foreach { case (s, sub, kw) =>
+      val budget = if (s == "a") 1003L else 350L
+      val share = budget / subStreams + (if (sub < budget % subStreams) 1L else 0L)
+      assert(kw >= share && kw < share + maxW,
+        s"($s,$sub) kept $kw outside [share, share+maxDoc) = [$share, ${share + maxW})")
+    }
+    // shares sum exactly to the budget -> stratum totals land in [budget, budget + 4*maxW)
+    val byStratum = perSub.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(byStratum("a") >= 1003L && byStratum("a") < 1003L + 4 * maxW)
+    assert(byStratum("b") >= 350L && byStratum("b") < 350L + 4 * maxW)
+  }
+
+  test("sampleToTokenBudget: deterministic across parallelism; zero budget keeps nothing; big budget keeps all") {
+    import spark.implicits._
+    val docs = (0L until 300L).map(i => (i, "a", 10L)).toDF("id", "s", "w")
+    val z = Sampler.sampleToTokenBudget(docs, Seq(("a", 0L)).toDF("s", "budget"), "id", "s", "w", 4)
+    assert(z.count() == 0)
+    val all = Sampler.sampleToTokenBudget(docs, Seq(("a", 1000000L)).toDF("s", "budget"), "id", "s", "w", 4)
+    assert(all.count() == 300)
+    val budgets = Seq(("a", 777L)).toDF("s", "budget")
+    val a = Sampler.sampleToTokenBudget(docs.repartition(1), budgets, "id", "s", "w", 4)
+    val b = Sampler.sampleToTokenBudget(docs.repartition(16), budgets, "id", "s", "w", 4)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, "bit-identical at any parallelism")
+  }
+
+  test("upsampleByEpochs: floor copies for all, fractional extra for a uniform md5 subset") {
+    import spark.implicits._
+    val docs = (0L until 1000L).map(i => (i, if (i % 2 == 0) "hi" else "lo")).toDF("id", "s")
+    val epochs = Seq(("hi", 25000L), ("lo", 5000L)).toDF("s", "epochs_bp")
+    val out = Sampler.upsampleByEpochs(docs, epochs, "id", "s").cache()
+    assert(out.columns.toSeq == Seq("s", "id", "copy"))
+    val perDoc = out.groupBy($"id", $"s").agg(count(lit(1)).as("n"), max($"copy").as("mx"))
+      .as[(Long, String, Long, Long)].collect()
+    perDoc.foreach { case (id, s, n, mx) =>
+      assert(mx == n - 1, s"copy must be a dense 0-based index for $id")
+      if (s == "hi") assert(n == 2 || n == 3, s"2.5 epochs -> 2 or 3 copies, got $n for $id")
+      else assert(n == 1, s"0.5 epochs -> fractional only, got $n for $id")
+    }
+    // uniformity (loose): ~50% of "hi" docs get the third copy; ~50% of "lo" docs survive
+    val hi3 = perDoc.count { case (_, s, n, _) => s == "hi" && n == 3 }
+    val lo = perDoc.count(_._2 == "lo")
+    assert(hi3 > 175 && hi3 < 325, s"third-copy share off: $hi3/500")
+    assert(lo > 175 && lo < 325, s"0.5-epoch survivor share off: $lo/500")
+    // the fractional keep/extra decision is bucket10k — same subset as rate sampling
+    val extras = perDoc.filter { case (_, s, n, _) => s == "hi" && n == 3 }.map(_._1).toSet
+    val byBucket = docs.filter($"s" === "hi")
+      .where(Sampler.bucket10k($"id") < 5000).select("id").as[Long].collect().toSet
+    assert(extras == byBucket, "fractional copy must reuse the md5 bucket decision")
+    // zero epochs drops the stratum; determinism across parallelism
+    val none = Sampler.upsampleByEpochs(docs, Seq(("hi", 0L), ("lo", 0L)).toDF("s", "epochs_bp"), "id", "s")
+    assert(none.count() == 0)
+    val p1 = Sampler.upsampleByEpochs(docs.repartition(1), epochs, "id", "s")
+    assert(p1.exceptAll(out).isEmpty && out.exceptAll(p1).isEmpty)
+    out.unpersist()
+  }
 }
