@@ -331,11 +331,14 @@ object SparkEntry {
     // fixed-iteration integerized PageRank over the harvested graph: five
     // join rounds over slim (domain, rank) rows; documents appear only in
     // the one edge-building pass
+    // weightCap = 3 exercises the link-farm clamp; the oracle keeps the
+    // NAIVE (rank * weight) DIV out_w product, so the hash match also
+    // proves the overflow-safe decomposition is semantics-free
     "w_domain_rank" -> ((s, dir) =>
       graft.web.LinkGraph.domainRank(
         graft.web.LinkGraph.domainEdges(
           docs(s, dir).select(synthUrl.as("url"), outlinkText.as("text")), "url", "text"),
-        iters = 5)),
+        iters = 5, weightCap = 3L)),
     // writing-system detection over multi-script synthesis: four
     // replace-and-measure passes + argmax, map-only codegen
     "t_script" -> ((s, dir) => {
@@ -396,9 +399,9 @@ object SparkEntry {
     // key; the one-phase oracle proves the prefilter changes nothing
     "w_domain_cap" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), synthUrl.as("url"))
-      UrlOps.capPerDomain(d, "url", "doc_id", maxPerDomain = 5, subStreams = 4)
-        .select(col("doc_id"),
-          UrlOps.registeredDomain(UrlOps.host(col("url"))).as("domain"))
+      UrlOps.capPerDomain(d, "url", "doc_id", maxPerDomain = 5, subStreams = 4,
+          domainOut = Some("domain"))
+        .select(col("doc_id"), col("domain"))
     }),
     // per-source length distribution (exact quartiles, ×4-integerized so
     // the interpolated values hash engine-portably)
@@ -665,10 +668,11 @@ object SparkEntry {
   private def domainRankSql(iters: Int): String = {
     val head =
       s"""WITH $linkEdgesCte,
-         |nodes AS (SELECT DISTINCT domain FROM (SELECT src AS domain FROM edges UNION ALL SELECT dst AS domain FROM edges) t),
+         |capped AS (SELECT src, dst, CAST(least(weight, 3) AS BIGINT) AS weight FROM edges),
+         |nodes AS (SELECT DISTINCT domain FROM (SELECT src AS domain FROM capped UNION ALL SELECT dst AS domain FROM capped) t),
          |pr AS (SELECT CAST(${graft.web.LinkGraph.RankScale} // count(*) AS BIGINT) AS init FROM nodes),
-         |ow AS (SELECT src, CAST(sum(weight) AS BIGINT) AS out_w FROM edges GROUP BY 1),
-         |e2 AS (SELECT e.src, e.dst, e.weight, o.out_w FROM edges e JOIN ow o ON e.src = o.src),
+         |ow AS (SELECT src, CAST(sum(weight) AS BIGINT) AS out_w FROM capped GROUP BY 1),
+         |e2 AS (SELECT e.src, e.dst, e.weight, o.out_w FROM capped e JOIN ow o ON e.src = o.src),
          |r0 AS (SELECT domain, (SELECT init FROM pr) AS rank_mass FROM nodes)""".stripMargin
     val iterCtes = (1 to iters).map { k =>
       s""",

@@ -51,18 +51,18 @@ object Sharder {
     val sub = pmod(col(idCol), lit(subGroups.toLong)).cast("long")
     // deal order = md5(id): deterministic, engine-portable, and free of
     // weight-position correlation (see scaladoc); unique ids → total order
-    val w = Window.partitionBy(col("bucket"), col("sub"))
+    val w = Window.partitionBy(col("bucket"), col("graft_sub"))
       .orderBy(md5(col(idCol).cast("string")))
     // each stream starts its cycle at a deterministic per-stream phase:
     // without it every stream's FIRST document lands on shard 0, biasing
     // shard 0 by one bucket-weight per stream (visible whenever streams
     // are short — e.g. a rare giant-document bucket)
-    val phase = pmod(col("bucket") * 31L + col("sub"), lit(numShards.toLong))
+    val phase = pmod(col("bucket") * 31L + col("graft_sub"), lit(numShards.toLong))
     d.withColumn("bucket", bucket)
-      .withColumn("sub", sub)
+      .withColumn("graft_sub", sub) // graft_ prefix: never clobber caller columns
       .withColumn("shard",
         pmod(row_number().over(w).cast("long") - 1L + phase, lit(numShards.toLong)))
-      .drop("sub")
+      .drop("graft_sub")
   }
 
   /** Per-shard totals over an assignment — the balance report a pipeline

@@ -56,10 +56,10 @@ object LinkGraph {
       .groupBy("src", "dst")
       .agg(count(lit(1)).as("weight"))
 
-  /** Total rank mass distributed over the graph. 10^12 integer units keep
-    * per-node quantization error ≤ iterations/scale while the largest
-    * intermediate product (rank × edge weight) stays far from Long
-    * overflow for any realistic weight.
+  /** Total rank mass distributed over the graph: 10^12 integer units keep
+    * per-node quantization error ≤ iterations/scale. Overflow safety of the
+    * per-edge routing does NOT rest on this constant — see [[domainRank]]'s
+    * decomposed contribution and its driver-side guard.
     */
   val RankScale: Long = 1000000000000L
 
@@ -70,6 +70,23 @@ object LinkGraph {
     * node at `15% of the initial share + 85% of received mass`. Dangling
     * nodes (no outlinks) leak their mass — the standard simplification;
     * ranking order is unaffected for curation use.
+    *
+    * Overflow, handled exactly: the naive `rank_mass * weight` reaches
+    * ~10^19 > Long.MaxValue at the stated design point (a 10^12-doc crawl
+    * gives mega-domains 10^9+ outlinks), and Spark wraps BIGINT silently
+    * while DuckDB raises — silent rank corruption on one engine, no output
+    * on the other. The contribution is therefore computed by quotient/
+    * remainder decomposition, bit-identical to the naive form for
+    * non-negative inputs:
+    * `(rank DIV out_w) * weight + ((rank % out_w) * weight) DIV out_w`
+    * whose largest intermediate is `(rank % out_w) * weight < out_w ×
+    * weight`. That envelope (`out_w × max edge weight < 2^63` per source)
+    * is CHECKED driver-side over the slim edge list — the job fails loudly
+    * with the remedy instead of wrapping. The remedy for link-farm-scale
+    * weights is `weightCap`: clamp per-edge weights (`least(weight, cap)`)
+    * BEFORE out_w is computed — the standard curation move against a
+    * single site dominating the graph, and it bounds the product at
+    * `cap × Σ capped weights`.
     *
     * The node count is read once at the driver (`nodes.count()` — domain
     * cardinality is metadata-sized next to the corpus) so the initial
@@ -85,10 +102,22 @@ object LinkGraph {
     * join per iteration over the checkpointed base; re-checkpointing
     * every few rounds bounds plan depth for large `iters`.
     */
-  def domainRank(edges: DataFrame, iters: Int = 5): DataFrame = {
+  def domainRank(edges: DataFrame, iters: Int = 5,
+                 weightCap: Long = Long.MaxValue): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters must be in [1, 20], got $iters")
-    val outW = edges.groupBy("src").agg(sum(col("weight")).as("out_w"))
-    val e = edges.join(outW, "src").localCheckpoint(eager = false)
+    require(weightCap > 0, s"weightCap must be positive, got $weightCap")
+    val capped =
+      if (weightCap == Long.MaxValue) edges
+      else edges.withColumn("weight", least(col("weight"), lit(weightCap)))
+    val outW = capped.groupBy("src").agg(sum(col("weight")).as("out_w"))
+    val e = capped.join(outW, "src").localCheckpoint(eager = false)
+    // loud driver-side overflow guard on the decomposed contribution's
+    // envelope (one agg over the slim edge list; weight >= 1 by
+    // construction, so the DIV is safe)
+    val unsafe = e.filter(expr(s"out_w > ${Long.MaxValue}L DIV weight")).count()
+    require(unsafe == 0,
+      s"$unsafe edge(s) have out_w * weight >= 2^63 — rank routing would " +
+        "overflow BIGINT; pass weightCap to clamp link-farm-scale edge weights")
     val nodes = e.select(col("src").as("domain"))
       .union(e.select(col("dst").as("domain"))).distinct()
       .localCheckpoint(eager = false)
@@ -100,7 +129,9 @@ object LinkGraph {
     for (k <- 1 to iters) {
       val received = e.join(ranks, e("src") === ranks("domain"))
         .select(col("dst").as("domain"),
-          expr("(rank_mass * weight) DIV out_w").as("c"))
+          // == (rank_mass * weight) DIV out_w, without the 10^19 product
+          expr("(rank_mass DIV out_w) * weight + ((rank_mass % out_w) * weight) DIV out_w")
+            .as("c"))
         .groupBy("domain").agg(sum(col("c")).as("s"))
       ranks = nodes.join(received, Seq("domain"), "left")
         .select(col("domain"),

@@ -45,8 +45,14 @@ object UrlOps {
     * bounded input no matter how large the domain. Both phases move only
     * rows that are still candidates.
     */
+  /** @param domainOut when set, the registered domain the cap was keyed on
+    *                   is kept as an output column under this name — so a
+    *                   caller reporting the domain never re-derives it with
+    *                   logic that could drift from the capping key.
+    */
   def capPerDomain(df: DataFrame, urlCol: String, idCol: String,
-                   maxPerDomain: Int, subStreams: Int = 16): DataFrame = {
+                   maxPerDomain: Int, subStreams: Int = 16,
+                   domainOut: Option[String] = None): DataFrame = {
     require(maxPerDomain > 0 && subStreams > 0,
       s"maxPerDomain/subStreams must be positive, got $maxPerDomain/$subStreams")
     import org.apache.spark.sql.expressions.Window
@@ -57,12 +63,16 @@ object UrlOps {
       .partitionBy(col("graft_dom"), pmod(col(idCol), lit(subStreams.toLong)))
       .orderBy(col("graft_key"))
     val fin = Window.partitionBy(col("graft_dom")).orderBy(col("graft_key"))
-    keyed
+    val capped = keyed
       .withColumn("graft_rn", row_number().over(pre))
       .filter(col("graft_rn") <= maxPerDomain)
       .withColumn("graft_rn", row_number().over(fin))
       .filter(col("graft_rn") <= maxPerDomain)
-      .drop("graft_rn", "graft_key", "graft_dom")
+      .drop("graft_rn", "graft_key")
+    domainOut match {
+      case Some(name) => capped.withColumnRenamed("graft_dom", name)
+      case None       => capped.drop("graft_dom")
+    }
   }
 
   /** Query-string parameters stripped during canonicalization (tracking

@@ -29,17 +29,26 @@ class EventOpsSpec extends AnyFunSuite {
 
   test("sessionize: every event lands in exactly one session; bounds are real event times") {
     import spark.implicits._
-    // user i%7; bursts of 3 events 10s apart, bursts 1h apart
+    // each 3-event burst (10s apart) belongs to ONE user — (i/3) % 7, not
+    // i % 7, which would interleave users so every per-user gap exceeded
+    // the session gap and every session degenerated to a singleton,
+    // making the burst-span assertions vacuous; a user's bursts are 7h
+    // apart, far beyond the 30 min gap
     val e = (0L until 200L).map { i =>
       val off = (i / 3) * 3600 + (i % 3) * 10
-      (i % 7, 1704067200L + off, i, "view")
+      ((i / 3) % 7, 1704067200L + off, i, "view")
     }.toDF("user_id", "epoch_s", "event_id", "event_type")
       .withColumn("ts", timestamp_seconds(col("epoch_s"))).drop("epoch_s")
     val sess = EventOps.sessionize(e, "user_id", "ts", "event_id", 1800L * 1000000)
     val total = sess.agg(sum("n_events")).collect()(0).getLong(0)
     assert(total == 200L, "every event in exactly one session")
     assert(sess.filter(col("end_us") < col("start_us")).count() == 0)
-    // no session spans a gap: (end - start) within a 3-event 10s burst is <= 20s
+    // sessions really merge: every full burst is one 3-event session
+    assert(sess.filter(col("n_events") === 3).count() == 66,
+      "66 full bursts must each collapse into one 3-event session")
+    // no session spans a gap: a 3-event 10s burst spans exactly 20s
+    assert(sess.filter(col("n_events") === 3 &&
+      col("end_us") - col("start_us") =!= 20L * 1000000).count() == 0)
     assert(sess.filter(col("end_us") - col("start_us") > 20L * 1000000).count() == 0)
   }
 

@@ -171,10 +171,13 @@ class StreamingExtractSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val gapUs = 1800L * 1000000
-    // bursts of 3 events 10s apart, bursts 1h apart (never exactly at the
-    // 30 min gap, where streaming/batch split semantics legitimately differ)
+    // each 3-event burst (10s apart) belongs to ONE user — (i/3) % 5, so
+    // session MERGING is actually exercised (i % 5 would interleave users
+    // into singleton sessions and the parity would hold vacuously); bursts
+    // sit hours apart, never at the 30 min gap where streaming/batch split
+    // semantics legitimately differ
     val rows = (0L until 90L).map { i =>
-      (i % 5, 1704067200L + (i / 3) * 3600 + (i % 3) * 10, i)
+      ((i / 3) % 5, 1704067200L + (i / 3) * 3600 + (i % 3) * 10, i)
     }
     val mem = MemoryStream[(Long, Long, Long)]
     val events = mem.toDF().toDF("user_id", "epoch_s", "event_id")
@@ -187,6 +190,7 @@ class StreamingExtractSpec extends AnyFunSuite {
       val streamed = spark.table("sess_sink")
         .select($"user_id", $"start_us", $"end_us", $"n_events")
         .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed.exists(_._4 == 3), "fixture must produce merged multi-event sessions")
       val batch = graft.events.EventOps.sessionize(
           spark.createDataset(rows).toDF("user_id", "epoch_s", "event_id")
             .withColumn("ts", timestamp_seconds(col("epoch_s"))),

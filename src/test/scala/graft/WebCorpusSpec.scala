@@ -279,4 +279,45 @@ class WebCorpusSpec extends AnyFunSuite {
     assert(r1.exceptAll(r8).isEmpty && r8.exceptAll(r1).isEmpty,
       "integer PageRank must be bit-identical at any parallelism")
   }
+
+  test("domainRank: decomposed routing is BigInt-exact where the naive product would wrap; unsafe graphs fail loudly") {
+    import spark.implicits._
+    // rank_mass (~3.3e11) x weight (1e8) = 3.3e19 > Long.MaxValue: the
+    // naive product wraps, the quotient/remainder decomposition must not
+    val edges = Seq(
+      ("a.com", "b.com", 100000000L),
+      ("a.com", "c.com", 3L),
+      ("b.com", "a.com", 5L),
+      ("c.com", "a.com", 2L)).toDF("src", "dst", "weight")
+    val iters = 5
+    val got = graft.web.LinkGraph.domainRank(edges, iters)
+      .as[(String, Long)].collect().toMap
+    assert(got.values.forall(_ >= 0), s"wrapped rank went negative: $got")
+    // BigInt reference of the SAME semantics (floor div throughout)
+    val es = Seq(("a.com", "b.com", 100000000L), ("a.com", "c.com", 3L),
+      ("b.com", "a.com", 5L), ("c.com", "a.com", 2L))
+    val outW = es.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    val init = BigInt(graft.web.LinkGraph.RankScale) / nodes.size
+    val base = (BigInt(15) * init) / 100
+    var rank = nodes.map(_ -> init).toMap
+    for (_ <- 1 to iters) {
+      val recv = es.groupBy(_._2).view.mapValues(
+        _.map { case (s, _, w) => rank(s) * w / outW(s) }.sum).toMap
+      rank = nodes.map(n => n -> (base + BigInt(85) * recv.getOrElse(n, BigInt(0)) / 100)).toMap
+    }
+    nodes.foreach { n =>
+      assert(BigInt(got(n)) == rank(n), s"$n: got ${got(n)}, BigInt-exact ${rank(n)}")
+    }
+    // out_w x weight >= 2^63 cannot be routed exactly -> loud failure with
+    // the weightCap remedy, never a silent wrap
+    val farm = Seq(("x.com", "y.com", 4000000000L), ("y.com", "x.com", 1L))
+      .toDF("src", "dst", "weight")
+    val err = intercept[IllegalArgumentException] {
+      graft.web.LinkGraph.domainRank(farm, 2).collect()
+    }
+    assert(err.getMessage.contains("weightCap"), err.getMessage)
+    // the documented remedy unblocks the same graph
+    assert(graft.web.LinkGraph.domainRank(farm, 2, weightCap = 1000000L).count() == 2)
+  }
 }
