@@ -54,18 +54,25 @@ final class SnapshotTable(val root: String, val compactFanIn: Int = 8) {
 
   private def manifestPath(v: Int): Path = snapDir.resolve(f"v$v%08d.manifest")
 
-  def latest(): Option[Snapshot] = {
-    if (!Files.isDirectory(snapDir)) return None
+  /** All published snapshot versions, ascending. Every manifest stays on
+    * disk forever (compaction rewrites data dirs, never manifests), so the
+    * full history is always listable.
+    */
+  def versions(): Vector[Int] = {
+    if (!Files.isDirectory(snapDir)) return Vector.empty
     // Files.list holds an open directory fd until closed — streaming polls
     // this per micro-batch, so an unclosed stream leaks fds
     val stream = Files.list(snapDir)
-    val versions =
-      try stream.iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case n if n.startsWith("v") && n.endsWith(".manifest") => n.substring(1, 9).toInt }
-        .toVector
-      finally stream.close()
-    if (versions.isEmpty) None else Some(parseManifest(manifestPath(versions.max)))
+    try stream.iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case n if n.startsWith("v") && n.endsWith(".manifest") => n.substring(1, 9).toInt }
+      .toVector.sorted
+    finally stream.close()
+  }
+
+  def latest(): Option[Snapshot] = {
+    val vs = versions()
+    if (vs.isEmpty) None else Some(parseManifest(manifestPath(vs.max)))
   }
 
   def isEmpty: Boolean = latest().isEmpty
@@ -82,6 +89,23 @@ final class SnapshotTable(val root: String, val compactFanIn: Int = 8) {
   /** Read the committed table (union of all committed data dirs). */
   def read(spark: SparkSession): Option[DataFrame] =
     latest().filter(_.dataDirs.nonEmpty).map(s => spark.read.parquet(s.dataDirs: _*))
+
+  /** TIME TRAVEL: the snapshot exactly as published at `version`. Works for
+    * every version ever committed — manifests are immutable and compaction
+    * leaves merged SOURCE dirs on disk (they only leave the current
+    * manifest) — so a training run that recorded its corpus version can
+    * re-read the byte-identical input later, after any number of further
+    * appends and compactions. None if the version was never published.
+    */
+  def snapshotAt(version: Int): Option[Snapshot] = {
+    val p = manifestPath(version)
+    if (Files.isRegularFile(p)) Some(parseManifest(p)) else None
+  }
+
+  /** Read the table as of `version` (see [[snapshotAt]]). */
+  def readAt(spark: SparkSession, version: Int): Option[DataFrame] =
+    snapshotAt(version).filter(_.dataDirs.nonEmpty)
+      .map(s => spark.read.parquet(s.dataDirs: _*))
 
   /** Append a DataFrame as a new commit. Returns the new snapshot version.
     * Write is three-phase: parquet lands in a commit-private dir, due

@@ -127,6 +127,18 @@ class StreamingExtractSpec extends AnyFunSuite {
     // replay safety survives compaction: every epoch's commit id is still
     // recognized even though its dir was merged away
     assert(snap.commitIds.forall(rt.hasCommit))
+    // TIME TRAVEL: historical versions stay readable after later appends
+    // AND compactions (merged source dirs never leave the disk) — a
+    // training run that pinned its corpus version can re-read it exactly
+    val vs = rt.versions()
+    assert(vs == (1 to vs.max).toVector, s"contiguous version history: $vs")
+    val mid = vs(vs.size / 2)
+    val midSnap = rt.snapshotAt(mid).get
+    val midRows = rt.readAt(spark, mid).get
+    assert(midRows.count() == midSnap.rowCount, "readAt matches the manifest's rowCount")
+    assert(midRows.count() == mid.toLong, s"one page per epoch -> version $mid holds $mid rows")
+    assert(rt.readAt(spark, vs.max).get.count() == 100)
+    assert(rt.snapshotAt(vs.max + 1).isEmpty, "unpublished version reads as absent")
   }
 
   test("content dedup within watermark: identical payload under a new url is dropped") {
