@@ -7,7 +7,7 @@ import graft.media.MediaKernel
 import graft.pages.PagesGen
 import graft.sim.Similarity
 import graft.sniff.ContentSniffer
-import graft.text.{Chunker, Redactor, TextAnalytics}
+import graft.text.{Chunker, LangModel, Redactor, TextAnalytics}
 import graft.web.UrlOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -229,6 +229,14 @@ object SparkEntry {
     // adjacent bigram, HOF-free (slice/arrays_zip/explode + hash aggs)
     "t_repetition" -> ((s, dir) =>
       TextAnalytics.repetitionStats(docs(s, dir), "doc_id", "text")),
+    // CCNet-style LM fluency: bigram model trained on the en slice
+    // (pruned, broadcast), every doc scored by fixed-point mean
+    // conditional probability — integer-only so both engines agree
+    "t_lm_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = LangModel.bigramModel(d.where(col("lang") === "en"), "doc_id", "text", minCount = 2)
+      LangModel.lmScore(d, model, "doc_id", "text")
+    }),
     // deterministic stratified downsampling: md5-bucket filter under
     // broadcast per-(source,lang) rates — map-only over the corpus
     "q_sample_stratified" -> ((s, dir) => {
@@ -1079,6 +1087,30 @@ object SparkEntry {
          |  ((b.n_tokens - b.n_distinct) * 100 > b.n_tokens * 75
          |   OR coalesce(t2.top_bigram_n, 0) * 100 > greatest(b.n_tokens - 1, 1) * 20) AS is_repetitive
          |FROM base b LEFT JOIN top t2 USING (doc_id)""".stripMargin,
+    // LM fluency twin: same lowercased-token bigrams, same en-slice
+    // training, integer `//` division end to end (= Spark DIV)
+    "t_lm_score" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  CASE WHEN length(trim(text)) = 0 THEN []
+        |       ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS l
+        |FROM documents),
+        |b AS (SELECT doc_id, lang, z[1] AS w1, z[2] AS w2
+        |  FROM (SELECT doc_id, lang, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+        |        FROM t WHERE len(l) >= 2)),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM b WHERE lang = 'en' GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+        |m AS (SELECT c12.w1, c12.w2, (c12.c12 * 1000000) // c1.c1 AS p_ppm
+        |  FROM c12 JOIN c1 USING (w1) WHERE c12.c12 >= 2),
+        |s AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(count(m.p_ppm) AS BIGINT) AS seen_bigrams,
+        |  CAST(coalesce(sum(m.p_ppm), 0) AS BIGINT) AS sum_ppm
+        |  FROM b LEFT JOIN m ON b.w1 = m.w1 AND b.w2 = m.w2 GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(s.seen_bigrams, 0) AS BIGINT) AS seen_bigrams,
+        |  CAST(coalesce(s.sum_ppm, 0) AS BIGINT) AS sum_ppm,
+        |  CAST(coalesce(s.sum_ppm, 0) // greatest(coalesce(s.n_bigrams, 0), 1) AS BIGINT) AS avg_ppm
+        |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
     "q_sample_stratified" ->
       """WITH rates AS (SELECT DISTINCT source, lang,
         |  CASE WHEN lang = 'en' THEN 7000 ELSE 3000 END AS rate_bp FROM documents)

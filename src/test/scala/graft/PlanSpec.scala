@@ -243,4 +243,14 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.split("DeserializeToObject").length - 1 <= 1,
       s"bloom branches must not add object-domain round-trips:\n$plan")
   }
+
+  test("lm fluency: pruned model broadcasts; corpus bigrams probe map-side, never sort-merge") {
+    val plan = finalPlan(SparkEntry.queries("t_lm_score")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the scoring join must probe a broadcast model relation:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"neither scoring nor model assembly may sort-merge the corpus:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition") && !plan.contains("rangepartitioning"),
+      s"no global funnel:\n$plan")
+  }
 }
