@@ -167,6 +167,19 @@ object SparkEntry {
         .select(unix_timestamp(col("window.start")).cast("long").as("window_start_s"),
           col("lang"), col("n_pages"))
     }),
+    // S4+ snapshot-table upsert/takedown semantics, relationally gated:
+    // crawl-1 appends every doc, crawl-2 re-crawls the %3 slice (equality
+    // delete + append, latest wins), a takedown commit hides the %5 slice.
+    // The oracle replays the same latest-wins/visibility rules in SQL.
+    "q_table_upsert" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+      val t = new graft.table.SnapshotTable(root)
+      val d = docs(s, dir).select(col("doc_id"))
+      t.append(d.withColumn("gen", lit(1L)), "crawl-1")
+      t.upsert(d.where(col("doc_id") % 3 === 0).withColumn("gen", lit(2L)), "crawl-2", Seq("doc_id"))
+      t.deleteKeys(d.where(col("doc_id") % 5 === 0), "takedown-1")
+      t.read(s).get.select(col("doc_id"), col("gen"))
+    }),
     "x_extract_results" -> ((s, dir) => {
       import s.implicits._
       val res = ExtractJob.extractAll(
@@ -852,6 +865,10 @@ object SparkEntry {
       """SELECT CAST((1700000000 + doc_id) - (1700000000 + doc_id) % 600 AS BIGINT) AS window_start_s,
         |       lang, count(*) AS n_pages
         |FROM documents GROUP BY 1, 2""".stripMargin,
+    "q_table_upsert" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS gen
+        |FROM documents WHERE doc_id % 5 <> 0""".stripMargin,
     "p1_content_hash" -> "SELECT doc_id, sha256(text) AS h FROM documents",
     "p3_cache_key" ->
       s"SELECT doc_id, 'extract:' || lang || ':' || sha256(text) || ':$schemaHashHex' AS cache_key FROM documents",

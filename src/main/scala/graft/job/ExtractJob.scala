@@ -32,7 +32,9 @@ object ExtractJob {
 
   final case class JobStats(version: Int, rowsIn: Long, rowsOk: Long, rowsError: Long)
 
-  def resultsTable(root: String) = new SnapshotTable(s"$root/results")
+  // results carry url min/max file statistics in the manifest so point/
+  // range lookups on a url-clustered table skip whole data dirs
+  def resultsTable(root: String) = new SnapshotTable(s"$root/results", statsCol = Some("url"))
   def metricsTable(root: String) = new SnapshotTable(s"$root/metrics")
 
   /** Committed-key-set size above which the resume filter switches from a

@@ -2,8 +2,11 @@ package graft.table
 
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Base64
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
 
 import scala.jdk.CollectionConverters._
 
@@ -15,7 +18,7 @@ import scala.jdk.CollectionConverters._
   *
   *  - data files live under `root/data/<commitId>/` (parquet);
   *  - a snapshot is a manifest `root/_snapshots/vNNNNNNNN.manifest` listing
-  *    ALL data directories visible at that version (full-manifest model, so a
+  *    ALL entries visible at that version (full-manifest model, so a
   *    reader needs exactly one file) plus every commit id ever published
   *    (streaming replay detection must survive compaction — see below);
   *  - commits are atomic: manifest written to a temp path then moved with
@@ -28,28 +31,86 @@ import scala.jdk.CollectionConverters._
   *  - LEVELED COMPACTION bounds reader cost: per-epoch streaming commits
   *    would otherwise grow the parquet union linearly with epochs. When a
   *    level accumulates `compactFanIn` dirs they are merged into ONE dir at
-  *    the next level (`data/compacted-<level>-<version>-<seq>`; no leading underscore —
-  *    Spark file listings treat `_`/`.`-prefixed paths as hidden metadata), LSM-style: dir
-  *    count stays ≤ fanIn · log_fanIn(commits) (~15 dirs at 10^5 epochs)
-  *    and each row is rewritten only O(log_fanIn(commits)) times. Merged
-  *    source dirs stay on disk — older manifests still reference them and
-  *    `commitMetrics` reads fresh increments by path — they just leave the
-  *    current manifest. Compaction runs BEFORE the manifest move, so a
-  *    crash mid-compact leaves the previous snapshot intact.
+  *    the next level (`data/compacted-<level>-<version>-<seq>`; no leading
+  *    underscore — Spark file listings treat `_`/`.`-prefixed paths as
+  *    hidden metadata), LSM-style: dir count stays ≤
+  *    fanIn · log_fanIn(commits) (~15 dirs at 10^5 epochs) and each row is
+  *    rewritten only O(log_fanIn(commits)) times. Merged source dirs stay
+  *    on disk — older manifests still reference them and `commitMetrics`
+  *    reads fresh increments by path — they just leave the current
+  *    manifest. Compaction runs BEFORE the manifest move, so a crash
+  *    mid-compact leaves the previous snapshot intact;
+  *  - FILE STATISTICS / DATA SKIPPING (Iceberg manifest `lower_bound`/
+  *    `upper_bound` analog): when `statsCol` names a STRING column, every
+  *    published data dir carries its min/max of that column in the
+  *    manifest, and [[readRange]] prunes whole dirs whose range cannot
+  *    intersect the predicate — a point lookup on a 10^12-row table whose
+  *    writer clusters by url touches only the dirs whose url range covers
+  *    it, WITHOUT opening a single parquet footer. Dirs with no recorded
+  *    stats (legacy manifests, empty increments, missing column) are never
+  *    pruned — skipping is an optimization, absence is always safe;
+  *  - EQUALITY DELETES / UPSERT (Iceberg v2 merge-on-read analog): every
+  *    entry carries the sequence number (= snapshot version) it was
+  *    published at. [[upsert]] writes the new rows as a normal data dir
+  *    plus a slim parquet of their key columns under `root/deletes/`, and
+  *    a row is live iff no delete with a STRICTLY LARGER sequence matches
+  *    its key — so a re-crawled url replaces every earlier row for that
+  *    url while rows published together with the delete survive.
+  *    [[deleteKeys]] publishes a delete-only commit (takedown/GDPR).
+  *    Readers apply deletes with one slim anti-ish join (delete keys are
+  *    tiny next to the corpus; AQE broadcasts them); compaction APPLIES
+  *    all current deletes while rewriting (copy-on-write at merge time,
+  *    the merged dir takes the publishing version as its sequence) and
+  *    prunes delete entries that no remaining entry is older than, so a
+  *    compacted table pays zero read-time delete cost. Delete parquet
+  *    files stay on disk forever — older manifests reference them, which
+  *    keeps TIME TRAVEL exact across upserts.
   */
-final class SnapshotTable(val root: String, val compactFanIn: Int = 8) {
+final class SnapshotTable(
+    val root: String,
+    val compactFanIn: Int = 8,
+    val statsCol: Option[String] = None) {
   private val dataDir: Path = Paths.get(root, "data")
+  private val delDir: Path = Paths.get(root, "deletes")
   private val snapDir: Path = Paths.get(root, "_snapshots")
 
+  /** A committed data dir: `seq` is the snapshot version that published it
+    * (0 for legacy manifests); `statMin`/`statMax` bound `statsCol` within
+    * the dir when recorded.
+    */
+  final case class Entry(dir: String, seq: Int, statMin: Option[String], statMax: Option[String])
+
+  /** A committed equality-delete file: parquet of key columns; applies to
+    * rows in entries with a strictly smaller `seq`.
+    */
+  final case class Del(dir: String, seq: Int)
+
   final case class Snapshot(
-      version: Int, dataDirs: Vector[String], rowCount: Long, commitIds: Vector[String])
+      version: Int, entries: Vector[Entry], deletes: Vector[Del],
+      rowCount: Long, commitIds: Vector[String]) {
+    def dataDirs: Vector[String] = entries.map(_.dir)
+  }
+
+  private def b64(s: String): String = Base64.getEncoder.encodeToString(s.getBytes(UTF_8))
+  private def unb64(s: String): String = new String(Base64.getDecoder.decode(s), UTF_8)
 
   private def parseManifest(p: Path): Snapshot = {
-    // manifest format: line 1 version, line 2 rowCount, line 3 the
-    // comma-joined commit-id history, rest: data dirs
+    // manifest: line 1 version, line 2 rowCount, line 3 comma-joined
+    // commit-id history, rest one entry per line:
+    //   data dir:  dir [\t seq [\t b64(min) \t b64(max)]]   (legacy: bare dir)
+    //   delete:    D \t dir \t seq
     val lines = Files.readAllLines(p, UTF_8).asScala.toVector
     val ids = lines(2).split(",", -1).toVector.filter(_.nonEmpty)
-    Snapshot(lines.head.toInt, lines.drop(3), lines(1).toLong, ids)
+    val entries = Vector.newBuilder[Entry]
+    val dels = Vector.newBuilder[Del]
+    lines.drop(3).foreach { line =>
+      val f = line.split("\t", -1)
+      if (f.head == "D") dels += Del(f(1), f(2).toInt)
+      else if (f.length >= 4) entries += Entry(f(0), f(1).toInt, Some(unb64(f(2))), Some(unb64(f(3))))
+      else if (f.length >= 2) entries += Entry(f(0), f(1).toInt, None, None)
+      else entries += Entry(f(0), 0, None, None)
+    }
+    Snapshot(lines.head.toInt, entries.result(), dels.result(), lines(1).toLong, ids)
   }
 
   private def manifestPath(v: Int): Path = snapDir.resolve(f"v$v%08d.manifest")
@@ -86,41 +147,160 @@ final class SnapshotTable(val root: String, val compactFanIn: Int = 8) {
   def hasCommit(commitId: String): Boolean =
     latest().exists(_.commitIds.contains(commitId))
 
-  /** Read the committed table (union of all committed data dirs). */
+  /** Merge-on-read: live rows of `entries` under `deletes`. A row from an
+    * entry with sequence s is dropped iff a delete with sequence > s holds
+    * its key. One slim join — the delete side is key columns only, tiny
+    * next to the corpus, so AQE broadcasts it; when no deletes remain
+    * (fresh tables, post-compaction) this is a plain multi-dir parquet
+    * scan with zero overhead.
+    */
+  private def readEntries(
+      spark: SparkSession, entries: Vector[Entry], deletes: Vector[Del]): DataFrame = {
+    if (deletes.isEmpty) return spark.read.parquet(entries.map(_.dir): _*)
+    val keyCols = spark.read.parquet(deletes.head.dir).columns.toSeq
+    val data = entries
+      .map(e => spark.read.parquet(e.dir).withColumn("_graft_seq", lit(e.seq)))
+      .reduce(_ unionByName _)
+    val dels = deletes
+      .map(d => spark.read.parquet(d.dir).withColumn("_graft_del_seq", lit(d.seq)))
+      .reduce(_ unionByName _)
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(col("_graft_del_seq")).as("_graft_del_seq"))
+    data.join(dels, keyCols, "left")
+      .where(col("_graft_del_seq").isNull || col("_graft_del_seq") <= col("_graft_seq"))
+      .drop("_graft_seq", "_graft_del_seq")
+  }
+
+  /** Read the committed table (all live rows). */
   def read(spark: SparkSession): Option[DataFrame] =
-    latest().filter(_.dataDirs.nonEmpty).map(s => spark.read.parquet(s.dataDirs: _*))
+    latest().filter(_.entries.nonEmpty).map(s => readEntries(spark, s.entries, s.deletes))
+
+  /** Entries of the latest snapshot whose `[statMin, statMax]` could hold a
+    * `statsCol` value in `[lo, hi]` (inclusive, string order), plus the
+    * total — the data-skipping decision, exposed so callers and tests can
+    * observe pruning. Entries without stats always survive.
+    */
+  def pruneRange(lo: String, hi: String): (Vector[Entry], Int) = {
+    val s = latest().map(_.entries).getOrElse(Vector.empty)
+    val kept = s.filter { e =>
+      (e.statMin, e.statMax) match {
+        case (Some(mn), Some(mx)) => !(mx < lo || mn > hi)
+        case _ => true
+      }
+    }
+    (kept, s.size)
+  }
+
+  /** Range read over `statsCol` with manifest-level data skipping: only
+    * dirs whose recorded range intersects `[lo, hi]` are opened, the
+    * row-level predicate is applied on top (dirs are pruned by RANGE, not
+    * filtered), and equality deletes still apply. None when the table is
+    * empty, no `statsCol` is configured, or nothing intersects.
+    */
+  def readRange(spark: SparkSession, lo: String, hi: String): Option[DataFrame] = {
+    val c = statsCol.getOrElse(
+      throw new IllegalStateException("readRange requires a statsCol-configured table"))
+    latest().flatMap { s =>
+      val (kept, _) = pruneRange(lo, hi)
+      if (kept.isEmpty) None
+      else Some(readEntries(spark, kept, s.deletes).where(col(c).between(lo, hi)))
+    }
+  }
 
   /** TIME TRAVEL: the snapshot exactly as published at `version`. Works for
     * every version ever committed — manifests are immutable and compaction
-    * leaves merged SOURCE dirs on disk (they only leave the current
-    * manifest) — so a training run that recorded its corpus version can
-    * re-read the byte-identical input later, after any number of further
-    * appends and compactions. None if the version was never published.
+    * leaves merged SOURCE dirs (and delete files) on disk — so a training
+    * run that recorded its corpus version can re-read the byte-identical
+    * input later, after any number of further appends, upserts, and
+    * compactions. None if the version was never published.
     */
   def snapshotAt(version: Int): Option[Snapshot] = {
     val p = manifestPath(version)
     if (Files.isRegularFile(p)) Some(parseManifest(p)) else None
   }
 
-  /** Read the table as of `version` (see [[snapshotAt]]). */
+  /** Read the table as of `version` (see [[snapshotAt]]), with that
+    * version's deletes applied.
+    */
   def readAt(spark: SparkSession, version: Int): Option[DataFrame] =
-    snapshotAt(version).filter(_.dataDirs.nonEmpty)
-      .map(s => spark.read.parquet(s.dataDirs: _*))
+    snapshotAt(version).filter(_.entries.nonEmpty)
+      .map(s => readEntries(spark, s.entries, s.deletes))
+
+  /** One pass over a freshly written dir: row count plus min/max of
+    * `statsCol` when it is a string column with at least one non-null
+    * value. (Numeric columns are deliberately not stat-tracked — the
+    * manifest stores strings and string order would mis-prune numbers.)
+    */
+  private def statsOf(spark: SparkSession, dir: String): (Long, Option[(String, String)]) = {
+    val df = spark.read.parquet(dir)
+    statsCol.filter(c =>
+      df.schema.fields.exists(f => f.name == c && f.dataType == StringType)) match {
+      case None => (df.count(), None)
+      case Some(c) =>
+        val r = df.agg(count(lit(1)), min(col(c)), max(col(c))).collect()(0)
+        (r.getLong(0), if (r.isNullAt(1)) None else Some((r.getString(1), r.getString(2))))
+    }
+  }
 
   /** Append a DataFrame as a new commit. Returns the new snapshot version.
     * Write is three-phase: parquet lands in a commit-private dir, due
     * compactions merge whole levels into next-level dirs, then the
     * manifest move publishes everything at once.
     */
-  def append(df: DataFrame, commitId: String): Int = {
+  def append(df: DataFrame, commitId: String): Int =
+    publish(df, commitId, deleteKeyCols = Nil)
+
+  /** Upsert: append `df` AND delete every earlier row sharing its
+    * `keyCols` — the re-crawl semantics of a url-keyed pages table (same
+    * url, newer fetch → the old extraction is no longer live). Rows inside
+    * `df` itself are untouched (the delete's sequence equals their own).
+    */
+  def upsert(df: DataFrame, commitId: String, keyCols: Seq[String]): Int = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    require(keyCols.forall(df.columns.contains),
+      s"key columns ${keyCols.mkString(",")} must exist in the frame")
+    publish(df, commitId, keyCols)
+  }
+
+  /** Delete-only commit: every live row whose key appears in `keys`
+    * (parquet of exactly the key columns) stops being visible — the
+    * takedown/GDPR path. No data is rewritten until the next compaction.
+    */
+  def deleteKeys(keys: DataFrame, commitId: String): Int = {
+    val prev = latest()
+    val newVersion = prev.map(_.version + 1).getOrElse(1)
+    val dd = delDir.resolve(commitId).toString
+    keys.dropDuplicates().write.mode("overwrite").parquet(dd)
+    val entries0 = prev.map(_.entries).getOrElse(Vector.empty)
+    val deletes0 = prev.map(_.deletes).getOrElse(Vector.empty) :+ Del(dd, newVersion)
+    val (entries, deletes) = compact(keys.sparkSession, entries0, deletes0, newVersion)
+    commit(newVersion, entries, deletes,
+      prev.map(_.rowCount).getOrElse(0L),
+      prev.map(_.commitIds).getOrElse(Vector.empty) :+ commitId)
+  }
+
+  private def publish(df: DataFrame, commitId: String, deleteKeyCols: Seq[String]): Int = {
+    val spark = df.sparkSession
     val prev = latest()
     val newVersion = prev.map(_.version + 1).getOrElse(1)
     val outDir = dataDir.resolve(commitId).toString
     df.write.mode("overwrite").parquet(outDir)
-    val rows = df.sparkSession.read.parquet(outDir).count()
-    val dirs = compact(
-      df.sparkSession, prev.map(_.dataDirs).getOrElse(Vector.empty) :+ outDir, newVersion)
-    commit(newVersion, dirs,
+    val (rows, stats) = statsOf(spark, outDir)
+    val entries0 = prev.map(_.entries).getOrElse(Vector.empty) :+
+      Entry(outDir, newVersion, stats.map(_._1), stats.map(_._2))
+    val deletes0 = {
+      val base = prev.map(_.deletes).getOrElse(Vector.empty)
+      // a delete is pointless when nothing older exists to delete from
+      if (deleteKeyCols.isEmpty || prev.forall(_.entries.isEmpty)) base
+      else {
+        val dd = delDir.resolve(commitId).toString
+        spark.read.parquet(outDir).select(deleteKeyCols.map(col): _*)
+          .dropDuplicates().write.mode("overwrite").parquet(dd)
+        base :+ Del(dd, newVersion)
+      }
+    }
+    val (entries, deletes) = compact(spark, entries0, deletes0, newVersion)
+    commit(newVersion, entries, deletes,
       prev.map(_.rowCount).getOrElse(0L) + rows,
       prev.map(_.commitIds).getOrElse(Vector.empty) :+ commitId)
   }
@@ -144,33 +324,51 @@ final class SnapshotTable(val root: String, val compactFanIn: Int = 8) {
   /** Merge every level holding ≥ compactFanIn dirs into one next-level dir
     * (cascading: a merge can tip the next level over). Same-level dirs are
     * same-magnitude by construction — this is size-tiered merging without
-    * needing size accounting.
+    * needing size accounting. Current deletes are APPLIED while rewriting
+    * (the merged dir takes `newVersion` as its sequence, and every current
+    * delete has sequence ≤ newVersion, so none re-applies to it), then
+    * deletes that no remaining entry is strictly older than are dropped
+    * from the manifest — a fully compacted table reads delete-free.
     */
-  private def compact(spark: SparkSession, dirs0: Vector[String], newVersion: Int): Vector[String] = {
-    var dirs = dirs0
+  private def compact(
+      spark: SparkSession, entries0: Vector[Entry], deletes0: Vector[Del],
+      newVersion: Int): (Vector[Entry], Vector[Del]) = {
+    var entries = entries0
     var seq = 0
     var more = true
     while (more) {
-      val over = dirs.groupBy(levelOf).collect { case (l, g) if g.size >= compactFanIn => l }
+      val over = entries.groupBy(e => levelOf(e.dir)).collect {
+        case (l, g) if g.size >= compactFanIn => l
+      }
       if (over.isEmpty) more = false
       else {
         val l = over.min
-        val (group, rest) = dirs.partition(d => levelOf(d) == l)
+        val (group, rest) = entries.partition(e => levelOf(e.dir) == l)
         val target = dataDir.resolve(s"$CompactPrefix${l + 1}-$newVersion-$seq").toString
         seq += 1
-        spark.read.parquet(group: _*).write.mode("overwrite").parquet(target)
-        dirs = rest :+ target
+        readEntries(spark, group, deletes0).write.mode("overwrite").parquet(target)
+        val (_, stats) = statsOf(spark, target)
+        entries = rest :+ Entry(target, newVersion, stats.map(_._1), stats.map(_._2))
       }
     }
-    dirs
+    val deletes = deletes0.filter(d => entries.exists(_.seq < d.seq))
+    (entries, deletes)
   }
 
   private def commit(
-      newVersion: Int, dirs: Vector[String], totalRows: Long, commitIds: Vector[String]): Int = {
+      newVersion: Int, entries: Vector[Entry], deletes: Vector[Del],
+      totalRows: Long, commitIds: Vector[String]): Int = {
     Files.createDirectories(snapDir)
+    val entryLines = entries.map { e =>
+      (e.statMin, e.statMax) match {
+        case (Some(mn), Some(mx)) => s"${e.dir}\t${e.seq}\t${b64(mn)}\t${b64(mx)}"
+        case _ => s"${e.dir}\t${e.seq}"
+      }
+    }
+    val delLines = deletes.map(d => s"D\t${d.dir}\t${d.seq}")
     val body =
-      (Vector(newVersion.toString, totalRows.toString, commitIds.mkString(",")) ++ dirs)
-        .mkString("\n")
+      (Vector(newVersion.toString, totalRows.toString, commitIds.mkString(",")) ++
+        entryLines ++ delLines).mkString("\n")
     val tmp = snapDir.resolve(s".tmp-$newVersion-$totalRows")
     Files.write(tmp, body.getBytes(UTF_8))
     Files.move(tmp, manifestPath(newVersion), StandardCopyOption.ATOMIC_MOVE)

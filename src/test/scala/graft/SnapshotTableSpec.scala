@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.table.SnapshotTable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SnapshotTableSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft-snap").toString
+
+  private def rows(t: SnapshotTable): Map[String, Int] =
+    t.read(spark).get.as[(String, Int)].collect().toMap
+
+  test("upsert: re-crawled keys replace earlier rows; fresh keys append") {
+    val t = new SnapshotTable(tmp())
+    t.append(Seq(("u1", 1), ("u2", 1), ("u3", 1)).toDF("url", "gen"), "c1")
+    t.upsert(Seq(("u2", 2), ("u4", 2)).toDF("url", "gen"), "c2", Seq("url"))
+    assert(rows(t) == Map("u1" -> 1, "u2" -> 2, "u3" -> 1, "u4" -> 2))
+  }
+
+  test("upsert chain: latest wins across three generations") {
+    val t = new SnapshotTable(tmp())
+    t.upsert(Seq(("u1", 1)).toDF("url", "gen"), "c1", Seq("url"))
+    t.upsert(Seq(("u1", 2)).toDF("url", "gen"), "c2", Seq("url"))
+    t.upsert(Seq(("u1", 3), ("u2", 3)).toDF("url", "gen"), "c3", Seq("url"))
+    assert(rows(t) == Map("u1" -> 3, "u2" -> 3))
+  }
+
+  test("composite upsert keys: only the full key matches") {
+    val t = new SnapshotTable(tmp())
+    t.append(Seq(("u1", "en", 1), ("u1", "de", 1)).toDF("url", "lang", "gen"), "c1")
+    t.upsert(Seq(("u1", "en", 2)).toDF("url", "lang", "gen"), "c2", Seq("url", "lang"))
+    val got = t.read(spark).get.as[(String, String, Int)].collect().toSet
+    assert(got == Set(("u1", "en", 2), ("u1", "de", 1)))
+  }
+
+  test("deleteKeys: takedown commit hides rows without rewriting data") {
+    val t = new SnapshotTable(tmp())
+    t.append(Seq(("u1", 1), ("u2", 1)).toDF("url", "gen"), "c1")
+    t.deleteKeys(Seq("u1").toDF("url"), "takedown-1")
+    assert(rows(t) == Map("u2" -> 1))
+    assert(t.hasCommit("takedown-1"))
+  }
+
+  test("time travel is exact across upserts and deletes") {
+    val t = new SnapshotTable(tmp())
+    val v1 = t.append(Seq(("u1", 1), ("u2", 1)).toDF("url", "gen"), "c1")
+    val v2 = t.upsert(Seq(("u1", 2)).toDF("url", "gen"), "c2", Seq("url"))
+    val v3 = t.deleteKeys(Seq("u2").toDF("url"), "c3")
+    def at(v: Int) = t.readAt(spark, v).get.as[(String, Int)].collect().toMap
+    assert(at(v1) == Map("u1" -> 1, "u2" -> 1))
+    assert(at(v2) == Map("u1" -> 2, "u2" -> 1))
+    assert(at(v3) == Map("u1" -> 2))
+  }
+
+  test("compaction applies deletes and prunes them from the manifest") {
+    val t = new SnapshotTable(tmp(), compactFanIn = 2)
+    t.append(Seq(("u1", 1), ("u2", 1)).toDF("url", "gen"), "c1")
+    // second commit trips fanIn=2: the upsert's delete must be applied
+    // while merging, and nothing older than it remains afterwards
+    t.upsert(Seq(("u1", 2)).toDF("url", "gen"), "c2", Seq("url"))
+    val snap = t.latest().get
+    assert(snap.deletes.isEmpty,
+      s"fully compacted table must read delete-free, got ${snap.deletes}")
+    assert(rows(t) == Map("u1" -> 2, "u2" -> 1))
+    // replay guard survives compaction
+    assert(t.hasCommit("c1") && t.hasCommit("c2"))
+  }
+
+  test("delete entries survive compaction while older uncompacted dirs remain") {
+    val t = new SnapshotTable(tmp(), compactFanIn = 3)
+    t.append(Seq(("u1", 1)).toDF("url", "gen"), "c1")
+    t.upsert(Seq(("u1", 2)).toDF("url", "gen"), "c2", Seq("url"))
+    // fanIn=3 not reached → merge-on-read regime
+    val snap = t.latest().get
+    assert(snap.deletes.nonEmpty, "uncompacted upsert must keep its delete entry")
+    assert(rows(t) == Map("u1" -> 2))
+  }
+
+  test("data skipping: disjoint url ranges prune whole dirs; results match a full scan") {
+    val t = new SnapshotTable(tmp(), statsCol = Some("url"))
+    t.append(Seq(("a/1", 1), ("a/9", 1)).toDF("url", "gen"), "c1")
+    t.append(Seq(("m/1", 2), ("m/9", 2)).toDF("url", "gen"), "c2")
+    t.append(Seq(("z/1", 3), ("z/9", 3)).toDF("url", "gen"), "c3")
+    val (kept, total) = t.pruneRange("m/", "m/~")
+    assert(total == 3 && kept.size == 1, s"expected 1 of 3 dirs kept, got ${kept.size} of $total")
+    val viaRange = t.readRange(spark, "m/", "m/~").get.as[(String, Int)].collect().toSet
+    val viaScan = t.read(spark).get.where(col("url").between("m/", "m/~"))
+      .as[(String, Int)].collect().toSet
+    assert(viaRange == viaScan && viaRange == Set(("m/1", 2), ("m/9", 2)))
+    // nothing intersects → no read at all
+    assert(t.readRange(spark, "q/", "q/~").isEmpty)
+  }
+
+  test("data skipping is safe: statless dirs are never pruned") {
+    val t = new SnapshotTable(tmp(), statsCol = Some("url"))
+    // a dir written without the stats column records no bounds
+    t.append(Seq((7, 1)).toDF("other", "gen"), "c1")
+    t.append(Seq(("a/1", 2)).toDF("url", "gen"), "c2")
+    val (kept, total) = t.pruneRange("z/", "z/~")
+    assert(total == 2 && kept.size == 1 && kept.head.statMin.isEmpty,
+      "the statless dir must survive every prune")
+  }
+
+  test("upsert into an empty table publishes no delete entry") {
+    val t = new SnapshotTable(tmp())
+    t.upsert(Seq(("u1", 1)).toDF("url", "gen"), "c1", Seq("url"))
+    assert(t.latest().get.deletes.isEmpty)
+    assert(rows(t) == Map("u1" -> 1))
+  }
+
+  test("stats bounds round-trip through the manifest (base64, tab-safe)") {
+    val t = new SnapshotTable(tmp(), statsCol = Some("url"))
+    t.append(Seq(("héllo/ü", 1), ("zzz", 1)).toDF("url", "gen"), "c1")
+    val e = t.latest().get.entries.head
+    assert(e.statMin.contains("héllo/ü") && e.statMax.contains("zzz"))
+  }
+}
