@@ -122,6 +122,41 @@ object SparkEntry {
         (lit(1000000L) + id % 1000000).cast("string"), lit("."))).otherwise(lit("")))
   }
 
+  /** Newline-structured document synthesis for the frequent-line dedup
+    * query (mirrored in the oracle SQL): a per-doc unique title or a
+    * shared nav line, the unique prose body, and two optional shared
+    * footer lines — the corpus-recurring lines are exactly what the
+    * CCNet-style cleanse must drop while the body survives verbatim.
+    */
+  private def multilineText: Column = {
+    val id = col("doc_id")
+    concat_ws("\n",
+      when(id % 5 === 0, lit("NAV: home news about contact"))
+        .otherwise(concat(lit("Title "), id.cast("string"))),
+      col("text"),
+      when(id % 4 === 0, lit("Subscribe to our newsletter!")),
+      when(id % 2 === 0, lit("(c) 2024 Synth Crawl Portal - all rights reserved.")))
+  }
+
+  /** Text with deterministic in-content citation anchors appended
+    * (mirrored in the oracle SQL): every 5th document links
+    * `https://cite.example/p{id%17}`, every 10th repeats the same anchor
+    * — so the anchor harvest sees variable per-target inlink counts AND
+    * a mentions > inlinks case (same page citing a target twice). The
+    * moduli are deliberately coprime to the generator's `% 3 == 0` PDF
+    * route (a `% 6` citation would only ever land on PDF pages and the
+    * harvest branch would be dead).
+    */
+  private def citedText: Column = {
+    val id = col("doc_id")
+    def cite: Column = concat(
+      lit(" <a href=\"https://cite.example/p"), (id % 17).cast("string"),
+      lit("\">cite p"), (id % 17).cast("string"), lit("</a>"))
+    concat(col("text"),
+      when(id % 5 === 0, cite).otherwise(lit("")),
+      when(id % 10 === 0, cite).otherwise(lit("")))
+  }
+
   /** Benchmark/eval set for the decontamination queries: 28-token excerpts
     * of every 101st sufficiently long document (benchmarks quote web
     * text). Shared by `q_decontaminate` and `q_training_export`; the
@@ -360,6 +395,20 @@ object SparkEntry {
         graft.web.LinkGraph.domainEdges(
           docs(s, dir).select(synthUrl.as("url"), outlinkText.as("text")), "url", "text"),
         iters = 5, weightCap = 3L)),
+    // anchor-text aggregation over REAL synthesized page bytes: sniff-
+    // gated map-only regexp harvest, relative hrefs resolved against the
+    // page host, one slim (target, page_url, anchor) exchange — payloads
+    // never shuffle. Citations injected into the text exercise variable
+    // inlink counts and the mentions > inlinks (self-repeat) case.
+    "w_anchor_text" -> ((s, dir) => {
+      import s.implicits._
+      val pages = docs(s, dir)
+        .select(col("doc_id"), citedText.as("text"), col("lang"))
+        .as[(Long, String, String)]
+        .map { case (id, t, lang) =>
+          PagesGen.row(id, Option(t).getOrElse(""), Option(lang).getOrElse("und")) }
+      graft.web.LinkGraph.anchorStats(pages.toDF())
+    }),
     // writing-system detection over multi-script synthesis: four
     // replace-and-measure passes + argmax, map-only codegen
     "t_script" -> ((s, dir) => {
@@ -428,6 +477,11 @@ object SparkEntry {
     // the interpolated values hash engine-portably)
     "t_len_quartiles" -> ((s, dir) =>
       graft.stats.CorpusStats.quartilesX4(docs(s, dir), "source", "n_chars")),
+    // one-row corpus data card: exact doc/token/char totals plus
+    // language/source/distinct-text cardinalities in a single map-side-
+    // partial aggregate (distinct keys are slim: lang, source, 32-hex md5)
+    "q_corpus_card" -> ((s, dir) =>
+      graft.stats.CorpusStats.corpusCard(docs(s, dir), "text", "lang", "source")),
     // ---- event-stream operators (crawl-log shape) ----
     // gap-based sessionization over the events table: one shuffle on the
     // entity key, two in-partition window passes sharing it
@@ -446,6 +500,13 @@ object SparkEntry {
     // one explode into slim (id, md5) rows, df agg, join-back, doc agg
     "d_freq_grams" -> ((s, dir) =>
       Dedup.frequentGramStats(docs(s, dir), "doc_id", "text", 8, 2, 50)),
+    // CCNet-style line-level boilerplate removal: slim (id, line_md5)
+    // document-frequency catalog (bounded, broadcast as ONE array row),
+    // then a map-only order-preserving cleanse — corpus text never
+    // shuffles. Input lines synthesized by [[multilineText]].
+    "d_drop_freq_lines" -> ((s, dir) =>
+      graft.dedup.LineDedup.dropFrequentLines(
+        docs(s, dir).withColumn("text", multilineText), "doc_id", "text", minDf = 30L)),
     "d_exact_groups" -> ((s, dir) =>
       Dedup.exactGroups(docs(s, dir), "doc_id", "text")),
     // incremental (delta) dedup: the new-crawl batch (doc_id % 10 ∈ {8,9})
@@ -935,6 +996,29 @@ object SparkEntry {
       s"""WITH $linkEdgesCte
          |SELECT src, dst, weight FROM edges""".stripMargin,
     "w_domain_rank" -> domainRankSql(5),
+    // anchor harvest reconstructed from the page generator's math: every
+    // sniffed-html document carries the 11 constant boilerplate anchors
+    // (resolved against the synth.example host); citation anchors follow
+    // the [[citedText]] moduli, with %10 documents mentioning their
+    // target twice (mentions > inlinks) and giant (%97) pages replicating
+    // their body — and its citations — ×25
+    "w_anchor_text" ->
+      """WITH h AS (SELECT doc_id FROM documents
+        |  WHERE doc_id % 3 <> 0 AND doc_id % 41 <> 0 AND doc_id % 53 <> 0),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM h),
+        |boiler(path, a) AS (VALUES ('/', 'home'), ('/news', 'news'),
+        |  ('/about', 'about'), ('/contact', 'contact'), ('/promo', 'promo'),
+        |  ('/deal', 'deal'), ('/sale', 'sale'), ('/r1', 'rel 1'),
+        |  ('/r2', 'rel 2'), ('/terms', 'terms'), ('/privacy', 'privacy')),
+        |b AS (SELECT 'https://synth.example' || path AS target, n AS inlinks,
+        |  n AS mentions, a AS anchor FROM boiler, tot),
+        |c AS (SELECT 'https://cite.example/p' || CAST(doc_id % 17 AS VARCHAR) AS target,
+        |  CAST(count(*) AS BIGINT) AS inlinks,
+        |  CAST(sum((CASE WHEN doc_id % 97 = 0 THEN 25 ELSE 1 END)
+        |         * (CASE WHEN doc_id % 10 = 0 THEN 2 ELSE 1 END)) AS BIGINT) AS mentions,
+        |  min('cite p' || CAST(doc_id % 17 AS VARCHAR)) AS anchor
+        |  FROM h WHERE doc_id % 5 = 0 GROUP BY doc_id % 17)
+        |SELECT * FROM b UNION ALL SELECT * FROM c""".stripMargin,
     "w_domain_cap" ->
       s"""WITH $urlCte,
          |r AS (SELECT doc_id, domain,
@@ -1065,6 +1149,14 @@ object SparkEntry {
         |  CAST(quantile_cont(n_chars, 0.75) * 4 AS BIGINT) AS p75_x4,
         |  CAST(max(n_chars) AS BIGINT) AS v_max
         |FROM documents GROUP BY 1""".stripMargin,
+    "q_corpus_card" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tok) END) AS BIGINT) AS n_tokens,
+         |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |  CAST(count(DISTINCT $fpSql) AS BIGINT) AS n_distinct_texts
+         |FROM documents""".stripMargin,
     "e_sessionize" ->
       s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
          |l AS (SELECT user_id, ts_us, event_id,
@@ -1203,6 +1295,29 @@ object SparkEntry {
          |SELECT b.doc_id, b.source, b.n_chars FROM b
          |JOIN fst ON b.doc_id = fst.doc_id
          |WHERE NOT EXISTS (SELECT 1 FROM idx WHERE idx.fp = b.fp)""".stripMargin,
+    // document-frequency catalog (distinct docs per line hash, threshold,
+    // deterministic cap) then an order-preserving list_filter cleanse —
+    // the SQL twin of LineDedup's broadcast-catalog map-only design
+    "d_drop_freq_lines" ->
+      """WITH lt AS (SELECT doc_id, concat_ws(chr(10),
+        |    CASE WHEN doc_id % 5 = 0 THEN 'NAV: home news about contact'
+        |         ELSE 'Title ' || CAST(doc_id AS VARCHAR) END,
+        |    text,
+        |    CASE WHEN doc_id % 4 = 0 THEN 'Subscribe to our newsletter!' END,
+        |    CASE WHEN doc_id % 2 = 0 THEN '(c) 2024 Synth Crawl Portal - all rights reserved.' END) AS t
+        |  FROM documents),
+        |lx AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM lt),
+        |d AS (SELECT DISTINCT doc_id, md5(line) AS h FROM lx),
+        |cat AS (SELECT h FROM d GROUP BY h HAVING count(*) >= 30
+        |        ORDER BY count(*) DESC, h LIMIT 100000),
+        |arr AS (SELECT coalesce(list(h), CAST([] AS VARCHAR[])) AS boiler FROM cat)
+        |SELECT doc_id,
+        |  CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+        |  CAST(len(list_filter(string_split(t, chr(10)),
+        |    x -> NOT list_contains(boiler, md5(x)))) AS BIGINT) AS n_kept,
+        |  array_to_string(list_filter(string_split(t, chr(10)),
+        |    x -> NOT list_contains(boiler, md5(x))), chr(10)) AS clean_text
+        |FROM lt CROSS JOIN arr""".stripMargin,
     "d_freq_grams" ->
       s"""WITH w AS (SELECT doc_id, $tok AS ws FROM documents),
          |g AS (SELECT DISTINCT doc_id, md5(

@@ -35,4 +35,25 @@ object CorpusStats {
         (percentile(col(valueCol), lit(0.5)) * 4).cast("long").as("p50_x4"),
         (percentile(col(valueCol), lit(0.75)) * 4).cast("long").as("p75_x4"),
         max(col(valueCol)).cast("long").as("v_max"))
+
+  /** One-row corpus profile — the "data card" summary published with a
+    * training corpus (doc/token totals, language/source cardinality,
+    * exact-duplicate rate). All counts are exact integers; the duplicate
+    * rate ships as the (n_docs, n_distinct_texts) pair rather than a
+    * float so both engines hash-match bit-for-bit.
+    *
+    * Scale shape: one aggregate with map-side partials; the three
+    * count-distincts expand to one expand+two-phase agg over slim keys
+    * (lang and source are low-cardinality; the text key is the 16-byte
+    * md5 fingerprint, never the text). Nothing else shuffles.
+    */
+  def corpusCard(d: DataFrame, textCol: String, langCol: String,
+                 sourceCol: String): DataFrame =
+    d.agg(
+      count(lit(1)).as("n_docs"),
+      sum(graft.text.TextAnalytics.tokenCount(col(textCol))).cast("long").as("n_tokens"),
+      sum(length(col(textCol))).cast("long").as("n_chars"),
+      countDistinct(col(langCol)).as("n_langs"),
+      countDistinct(col(sourceCol)).as("n_sources"),
+      countDistinct(graft.text.TextAnalytics.fingerprint(col(textCol))).as("n_distinct_texts"))
 }

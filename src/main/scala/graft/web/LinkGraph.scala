@@ -140,4 +140,62 @@ object LinkGraph {
     }
     ranks
   }
+
+  /** `<a href=...>anchor</a>` pairs in raw markup — single or double
+    * quoted href, first attribute (the shape the synthesized corpus and
+    * most crawl HTML emit; a full attribute grammar belongs to the DOM
+    * pass in [[graft.html.HtmlTextExtractor]], which drops anchors as
+    * boilerplate — this regex harvest exists precisely to KEEP them).
+    * Plain alternation + negated classes only: no lookaround, no
+    * backreferences — runs identically under java.util.regex and RE2.
+    */
+  val AnchorPattern = "<a href=['\"]([^'\"]+)['\"][^>]*>([^<]*)</a>"
+
+  /** Anchor-text aggregation over the raw pages table: harvest every
+    * `<a href>` out of HTML payloads, resolve relative hrefs against the
+    * page's own host, and aggregate per target url — the inverted
+    * "what does the web call this page" view (anchor text is a classic
+    * relevance/label signal for training corpora, cf. MS MARCO / DSSM
+    * style anchor-document pairs, and inlink counts feed the same
+    * curation weighting as [[domainRank]]).
+    *
+    * Emits (target, inlinks, mentions, anchor):
+    *  - `inlinks`  = distinct linking DOCUMENTS (count distinct url) —
+    *    dedups a page that cites the same target repeatedly;
+    *  - `mentions` = total anchor occurrences;
+    *  - `anchor`   = min anchor text (deterministic representative).
+    *
+    * Scale shape (10^12 pages): the harvest is map-only (payload-local
+    * decode + regexp over the first MaxScanBytes); only slim
+    * (target, page_url, anchor) rows reach the one exchange, partially
+    * aggregated map-side. The payload column never shuffles. The HTML
+    * gate mirrors [[graft.sniff.ContentSniffer]] as a codegen'd column
+    * predicate: `%PDF-` magic excluded, then an HTML-ish tag in the
+    * first 1 KiB.
+    */
+  def anchorStats(pages: DataFrame, urlCol: String = "url",
+                  htmlCol: String = "html", maxScanBytes: Int = 1 << 20): DataFrame = {
+    val htmlStr = substring(col(htmlCol).cast("string"), 1, maxScanBytes)
+    val head = lower(substring(htmlStr, 1, 1024))
+    val isHtml = !htmlStr.startsWith("%PDF-") &&
+      (head.contains("<html") || head.contains("<head") || head.contains("<body") ||
+        head.contains("<!doctype html") || head.contains("<div") || head.contains("<p>") ||
+        head.contains("<title"))
+    val base = concat(lit("https://"), UrlOps.host(col("page_url")))
+    pages
+      .filter(length(col(htmlCol)) > 0 && isHtml)
+      .select(col(urlCol).as("page_url"),
+        explode(regexp_extract_all(htmlStr, lit(AnchorPattern), lit(0))).as("m"))
+      .select(col("page_url"),
+        regexp_extract(col("m"), AnchorPattern, 1).as("href"),
+        regexp_extract(col("m"), AnchorPattern, 2).as("anchor_text"))
+      .select(col("page_url"), col("anchor_text"),
+        when(col("href").startsWith("http://") || col("href").startsWith("https://"), col("href"))
+          .otherwise(concat(base, col("href"))).as("target"))
+      .groupBy(col("target"))
+      .agg(
+        countDistinct(col("page_url")).as("inlinks"),
+        count(lit(1)).as("mentions"),
+        min(col("anchor_text")).as("anchor"))
+  }
 }

@@ -89,6 +89,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(inside == 0, "bins covered by the giant's span stay empty")
   }
 
+  test("corpusCard: exact one-row profile; blank text counts zero tokens; dup rate via distinct fingerprints") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "hello world", "en", "web"),
+      (2L, "  HELLO   world ", "en", "web"), // normalizes to doc 1's text → same fingerprint
+      (3L, "", "pt", "pdf"),
+      (4L, "three token line", "en", "web")
+    ).toDF("doc_id", "text", "lang", "source")
+    val r = CorpusStats.corpusCard(d, "text", "lang", "source").collect()(0)
+    assert(r.getLong(r.fieldIndex("n_docs")) == 4L)
+    assert(r.getLong(r.fieldIndex("n_tokens")) == 2L + 2L + 0L + 3L)
+    assert(r.getLong(r.fieldIndex("n_chars")) == 11L + 16L + 0L + 16L)
+    assert(r.getLong(r.fieldIndex("n_langs")) == 2L)
+    assert(r.getLong(r.fieldIndex("n_sources")) == 2L)
+    assert(r.getLong(r.fieldIndex("n_distinct_texts")) == 3L,
+      "docs 1 and 2 share a normalized fingerprint")
+  }
+
   test("quartilesX4: interpolation parity with hand-computed quartiles") {
     import spark.implicits._
     // odd count: 1..5 -> q25=2, q50=3, q75=4; even count: 1..4 -> 1.75, 2.5, 3.25

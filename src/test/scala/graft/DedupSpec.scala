@@ -17,6 +17,51 @@ class DedupSpec extends AnyFunSuite {
   private val longB = "the quick brown fox jumps over the lazy dog near the quiet river bank tonight" // 1-word diff
   private val longC = "completely different content about spark catalyst optimizer rules and physical plans here"
 
+  test("line dedup: corpus-frequent lines dropped, unique prose kept in order") {
+    val nav = "NAV: home about"
+    val foot = "(c) 2024 portal"
+    val d = df(
+      1L -> s"$nav\nunique one\n$foot",
+      2L -> s"$nav\nunique two\n$foot",
+      3L -> s"$nav\nunique three\n$foot",
+      4L -> s"body only\nsecond line")
+    val out = graft.dedup.LineDedup.dropFrequentLines(d, "doc_id", "text", minDf = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(out(0) == ((1L, 3L, 1L, "unique one")))
+    assert(out(1) == ((2L, 3L, 1L, "unique two")))
+    assert(out(2) == ((3L, 3L, 1L, "unique three")))
+    // doc 4 has no frequent lines: both survive, order and join preserved
+    assert(out(3) == ((4L, 2L, 2L, "body only\nsecond line")))
+  }
+
+  test("line dedup: DOCUMENT frequency — self-repetition cannot promote a line into the catalog") {
+    // doc 1 repeats its own line 5 times; only 1 distinct doc contains it
+    val d = df(
+      1L -> Seq.fill(5)("spam spam spam").mkString("\n"),
+      2L -> "normal text")
+    val out = graft.dedup.LineDedup.dropFrequentLines(d, "doc_id", "text", minDf = 3L)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(out(1L) == Seq.fill(5)("spam spam spam").mkString("\n"),
+      "a single spammy document must not self-clean")
+    assert(out(2L) == "normal text")
+  }
+
+  test("line dedup: repeated boilerplate occurrences inside one doc all drop; catalog cap deterministic") {
+    val b = "cookie banner"
+    val d = df(1L -> s"$b\nkeep me\n$b", 2L -> b, 3L -> s"$b\nother")
+    val out = graft.dedup.LineDedup.dropFrequentLines(d, "doc_id", "text", minDf = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).sortBy(_._1)
+    assert(out(0) == ((1L, 1L, "keep me")), "BOTH occurrences of the frequent line drop")
+    assert(out(1) == ((2L, 0L, "")), "all-boilerplate doc cleans to empty")
+    assert(out(2) == ((3L, 1L, "other")))
+    // cap = 0 disables the catalog entirely → everything survives
+    val uncapped = graft.dedup.LineDedup.dropFrequentLines(d, "doc_id", "text",
+        minDf = 3L, maxCatalog = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    assert(uncapped.map(_._2).toSeq == Seq(3L, 1L, 2L))
+  }
+
   test("exact dedup: groups by content, min-id survivor") {
     val d = df(1L -> "aaa", 2L -> "bbb", 3L -> "aaa", 4L -> "aaa", 5L -> "bbb")
     val groups = Dedup.exactGroups(d, "doc_id", "text").collect()

@@ -244,6 +244,43 @@ class PlanSpec extends AnyFunSuite {
       s"bloom branches must not add object-domain round-trips:\n$plan")
   }
 
+  test("line dedup: catalog broadcasts as one row; cleanse is map-only (no corpus text shuffle)") {
+    val plan = finalPlan(SparkEntry.queries("d_drop_freq_lines")(spark, sfDir))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row catalog must broadcast-cross-join, not shuffle the corpus:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"no keyed corpus shuffle anywhere in the cleanse:\n$plan")
+    // the only hash exchanges are the slim line_md5 aggregations
+    // (distinct + df count); document text rides none of them
+    val hashEx = plan.split("Exchange hashpartitioning").length - 1
+    assert(hashEx <= 2, s"expected at most the two slim catalog exchanges, got $hashEx:\n$plan")
+    assert(!plan.split("Exchange hashpartitioning").tail
+        .exists(s => s.takeWhile(_ != ')').contains("text")),
+      s"document text must never enter an exchange:\n$plan")
+  }
+
+  test("anchor stats: payload-local harvest; only slim anchor rows reach the aggregation") {
+    val plan = finalPlan(SparkEntry.queries("w_anchor_text")(spark, sfDir))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Exchange rangepartitioning"),
+      s"no join/global sort in the harvest:\n$plan")
+    assert(!plan.split("Exchange hashpartitioning").tail
+        .exists(s => s.takeWhile(_ != ')').contains("html")),
+      s"the payload column must never shuffle:\n$plan")
+    assert(plan.contains("partial"),
+      s"anchor counts must partial-aggregate map-side before the exchange:\n$plan")
+  }
+
+  test("corpus card: one map-side-partial aggregate; distinct keys are slim (no text shuffle)") {
+    val plan = finalPlan(SparkEntry.queries("q_corpus_card")(spark, sfDir))
+    assert(plan.contains("Expand"),
+      s"multi-count-distinct should plan as one Expand, not separate scans:\n$plan")
+    assert(plan.contains("partial"),
+      s"counts must partial-aggregate map-side:\n$plan")
+    assert(!plan.split("Exchange hashpartitioning").tail
+        .exists(s => s.takeWhile(_ != ')').contains("text#")),
+      s"distinct keys must be lang/source/fingerprint, never the text column:\n$plan")
+  }
+
   test("lm fluency: pruned model broadcasts; corpus bigrams probe map-side, never sort-merge") {
     val plan = finalPlan(SparkEntry.queries("t_lm_score")(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"),

@@ -220,6 +220,26 @@ class WebCorpusSpec extends AnyFunSuite {
       ("b.org", "b.org") -> 1L))
   }
 
+  test("anchorStats: harvest, relative-href resolution, distinct-doc inlinks vs mentions") {
+    import spark.implicits._
+    val pages = Seq(
+      ("https://a.com/1",
+        """<html><body><a href="/x">go x</a> <a href='https://b.org/y'>to y</a>
+          |<a href="/x">go x</a></body></html>""".stripMargin.getBytes("UTF-8")),
+      ("https://c.net/2", """<html><p><a href="https://a.com/x">also x</a></p></html>""".getBytes("UTF-8")),
+      ("https://d.com/3", "%PDF-1.4 <a href=\"/pdfnot\">nope</a>".getBytes("UTF-8")),
+      ("https://e.com/4", Array.emptyByteArray),
+      ("https://f.com/5", "plain text, no markup tags".getBytes("UTF-8"))
+    ).toDF("url", "html")
+    val out = graft.web.LinkGraph.anchorStats(pages).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      // page a.com/1 cites /x twice (1 inlink, 2 mentions); c.net/2 adds an absolute cite
+      ("https://a.com/x", 2L, 3L, "also x"),
+      ("https://b.org/y", 1L, 1L, "to y")),
+      s"pdf/empty/non-html payloads excluded; relative hrefs resolve to the page host: ${out.toSeq}")
+  }
+
   test("domainRank: hand-computed integerized PageRank on a 2-node graph") {
     import spark.implicits._
     // a → b (weight 1), b → a (weight 1): symmetric, so every iteration
