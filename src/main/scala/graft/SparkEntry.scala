@@ -157,6 +157,39 @@ object SparkEntry {
       when(id % 10 === 0, cite).otherwise(lit("")))
   }
 
+  /** Text with deterministic mixed-normalization suffixes appended
+    * (mirrored in the oracle SQL as chr() concatenations): decomposed
+    * `a`+U+0303, `e`+U+0301, `A`+U+030A sequences plus an
+    * already-precomposed `é` — so the NFC operator sees compositions to
+    * perform, a fixed point to leave alone, and pure-ASCII rows (the
+    * no-allocation fast path). BMP-only so char counts agree across
+    * engines.
+    */
+  private def denormText: Column = {
+    val id = col("doc_id")
+    concat(col("text"),
+      when(id % 3 === 0, lit(" Joa\u0303o")).otherwise(lit("")), // a + combining tilde
+      when(id % 4 === 0, lit(" cafe\u0301")).otherwise(lit("")), // e + combining acute
+      when(id % 5 === 0, lit(" \u00e9clair")).otherwise(lit("")), // precomposed: NFC fixed point
+      when(id % 7 === 0, lit(" A\u030Angstro\u0308m")).otherwise(lit(""))) // combining ring + diaeresis
+  }
+
+  /** Synthetic page markup for the robots gate (mirrored in the oracle
+    * SQL as modulus math): every 7th doc opts out via
+    * `<meta name="robots" content="noindex,nofollow">`, every 11th uses
+    * the ATTRIBUTE-SWAPPED spelling `<meta content="nofollow"
+    * name="robots">` — so the Spark-side regex must handle both orders
+    * while the oracle stays closed-form.
+    */
+  private def robotsHtml: Column = {
+    val id = col("doc_id")
+    concat(lit("<html><head>"),
+      when(id % 7 === 0, lit("<meta name=\"robots\" content=\"noindex,nofollow\">"))
+        .when(id % 11 === 0, lit("<meta content=\"nofollow\" name=\"robots\">"))
+        .otherwise(lit("")),
+      lit("<title>d</title></head><body>"), col("text"), lit("</body></html>"))
+  }
+
   /** Benchmark/eval set for the decontamination queries: 28-token excerpts
     * of every 101st sufficiently long document (benchmarks quote web
     * text). Shared by `q_decontaminate` and `q_training_export`; the
@@ -253,6 +286,32 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         TextAnalytics.tokenCount(col("text")).cast("long").as("n_ws"),
         TextAnalytics.bpeTokenCount(col("text")).as("n_bpe"))),
+    // adjacent-pair statistics for BPE merge learning: the one-exchange
+    // vocab aggregate carries the corpus; the pair fan-out runs on the
+    // vocabulary only; deterministic top-K via TakeOrdered
+    "t_bpe_pairs" -> ((s, dir) =>
+      graft.stats.CorpusStats.bpePairStats(docs(s, dir), "text", topK = 50)),
+    // NFC normalization via the native codegen'd graft_nfc expression,
+    // over mixed-form synthesis: decomposed sequences compose, the
+    // precomposed fixed point and pure-ASCII rows pass through untouched
+    "t_nfc" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), denormText.as("raw"))
+      d.select(col("doc_id"), col("raw"),
+          TextAnalytics.nfcNative(d)(col("raw")).as("nfc_text"))
+        .select(col("doc_id"), col("nfc_text"),
+          (col("raw") =!= col("nfc_text")).as("changed"),
+          length(col("raw")).cast("long").as("n_before"),
+          length(col("nfc_text")).cast("long").as("n_after"))
+    }),
+    // publisher opt-out gate: meta-robots directives detected in either
+    // attribute order, map-only — composable with the scan so opted-out
+    // payloads drop before they ever shuffle
+    "w_robots_gate" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), robotsHtml.as("html"))
+      d.select(col("doc_id"),
+        UrlOps.metaRobots(col("html"), "noindex").as("noindex"),
+        UrlOps.metaRobots(col("html"), "nofollow").as("nofollow"))
+    }),
     // stopword-ratio quality signal (Gopher-style: ≥ 2 common function
     // words); integer counts only, ratio left to the consumer
     "t_stopword" -> ((s, dir) =>
@@ -940,6 +999,35 @@ object SparkEntry {
          |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tok) END AS BIGINT) AS n_ws,
          |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe
          |FROM documents""".stripMargin,
+    "t_bpe_pairs" ->
+      """WITH t AS (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]')) AS token FROM documents),
+        |v AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM t WHERE len(token) >= 2 GROUP BY token),
+        |p AS (SELECT substr(token, CAST(i AS INT), 2) AS pair, cnt
+        |      FROM (SELECT token, cnt, unnest(generate_series(1, len(token) - 1)) AS i FROM v))
+        |SELECT pair, CAST(sum(cnt) AS BIGINT) AS n FROM p
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+    // chr(): 771 = U+0303 combining tilde, 769 = U+0301 combining acute,
+    // 233 = precomposed é, 778 = U+030A combining ring, 776 = U+0308
+    // combining diaeresis — the exact sequences denormText appends
+    "t_nfc" ->
+      """WITH r AS (SELECT doc_id, text ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN ' Joa' || chr(771) || 'o' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN ' cafe' || chr(769) ELSE '' END) ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN ' ' || chr(233) || 'clair' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 7 = 0 THEN ' A' || chr(778) || 'ngstro' || chr(776) || 'm' ELSE '' END) AS raw
+        |FROM documents)
+        |SELECT doc_id, nfc_normalize(raw) AS nfc_text,
+        |  raw <> nfc_normalize(raw) AS changed,
+        |  CAST(len(raw) AS BIGINT) AS n_before,
+        |  CAST(len(nfc_normalize(raw)) AS BIGINT) AS n_after
+        |FROM r""".stripMargin,
+    // closed-form twin of the robotsHtml synthesis: %7 docs carry
+    // noindex,nofollow (name-first attr order), %11 docs nofollow only
+    // (content-first order); the Spark side must parse both spellings
+    "w_robots_gate" ->
+      """SELECT doc_id, (doc_id % 7 = 0) AS noindex,
+        |  (doc_id % 7 = 0 OR doc_id % 11 = 0) AS nofollow
+        |FROM documents""".stripMargin,
     "t_stopword" -> {
       val stopRe = "\\b(?:" + graft.text.TextAnalytics.EnStopwords.mkString("|") + ")\\b"
       s"""SELECT doc_id,

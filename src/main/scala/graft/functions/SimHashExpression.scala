@@ -120,12 +120,21 @@ object GraftFunctions {
     org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(children.head, children(1))
   }
 
+  val NfcName = "graft_nfc"
+  private val nfcInfo = new ExpressionInfo(classOf[NfcExpression].getName, NfcName)
+
+  val nfcBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 1, s"$NfcName takes exactly 1 argument, got ${children.length}")
+    NfcExpression(children.head)
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.registerFunction(FunctionIdentifier(SimHashName), simhashInfo, simhashBuilder)
     reg.registerFunction(FunctionIdentifier(QDotName), qdotInfo, qdotBuilder)
     reg.registerFunction(FunctionIdentifier(LshSigName), lshsigInfo, lshsigBuilder)
     reg.registerFunction(FunctionIdentifier(MightContainName), mightContainInfo, mightContainBuilder)
+    reg.registerFunction(FunctionIdentifier(NfcName), nfcInfo, nfcBuilder)
   }
 }
 
@@ -152,6 +161,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
           GraftFunctions.MightContainName),
         GraftFunctions.mightContainBuilder))
+    ext.injectFunction(
+      (FunctionIdentifier(GraftFunctions.NfcName),
+        new ExpressionInfo(classOf[NfcExpression].getName, GraftFunctions.NfcName),
+        GraftFunctions.nfcBuilder))
   }
 }
 

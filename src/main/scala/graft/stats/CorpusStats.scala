@@ -36,6 +36,36 @@ object CorpusStats {
         (percentile(col(valueCol), lit(0.75)) * 4).cast("long").as("p75_x4"),
         max(col(valueCol)).cast("long").as("v_max"))
 
+  /** Adjacent-symbol pair statistics over the pretokenized corpus — the
+    * statistic ONE iteration of BPE merge-learning consumes (count every
+    * adjacent character pair inside each pretoken, weighted by the
+    * pretoken's corpus frequency; the argmax pair becomes the next merge).
+    * Emits the deterministic top-K `(pair, n)` rows, ties broken by pair.
+    *
+    * Scale shape (10^12 documents): the corpus explodes to slim pretoken
+    * strings whose ONE exchange is collapsed map-side to the
+    * partition-distinct vocabulary (Zipf: ≪ token occurrences); the pair
+    * fan-out then runs on the aggregated VOCAB — thousands of rows, not
+    * the corpus — and top-K is a `TakeOrderedAndProject` (K rows to the
+    * driver, never a global sort). Iterating to learn a full merges table
+    * re-segments with the chosen merge applied — a driver loop over this
+    * same aggregate; each round's cost is the one vocab exchange.
+    */
+  def bpePairStats(d: DataFrame, textCol: String, topK: Int = 50): DataFrame = {
+    val vocab = d
+      .select(explode(regexp_extract_all(col(textCol),
+        lit(graft.text.TextAnalytics.BpeTokenPattern), lit(0))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(length(col("token")) >= 2) // single-symbol tokens have no pairs
+    vocab
+      .select(col("token"), col("cnt"),
+        explode(sequence(lit(1), (length(col("token")) - 1).cast("int"))).as("i"))
+      .select(expr("substr(token, i, 2)").as("pair"), col("cnt"))
+      .groupBy(col("pair")).agg(sum(col("cnt")).cast("long").as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topK)
+  }
+
   /** One-row corpus profile — the "data card" summary published with a
     * training corpus (doc/token totals, language/source cardinality,
     * exact-duplicate rate). All counts are exact integers; the duplicate

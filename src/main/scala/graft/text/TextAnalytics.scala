@@ -71,6 +71,19 @@ object TextAnalytics {
   def stopTokenCount(c: Column): Column =
     regexp_count(lower(c), lit(stopPattern)).cast("long")
 
+  /** Unicode NFC canonical composition via the native codegen'd
+    * [[graft.functions.NfcExpression]] (`graft_nfc`). Crawled text mixes
+    * precomposed and decomposed forms of the same characters; every
+    * byte-level operator downstream (fingerprints, shingles, exact dedup,
+    * golden byte-identity) sees them as distinct until this settles the
+    * form. Registers the function on the df's session (idempotent).
+    * Value-exact vs DuckDB's `nfc_normalize` — driver-gated (`t_nfc`).
+    */
+  def nfcNative(df: DataFrame)(c: Column): Column = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    call_function(graft.functions.GraftFunctions.NfcName, c)
+  }
+
   /** Canonical form for fingerprinting: lowercase, whitespace collapsed. */
   def normalized(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")

@@ -171,4 +171,20 @@ object UrlOps {
     val withDomain = df.withColumn("domain", registeredDomain(host(col(urlCol))))
     withDomain.join(broadcast(blocked.select(col("domain"))), Seq("domain"), "left_anti")
   }
+
+  /** True iff the page's markup carries `<meta name="robots">` with the
+    * given directive (`noindex` / `nofollow` / `noarchive` …) — the
+    * publisher opt-out a compliant training-data crawl honors before
+    * anything else touches the page. Both attribute orders are matched
+    * (name-first and content-first), either quote style, case-insensitive.
+    * Map-only codegen'd regexes (lookaround-free; negated classes bound
+    * each match to a single tag), so the gate composes with the scan —
+    * opted-out payloads can be dropped before they ever shuffle.
+    */
+  def metaRobots(html: Column, directive: String): Column = {
+    require(directive.matches("[a-z-]+"), s"directive must be a plain token, got $directive")
+    val h = lower(html)
+    h.rlike(s"""<meta[^>]*name=["']robots["'][^>]*content=["'][^"']*$directive""") ||
+      h.rlike(s"""<meta[^>]*content=["'][^"']*$directive[^"']*["'][^>]*name=["']robots["']""")
+  }
 }

@@ -89,6 +89,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(inside == 0, "bins covered by the giant's span stay empty")
   }
 
+  test("bpePairStats: frequency-weighted adjacent pairs; single-char tokens contribute nothing; ties by pair") {
+    import spark.implicits._
+    // "ab" ×3 (two docs), "abc" ×1, "x" ×2 (no pairs), "12" digits count too
+    val d = Seq(
+      (1L, "ab ab x 12"),
+      (2L, "ab abc x")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.bpePairStats(d, "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // pairs: "ab" from "ab"×3 and "abc"×1 → 4; "bc" from "abc" → 1; "12" → 1
+    assert(out.toSeq == Seq(("ab", 4L), ("12", 1L), ("bc", 1L)),
+      s"expected frequency-weighted pairs in (n DESC, pair) order, got ${out.toSeq}")
+    // topK truncates deterministically
+    val top1 = CorpusStats.bpePairStats(d, "text", topK = 1).collect()
+    assert(top1.length == 1 && top1(0).getString(0) == "ab")
+  }
+
   test("corpusCard: exact one-row profile; blank text counts zero tokens; dup rate via distinct fingerprints") {
     import spark.implicits._
     val d = Seq(

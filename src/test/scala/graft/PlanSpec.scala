@@ -281,6 +281,33 @@ class PlanSpec extends AnyFunSuite {
       s"distinct keys must be lang/source/fingerprint, never the text column:\n$plan")
   }
 
+  test("bpe pair stats: corpus collapses to vocab map-side; pair fan-out and top-K never global-sort") {
+    val plan = finalPlan(SparkEntry.queries("t_bpe_pairs")(spark, sfDir))
+    val hashEx = plan.split("Exchange hashpartitioning").length - 1
+    assert(hashEx <= 2, s"expected the vocab agg and pair agg exchanges only, got $hashEx:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial, [count"),
+      s"token counts must partial-aggregate before the vocab exchange:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-K must be TakeOrdered (K rows to the driver), not a global sort:\n$plan")
+  }
+
+  test("nfc normalization is map-only codegen (no Exchange, native expression in the stage)") {
+    val df = SparkEntry.queries("t_nfc")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"NFC projection must not shuffle:\n$plan")
+    assert(plan.contains("graft_nfc"), s"the native expression must appear in the plan:\n$plan")
+    // `*(n)` is the compact-plan marker for a WholeStageCodegen span; the
+    // graft_nfc projection must sit inside one (defineCodeGen, no fallback)
+    assert(plan.linesIterator.exists(l => l.contains("graft_nfc") && l.trim.matches("^[+:\\- ]*\\*\\(\\d+\\).*")),
+      s"graft_nfc must stay inside a codegen span:\n$plan")
+  }
+
+  test("robots gate is map-only (no Exchange)") {
+    val plan = SparkEntry.queries("w_robots_gate")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"the meta-robots gate must compose with the scan:\n$plan")
+  }
+
   test("lm fluency: pruned model broadcasts; corpus bigrams probe map-side, never sort-merge") {
     val plan = finalPlan(SparkEntry.queries("t_lm_score")(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"),

@@ -12,6 +12,35 @@ class TextAnalyticsSpec extends AnyFunSuite {
     Seq(text).toDF("text").select(c).collect()(0).get(0)
   }
 
+  test("graft_nfc: decomposed sequences compose; NFC input and ASCII are fixed points; null propagates") {
+    import spark.implicits._
+    val d = Seq("x").toDF("text")
+    def nfc(s: String): String =
+      Seq(s).toDF("t").select(nfcNative(d)(col("t"))).collect()(0).getString(0)
+    assert(nfc("Joa\u0303o") == "João") // a + U+0303 → ã
+    assert(nfc("cafe\u0301") == "café")
+    assert(nfc("A\u030Angstro\u0308m") == "Ångström")
+    assert(nfc("éclair") == "éclair", "already-NFC input unchanged")
+    assert(nfc("plain ascii text.") == "plain ascii text.")
+    assert(nfc("") == "")
+    // idempotence: nfc(nfc(x)) == nfc(x) on a mixed corpus
+    val mixed = Seq("João", "café au lait", "ascii", "é́").toDF("t")
+    val twice = mixed.select(nfcNative(mixed)(nfcNative(mixed)(col("t"))).as("a"),
+      nfcNative(mixed)(col("t")).as("b")).collect()
+    twice.foreach(r => assert(r.getString(0) == r.getString(1)))
+    // null row
+    val n = Seq[Option[String]](None).toDF("t").select(nfcNative(d)(col("t"))).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("graft_nfc: supplementary-plane text (emoji) passes through byte-identically") {
+    import spark.implicits._
+    val d = Seq("x").toDF("text")
+    val s = "mixed 😀 emoji café"
+    val out = Seq(s).toDF("t").select(nfcNative(d)(col("t"))).collect()(0).getString(0)
+    assert(out == "mixed 😀 emoji café")
+  }
+
   test("tokenCount: words, collapsing whitespace, empty/blank → 0") {
     assert(one("a b  c", tokenCount(col("text"))) == 3)
     assert(one("  hello   world  ", tokenCount(col("text"))) == 2)

@@ -220,6 +220,22 @@ class WebCorpusSpec extends AnyFunSuite {
       ("b.org", "b.org") -> 1L))
   }
 
+  test("metaRobots: both attribute orders, either quote style, case-insensitive; body mention is not a directive") {
+    import spark.implicits._
+    def flags(html: String): (Boolean, Boolean) = {
+      val d = Seq(html).toDF("html")
+      val r = d.select(UrlOps.metaRobots(col("html"), "noindex").as("a"),
+        UrlOps.metaRobots(col("html"), "nofollow").as("b")).collect()(0)
+      (r.getBoolean(0), r.getBoolean(1))
+    }
+    assert(flags("""<head><meta name="robots" content="noindex,nofollow"></head>""") == ((true, true)))
+    assert(flags("""<head><meta content="nofollow" name="robots"></head>""") == ((false, true)))
+    assert(flags("""<head><META NAME='ROBOTS' CONTENT='NOINDEX'></head>""") == ((true, false)))
+    assert(flags("""<head><meta name="viewport" content="width=1"></head><p>noindex nofollow</p>""") == ((false, false)),
+      "directive words in body text or other meta tags must not trigger the gate")
+    assert(flags("""<meta name="description" content="how to noindex a page">""") == ((false, false)))
+  }
+
   test("anchorStats: harvest, relative-href resolution, distinct-doc inlinks vs mentions") {
     import spark.implicits._
     val pages = Seq(
