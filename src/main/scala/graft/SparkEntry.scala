@@ -553,6 +553,22 @@ object SparkEntry {
     "e_latest_asof" -> ((s, dir) =>
       graft.events.EventOps.latestAsOf(s.read.parquet(s"$dir/events.parquet"),
         "user_id", "ts", "event_id", cutoffMicros = AsOfCutoffUs, payloadCols = Seq("event_type"))),
+    // as-of JOIN (click → latest prior view per user): union + window —
+    // ONE key shuffle over |L|+|R| rows, never the quadratic inequality
+    // join; left-outer (unmatched clicks keep NULLs). DuckDB's native
+    // ASOF LEFT JOIN is the oracle.
+    "e_asof_join" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+          col("user_id"), col("event_type"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("view_id"), col("ts_us").as("view_ts_us"))
+      graft.events.EventOps.asofJoin(clicks, views, "user_id", "ts_us",
+        Seq("view_id", "view_ts_us"))
+    }),
     // ---- deduplication ----
     // passage-level boilerplate mass: word-8-grams shared by ≥ 2 distinct
     // documents (cookie banners / footers document-level dedup misses);
@@ -1263,6 +1279,16 @@ object SparkEntry {
          |r AS (SELECT user_id, ts_us, event_id, event_type,
          |  row_number() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn FROM e)
          |SELECT user_id, ts_us, event_id, event_type FROM r WHERE rn = 1""".stripMargin,
+    // DuckDB's native ASOF LEFT JOIN (greatest right ts <= left ts,
+    // inclusive) is the exact semantics the union+window formulation
+    // implements — the strongest possible oracle for this operator
+    "e_asof_join" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type FROM events),
+        |l AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts_us, event_id AS view_id, ts_us AS view_ts_us
+        |      FROM e WHERE event_type = 'view')
+        |SELECT l.event_id, l.user_id, l.ts_us, r.view_id, r.view_ts_us
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.ts_us""".stripMargin,
     "t_vocab_topk" ->
       """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
         |  FROM documents WHERE length(trim(text)) > 0)

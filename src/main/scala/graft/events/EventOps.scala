@@ -70,4 +70,51 @@ object EventOps {
       .agg(max(struct(fields: _*)).as("m"))
       .select(col(userCol) +: ("ts_us" +: idCol +: payloadCols).map(f => col(s"m.$f")): _*)
   }
+
+  /** As-of JOIN: for every left row, attach the right row with the same
+    * key and the greatest `tsCol` ≤ the left row's (inclusive — the
+    * DuckDB/kdb `ASOF JOIN` convention); left rows with no earlier right
+    * row keep NULL payloads (left-outer). The temporal join a crawl
+    * pipeline runs constantly: "which robots snapshot / site config /
+    * model version governed this fetch".
+    *
+    * Spark has no native as-of join, and the naive formulation —
+    * `l JOIN r ON l.k = r.k AND r.ts <= l.ts` + max-rank — explodes to
+    * every (left, earlier-right) pair before pruning (quadratic per hot
+    * key, BNLJ if the planner can't use the equi-key). This is instead
+    * the UNION + window formulation: tag both inputs, shuffle ONCE on the
+    * key, sort in-partition by `(ts, side, payload)` (right rows sort
+    * before left at equal ts ⇒ inclusive semantics; the payload struct is
+    * a total tie-break, so the pick is deterministic even with duplicate
+    * right timestamps), and carry the latest right payload forward with
+    * `last(ignoreNulls)`. Cost = one Exchange + one sort over |L|+|R|
+    * rows — the same shape as [[sessionize]], and what a 10^12-row as-of
+    * must plan. AQE handles hot keys; payload structs ride the single
+    * shuffle once.
+    *
+    * `rightPayload` names the right columns to attach (they must not
+    * collide with left column names — rename on the way in).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+               rightPayload: Seq[String]): DataFrame = {
+    require(rightPayload.nonEmpty, "rightPayload must name at least one column")
+    val collisions = rightPayload.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty, s"rightPayload collides with left columns: $collisions")
+    val lStruct = struct(left.columns.map(col): _*)
+    val rStruct = struct(rightPayload.map(col): _*)
+    val lType = left.select(lStruct).schema.head.dataType
+    val rType = right.select(rStruct).schema.head.dataType
+    val lTagged = left.select(col(keyCol).as("_k"), col(tsCol).as("_ts"),
+      lit(1).as("_side"), lit(null).cast(rType).as("_r"), lStruct.as("_l"))
+    val rTagged = right.select(col(keyCol).as("_k"), col(tsCol).as("_ts"),
+      lit(0).as("_side"), rStruct.as("_r"), lit(null).cast(lType).as("_l"))
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_ts"), col("_side"), col("_r"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rTagged.unionByName(lTagged)
+      .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(left.columns.map(c => col(s"_l.$c").as(c)) ++
+        rightPayload.map(c => col(s"_m.$c").as(c)): _*)
+  }
 }

@@ -52,6 +52,50 @@ class EventOpsSpec extends AnyFunSuite {
     assert(sess.filter(col("end_us") - col("start_us") > 20L * 1000000).count() == 0)
   }
 
+  test("asofJoin: latest right at-or-before each left; inclusive at equal ts; no-match keeps NULL; per-key isolation") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, 10L), // after r@50 and r@100 → inclusive pick r@100
+      (1L, 99L, 11L),  // between r@50 and r@100 → r@50
+      (1L, 10L, 12L),  // before any right row → NULL
+      (2L, 500L, 13L), // other key: only key-2 rights visible
+      (3L, 500L, 14L)  // key with no right rows at all → NULL
+    ).toDF("user_id", "ts_us", "event_id")
+    val right = Seq(
+      (1L, 50L, 20L), (1L, 100L, 21L), (1L, 200L, 22L), // 200 is in the future of all lefts
+      (2L, 400L, 23L)
+    ).toDF("user_id", "ts_us", "view_id")
+      .withColumn("view_ts_us", col("ts_us"))
+    val got = EventOps.asofJoin(left, right, "user_id", "ts_us", Seq("view_id", "view_ts_us"))
+      .collect().map(r => (r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(got == Map(10L -> 21L, 11L -> 20L, 12L -> -1L, 13L -> 23L, 14L -> -1L),
+      s"got $got")
+  }
+
+  test("asofJoin: brute-force parity on a randomized fixture; duplicate right timestamps pick deterministically") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val left = (1 to 200).map(i => ((i % 7).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      .toDF("k", "ts_us", "lid")
+    val right = (1 to 150).map(i => ((i % 7).toLong, rnd.nextInt(1000).toLong, (1000 + i).toLong))
+      .toDF("k", "ts_us", "rid")
+      .withColumn("r_ts", col("ts_us"))
+    val got = EventOps.asofJoin(left, right, "k", "ts_us", Seq("rid", "r_ts"))
+      .collect().map(r => (r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    // brute force: max (ts, rid) among rights with same key and ts <= left ts
+    val rRows = right.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lRows = left.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    lRows.foreach { case (k, ts, lid) =>
+      val cand = rRows.filter(r => r._1 == k && r._2 <= ts)
+      val want = if (cand.isEmpty) -1L
+      // window orders by (ts, side, payload struct) — among equal right
+      // ts the LARGEST (rid, r_ts) struct is carried forward last
+      else cand.maxBy(r => (r._2, r._3))._3
+      assert(got(lid) == want, s"left $lid (k=$k, ts=$ts): got ${got(lid)}, want $want")
+    }
+  }
+
   test("latestAsOf: brute-force parity and cutoff respected") {
     import spark.implicits._
     val rng = new scala.util.Random(7)

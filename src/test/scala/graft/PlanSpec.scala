@@ -308,6 +308,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"the meta-robots gate must compose with the scan:\n$plan")
   }
 
+  test("as-of join: ONE key shuffle over the union, never an inequality join") {
+    val plan = finalPlan(SparkEntry.queries("e_asof_join")(spark, "/root/testdata/sf0.01"))
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 1,
+      s"union+window must shuffle ONCE on the key:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastNestedLoop") &&
+      !plan.contains("CartesianProduct"),
+      s"no join operator at all — the quadratic inequality-join shape is the anti-pattern:\n$plan")
+    assert(plan.contains("Window"), s"the as-of pick is a window carry-forward:\n$plan")
+  }
+
   test("lm fluency: pruned model broadcasts; corpus bigrams probe map-side, never sort-merge") {
     val plan = finalPlan(SparkEntry.queries("t_lm_score")(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"),
