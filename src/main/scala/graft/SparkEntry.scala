@@ -128,15 +128,47 @@ object SparkEntry {
     * footer lines — the corpus-recurring lines are exactly what the
     * CCNet-style cleanse must drop while the body survives verbatim.
     */
-  private def multilineText: Column = {
+  private def multilineOf(body: Column): Column = {
     val id = col("doc_id")
     concat_ws("\n",
       when(id % 5 === 0, lit("NAV: home news about contact"))
         .otherwise(concat(lit("Title "), id.cast("string"))),
-      col("text"),
+      body,
       when(id % 4 === 0, lit("Subscribe to our newsletter!")),
       when(id % 2 === 0, lit("(c) 2024 Synth Crawl Portal - all rights reserved.")))
   }
+
+  private def multilineText: Column = multilineOf(col("text"))
+
+  /** SQL twin of [[multilineOf]], parametrized by the body expression. */
+  private def multilineSql(bodyExpr: String): String =
+    s"""concat_ws(chr(10),
+       |    CASE WHEN doc_id % 5 = 0 THEN 'NAV: home news about contact'
+       |         ELSE 'Title ' || CAST(doc_id AS VARCHAR) END,
+       |    $bodyExpr,
+       |    CASE WHEN doc_id % 4 = 0 THEN 'Subscribe to our newsletter!' END,
+       |    CASE WHEN doc_id % 2 = 0 THEN '(c) 2024 Synth Crawl Portal - all rights reserved.' END)""".stripMargin
+
+  /** SQL twin of [[graft.dedup.LineDedup]]'s catalog + cleanse over a CTE
+    * `lt(doc_id, t)`: document-frequency line catalog (threshold 30,
+    * deterministic cap), then the order-preserving list_filter cleanse.
+    * Shared by `d_drop_freq_lines` and `q_web_ingest`.
+    */
+  private val lineCleanseCtes: String =
+    """lx AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM lt),
+      |d AS (SELECT DISTINCT doc_id, md5(line) AS h FROM lx),
+      |cat AS (SELECT h FROM d GROUP BY h HAVING count(*) >= 30
+      |        ORDER BY count(*) DESC, h LIMIT 100000),
+      |arr AS (SELECT coalesce(list(h), CAST([] AS VARCHAR[])) AS boiler FROM cat)""".stripMargin
+
+  private val lineCleanseSelect: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+      |  CAST(len(list_filter(string_split(t, chr(10)),
+      |    x -> NOT list_contains(boiler, md5(x)))) AS BIGINT) AS n_kept,
+      |  array_to_string(list_filter(string_split(t, chr(10)),
+      |    x -> NOT list_contains(boiler, md5(x))), chr(10)) AS clean_text
+      |FROM lt CROSS JOIN arr""".stripMargin
 
   /** Text with deterministic in-content citation anchors appended
     * (mirrored in the oracle SQL): every 5th document links
@@ -165,14 +197,24 @@ object SparkEntry {
     * no-allocation fast path). BMP-only so char counts agree across
     * engines.
     */
-  private def denormText: Column = {
+  private def denormSuffix: Column = {
     val id = col("doc_id")
-    concat(col("text"),
+    concat(
       when(id % 3 === 0, lit(" Joa\u0303o")).otherwise(lit("")), // a + combining tilde
       when(id % 4 === 0, lit(" cafe\u0301")).otherwise(lit("")), // e + combining acute
       when(id % 5 === 0, lit(" \u00e9clair")).otherwise(lit("")), // precomposed: NFC fixed point
       when(id % 7 === 0, lit(" A\u030Angstro\u0308m")).otherwise(lit(""))) // combining ring + diaeresis
   }
+
+  private def denormText: Column = concat(col("text"), denormSuffix)
+
+  /** SQL twin of [[denormSuffix]] (chr(): 771 = U+0303, 769 = U+0301,
+    * 233 = precomposed \u00e9, 778 = U+030A, 776 = U+0308). */
+  private val denormSuffixSql: String =
+    """(CASE WHEN doc_id % 3 = 0 THEN ' Joa' || chr(771) || 'o' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 4 = 0 THEN ' cafe' || chr(769) ELSE '' END) ||
+      |  (CASE WHEN doc_id % 5 = 0 THEN ' ' || chr(233) || 'clair' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 7 = 0 THEN ' A' || chr(778) || 'ngstro' || chr(776) || 'm' ELSE '' END)""".stripMargin
 
   /** Synthetic page markup for the robots gate (mirrored in the oracle
     * SQL as modulus math): every 7th doc opts out via
@@ -311,6 +353,19 @@ object SparkEntry {
       d.select(col("doc_id"),
         UrlOps.metaRobots(col("html"), "noindex").as("noindex"),
         UrlOps.metaRobots(col("html"), "nofollow").as("nofollow"))
+    }),
+    // composed web-ingest chain: robots opt-out gate → NFC normalization
+    // → corpus line cleanse — the crawl-order composition of the three
+    // gates (the line catalog is computed over the post-gate,
+    // post-normalization corpus); everything up to the slim catalog
+    // aggregates is ONE map-side pass
+    "q_web_ingest" -> ((s, dir) => {
+      val gated = docs(s, dir)
+        .withColumn("html", robotsHtml)
+        .filter(!UrlOps.metaRobots(col("html"), "noindex"))
+      val lined = gated.withColumn("text", multilineOf(concat(col("text"), denormSuffix)))
+      val nfc = lined.withColumn("text", TextAnalytics.nfcNative(lined)(col("text")))
+      graft.dedup.LineDedup.dropFrequentLines(nfc, "doc_id", "text", minDf = 30L)
     }),
     // stopword-ratio quality signal (Gopher-style: ≥ 2 common function
     // words); integer counts only, ratio left to the consumer
@@ -1022,21 +1077,14 @@ object SparkEntry {
         |      FROM (SELECT token, cnt, unnest(generate_series(1, len(token) - 1)) AS i FROM v))
         |SELECT pair, CAST(sum(cnt) AS BIGINT) AS n FROM p
         |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
-    // chr(): 771 = U+0303 combining tilde, 769 = U+0301 combining acute,
-    // 233 = precomposed é, 778 = U+030A combining ring, 776 = U+0308
-    // combining diaeresis — the exact sequences denormText appends
     "t_nfc" ->
-      """WITH r AS (SELECT doc_id, text ||
-        |  (CASE WHEN doc_id % 3 = 0 THEN ' Joa' || chr(771) || 'o' ELSE '' END) ||
-        |  (CASE WHEN doc_id % 4 = 0 THEN ' cafe' || chr(769) ELSE '' END) ||
-        |  (CASE WHEN doc_id % 5 = 0 THEN ' ' || chr(233) || 'clair' ELSE '' END) ||
-        |  (CASE WHEN doc_id % 7 = 0 THEN ' A' || chr(778) || 'ngstro' || chr(776) || 'm' ELSE '' END) AS raw
-        |FROM documents)
-        |SELECT doc_id, nfc_normalize(raw) AS nfc_text,
-        |  raw <> nfc_normalize(raw) AS changed,
-        |  CAST(len(raw) AS BIGINT) AS n_before,
-        |  CAST(len(nfc_normalize(raw)) AS BIGINT) AS n_after
-        |FROM r""".stripMargin,
+      s"""WITH r AS (SELECT doc_id, text || $denormSuffixSql AS raw
+         |FROM documents)
+         |SELECT doc_id, nfc_normalize(raw) AS nfc_text,
+         |  raw <> nfc_normalize(raw) AS changed,
+         |  CAST(len(raw) AS BIGINT) AS n_before,
+         |  CAST(len(nfc_normalize(raw)) AS BIGINT) AS n_after
+         |FROM r""".stripMargin,
     // closed-form twin of the robotsHtml synthesis: %7 docs carry
     // noindex,nofollow (name-first attr order), %11 docs nofollow only
     // (content-first order); the Spark side must parse both spellings
@@ -1413,25 +1461,20 @@ object SparkEntry {
     // deterministic cap) then an order-preserving list_filter cleanse —
     // the SQL twin of LineDedup's broadcast-catalog map-only design
     "d_drop_freq_lines" ->
-      """WITH lt AS (SELECT doc_id, concat_ws(chr(10),
-        |    CASE WHEN doc_id % 5 = 0 THEN 'NAV: home news about contact'
-        |         ELSE 'Title ' || CAST(doc_id AS VARCHAR) END,
-        |    text,
-        |    CASE WHEN doc_id % 4 = 0 THEN 'Subscribe to our newsletter!' END,
-        |    CASE WHEN doc_id % 2 = 0 THEN '(c) 2024 Synth Crawl Portal - all rights reserved.' END) AS t
-        |  FROM documents),
-        |lx AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM lt),
-        |d AS (SELECT DISTINCT doc_id, md5(line) AS h FROM lx),
-        |cat AS (SELECT h FROM d GROUP BY h HAVING count(*) >= 30
-        |        ORDER BY count(*) DESC, h LIMIT 100000),
-        |arr AS (SELECT coalesce(list(h), CAST([] AS VARCHAR[])) AS boiler FROM cat)
-        |SELECT doc_id,
-        |  CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
-        |  CAST(len(list_filter(string_split(t, chr(10)),
-        |    x -> NOT list_contains(boiler, md5(x)))) AS BIGINT) AS n_kept,
-        |  array_to_string(list_filter(string_split(t, chr(10)),
-        |    x -> NOT list_contains(boiler, md5(x))), chr(10)) AS clean_text
-        |FROM lt CROSS JOIN arr""".stripMargin,
+      s"""WITH lt AS (SELECT doc_id, ${multilineSql("text")} AS t
+         |  FROM documents),
+         |$lineCleanseCtes
+         |$lineCleanseSelect""".stripMargin,
+    // the composed web-ingest chain: robots opt-out gate → NFC
+    // normalization → corpus line cleanse, in crawl order (the catalog is
+    // computed over the POST-gate, POST-normalization corpus — exactly
+    // what the Spark composition does)
+    "q_web_ingest" ->
+      s"""WITH keep AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+         |lt AS (SELECT doc_id,
+         |  nfc_normalize(${multilineSql(s"text || $denormSuffixSql")}) AS t FROM keep),
+         |$lineCleanseCtes
+         |$lineCleanseSelect""".stripMargin,
     "d_freq_grams" ->
       s"""WITH w AS (SELECT doc_id, $tok AS ws FROM documents),
          |g AS (SELECT DISTINCT doc_id, md5(

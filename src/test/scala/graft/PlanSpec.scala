@@ -308,6 +308,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"the meta-robots gate must compose with the scan:\n$plan")
   }
 
+  test("web ingest chain: gate + NFC + cleanse compose into one map-side pass before the slim catalog aggs") {
+    val plan = finalPlan(SparkEntry.queries("q_web_ingest")(spark, sfDir))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the line catalog must broadcast back, not shuffle the corpus:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"no keyed corpus shuffle anywhere in the chain:\n$plan")
+    val hashEx = plan.split("Exchange hashpartitioning").length - 1
+    assert(hashEx <= 2, s"only the slim line_md5 catalog exchanges, got $hashEx:\n$plan")
+    assert(!plan.split("Exchange hashpartitioning").tail
+        .exists(s => s.takeWhile(_ != ')').contains("text")),
+      s"document text must never enter an exchange:\n$plan")
+    assert(plan.contains("graft_nfc"), s"NFC must run inside the same pass:\n$plan")
+  }
+
   test("as-of join: ONE key shuffle over the union, never an inequality join") {
     val plan = finalPlan(SparkEntry.queries("e_asof_join")(spark, "/root/testdata/sf0.01"))
     assert(plan.split("Exchange hashpartitioning").length - 1 == 1,
