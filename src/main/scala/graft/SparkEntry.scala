@@ -1211,8 +1211,8 @@ object SparkEntry {
          |FROM documents)
          |SELECT doc_id,
          |  CAST(len(regexp_extract_all(pii, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-         |  CAST(len(regexp_extract_all(pii, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
-         |  CAST(len(regexp_extract_all(pii, '\\+[0-9]{7,15}')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(regexp_replace(pii, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(regexp_replace(regexp_replace(pii, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g'), '\\+[0-9]{7,15}')) AS BIGINT) AS n_phones,
          |  ${redactSql("pii")} AS redacted
          |FROM t""".stripMargin,
     "t_chunks" ->
@@ -1410,7 +1410,7 @@ object SparkEntry {
         |FROM documents),
         |s AS (SELECT d.doc_id, d.source,
         |  b.epochs_bp // 10000 + CASE WHEN
-        |    ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < b.epochs_bp % 10000
+        |    ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 17, 8))::BIGINT % 10000 < b.epochs_bp % 10000
         |  THEN 1 ELSE 0 END AS n_copies
         |FROM documents d JOIN b USING (source))
         |SELECT s.doc_id, s.source, u.copy

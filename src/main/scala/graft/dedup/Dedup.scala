@@ -271,7 +271,13 @@ object Dedup {
     */
   def frequentGramStats(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 8, minDf: Int = 2, tauPct: Int = 50): DataFrame = {
+    // three consumers reference `grams` (the df-count agg, the join-back,
+    // and the per-doc totals) — materialize the slim (id, gh) rows ONCE
+    // (lazy localCheckpoint, same stage-checkpoint move as TrainingExport /
+    // LinkGraph.domainRank; a durable-table write on a real cluster), or
+    // Catalyst re-runs the corpus-wide explode+hash subtree per consumer
     val grams = Decontaminate.ngramHashes(df, idCol, textCol, n)
+      .localCheckpoint(eager = false)
     val frequent = grams.groupBy(col("gh"))
       .agg(count(lit(1)).as("gdf"))
       .filter(col("gdf") >= minDf)

@@ -42,6 +42,12 @@ object ExtractJob {
     */
   val BloomThreshold: Long = 10L * 1000 * 1000
 
+  /** The live resume-filter broadcast per table root (see [[pending]]):
+    * replaced-and-destroyed each time a new filter is built for the root.
+    */
+  private val lastBloomBroadcast =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.broadcast.Broadcast[Array[Byte]]]()
+
   /** Pending = pages minus committed urls.
     *
     * Two regimes, chosen from the snapshot's row count (free — it is in
@@ -110,7 +116,15 @@ object ExtractJob {
           val baos = new java.io.ByteArrayOutputStream()
           bf.writeTo(baos)
           val bfB = spark.sparkContext.broadcast(baos.toByteArray)
-          val probeName = graft.functions.BloomBroadcastMightContain.registerProbe(spark, bfB)
+          // one live filter broadcast per table root: a streaming resume
+          // rebuilds the filter every epoch, and without this the previous
+          // epochs' (up to ~1 GB) broadcasts pile up on the driver and
+          // executors for the stream's lifetime. Contract: a pending() plan
+          // must execute before the NEXT pending() call on the same root
+          // (true for batch runs and foreachBatch epochs, which serialize).
+          Option(lastBloomBroadcast.put(tableRoot, bfB)).foreach(_.destroy())
+          val probeName =
+            graft.functions.BloomBroadcastMightContain.registerProbe(spark, bfB, tableRoot)
           val might = call_function(probeName, xxhash64($"url"))
           val definitelyNew = pages.where(!might)
           val maybeCommitted = pages.where(might)

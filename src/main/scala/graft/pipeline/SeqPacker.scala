@@ -43,8 +43,15 @@ object SeqPacker {
     require(capacity > 0 && streams > 0,
       s"capacity/streams must be positive, got $capacity/$streams")
     val stream = pmod(col(idCol), lit(streams.toLong))
+    // a `copy` column (Sampler.upsampleByEpochs's repeat index) joins the
+    // order key: upsampled input carries the same id several times, md5(id)
+    // alone leaves those rows TIED, and a prefix sum over tied peers is
+    // order-dependent — seq_no/seq_offset would differ run-to-run and
+    // engine-to-engine. Contract: (id) unique, or (id, copy) unique.
+    val order = md5(col(idCol).cast("string")) +:
+      (if (d.columns.contains("copy")) Seq(col("copy")) else Nil)
     val w = Window.partitionBy(col("stream"))
-      .orderBy(md5(col(idCol).cast("string")))
+      .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     d.withColumn("stream", stream)
       .withColumn("graft_cum",

@@ -50,9 +50,14 @@ object Sharder {
     val bucket = floor(col(weightCol) / lit(bucketWidth.toDouble)).cast("long")
     val sub = pmod(col(idCol), lit(subGroups.toLong)).cast("long")
     // deal order = md5(id): deterministic, engine-portable, and free of
-    // weight-position correlation (see scaladoc); unique ids → total order
+    // weight-position correlation (see scaladoc). A `copy` column
+    // (Sampler.upsampleByEpochs's repeat index) joins the key — upsampled
+    // input repeats ids, and tied row_number peers would shard
+    // nondeterministically. Contract: (id) unique, or (id, copy) unique.
+    val order = md5(col(idCol).cast("string")) +:
+      (if (d.columns.contains("copy")) Seq(col("copy")) else Nil)
     val w = Window.partitionBy(col("bucket"), col("graft_sub"))
-      .orderBy(md5(col(idCol).cast("string")))
+      .orderBy(order: _*)
     // each stream starts its cycle at a deterministic per-stream phase:
     // without it every stream's FIRST document lands on shard 0, biasing
     // shard 0 by one bucket-weight per stream (visible whenever streams

@@ -37,6 +37,17 @@ object Sampler {
   def subStream(id: Column, n: Int): Column =
     pmod(conv(substring(md5(id.cast("string")), 9, 8), 16, 10).cast("long"), lit(n.toLong))
 
+  /** The fractional-copy decision bucket for [[upsampleByEpochs]]: md5 hex
+    * chars 17–24 — a window DISJOINT from [[bucket10k]] (1–8) and
+    * [[subStream]] (9–16), so down-sampling then fractional up-sampling
+    * compose independently. Sharing the rate-sampling window would make
+    * every rate-sampling survivor (bucket < rate_bp by construction) also
+    * win the extra copy whenever `frac_bp <= rate_bp` — 2.5 epochs over a
+    * 0.5-rate stratum would silently become 3.0.
+    */
+  def upsampleBucket10k(id: Column): Column =
+    (conv(substring(md5(id.cast("string")), 17, 8), 16, 10).cast("long") % 10000).cast("int")
+
   /** Keep rows whose md5 bucket falls under their stratum's rate.
     *
     * @param rates one row per stratum: the join keys in `strataCols`
@@ -100,7 +111,7 @@ object Sampler {
   /** Up-sample strata by FRACTIONAL epoch counts — the other half of
     * mixture construction (training recipes repeat high-quality sources:
     * "2.5 epochs of wiki, 0.5 of crawl"). Each document appears
-    * `floor(epochs)` times, plus one more copy iff its [[bucket10k]]
+    * `floor(epochs)` times, plus one more copy iff its [[upsampleBucket10k]]
     * bucket falls under the fractional part — so a stratum at 2.5 epochs
     * emits every document twice and a uniform, deterministic half of them
     * a third time. Epochs are in basis points (25000 = 2.5) to keep the
@@ -121,7 +132,7 @@ object Sampler {
   def upsampleByEpochs(docs: DataFrame, epochs: DataFrame, idCol: String,
       stratumCol: String): DataFrame = {
     val base = expr("epochs_bp DIV 10000L")
-    val extra = when(bucket10k(col(idCol)) < expr("epochs_bp % 10000L"), lit(1L))
+    val extra = when(upsampleBucket10k(col(idCol)) < expr("epochs_bp % 10000L"), lit(1L))
       .otherwise(lit(0L))
     docs.join(broadcast(epochs), Seq(stratumCol))
       .withColumn("graft_copies", base + extra)

@@ -91,19 +91,31 @@ final class SnapshotTable(
     def dataDirs: Vector[String] = entries.map(_.dir)
   }
 
+  /** Line-3 prefix marking the commit-id history line; its absence marks a
+    * first-generation manifest whose body is bare data dirs from line 3 on.
+    */
+  private val IdsMarker = "ids:"
+
   private def b64(s: String): String = Base64.getEncoder.encodeToString(s.getBytes(UTF_8))
   private def unb64(s: String): String = new String(Base64.getDecoder.decode(s), UTF_8)
 
   private def parseManifest(p: Path): Snapshot = {
-    // manifest: line 1 version, line 2 rowCount, line 3 comma-joined
+    // manifest: line 1 version, line 2 rowCount, line 3 "ids:" + comma-joined
     // commit-id history, rest one entry per line:
     //   data dir:  dir [\t seq [\t b64(min) \t b64(max)]]   (legacy: bare dir)
     //   delete:    D \t dir \t seq
+    // The "ids:" marker makes the format self-identifying: a first-generation
+    // manifest (version \n rowCount \n bare data dirs) has a path on line 3,
+    // never "ids:", so its dirs parse as entries instead of being consumed
+    // as commit-id history (which silently dropped the first commit's rows).
     val lines = Files.readAllLines(p, UTF_8).asScala.toVector
-    val ids = lines(2).split(",", -1).toVector.filter(_.nonEmpty)
+    val hasIds = lines.length > 2 && lines(2).startsWith(IdsMarker)
+    val ids =
+      if (hasIds) lines(2).stripPrefix(IdsMarker).split(",", -1).toVector.filter(_.nonEmpty)
+      else Vector.empty[String]
     val entries = Vector.newBuilder[Entry]
     val dels = Vector.newBuilder[Del]
-    lines.drop(3).foreach { line =>
+    lines.drop(if (hasIds) 3 else 2).foreach { line =>
       val f = line.split("\t", -1)
       if (f.head == "D") dels += Del(f(1), f(2).toInt)
       else if (f.length >= 4) entries += Entry(f(0), f(1).toInt, Some(unb64(f(2))), Some(unb64(f(3))))
@@ -367,7 +379,7 @@ final class SnapshotTable(
     }
     val delLines = deletes.map(d => s"D\t${d.dir}\t${d.seq}")
     val body =
-      (Vector(newVersion.toString, totalRows.toString, commitIds.mkString(",")) ++
+      (Vector(newVersion.toString, totalRows.toString, IdsMarker + commitIds.mkString(",")) ++
         entryLines ++ delLines).mkString("\n")
     val tmp = snapDir.resolve(s".tmp-$newVersion-$totalRows")
     Files.write(tmp, body.getBytes(UTF_8))

@@ -30,15 +30,23 @@ object Redactor {
     */
   val PhonePattern = "\\+[0-9]{7,15}"
 
+  /** Audit counts measure what [[redact]] ACTUALLY replaces: each count
+    * runs over the text as it exists when that pass runs (emails on raw
+    * text, IPs after the e-mail pass, phones after both). Counting every
+    * pattern on the raw text disagrees with the sequential scrub whenever
+    * shapes overlap — 'user@1.2.3.4.com' is ONE e-mail replacement, but a
+    * raw-text count would also report an IP redaction that never happened.
+    */
   def emailCount(c: Column): Column = regexp_count(c, lit(EmailPattern)).cast("long")
-  def ipCount(c: Column): Column = regexp_count(c, lit(Ipv4Pattern)).cast("long")
-  def phoneCount(c: Column): Column = regexp_count(c, lit(PhonePattern)).cast("long")
+  def ipCount(c: Column): Column =
+    regexp_count(afterEmails(c), lit(Ipv4Pattern)).cast("long")
+  def phoneCount(c: Column): Column =
+    regexp_count(afterIps(afterEmails(c)), lit(PhonePattern)).cast("long")
+
+  private def afterEmails(c: Column): Column = regexp_replace(c, EmailPattern, "<EMAIL>")
+  private def afterIps(c: Column): Column = regexp_replace(c, Ipv4Pattern, "<IP>")
 
   /** Text with all three PII shapes replaced by placeholder tokens. */
   def redact(c: Column): Column =
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(c, EmailPattern, "<EMAIL>"),
-        Ipv4Pattern, "<IP>"),
-      PhonePattern, "<PHONE>")
+    regexp_replace(afterIps(afterEmails(c)), PhonePattern, "<PHONE>")
 }

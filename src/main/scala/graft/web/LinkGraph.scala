@@ -37,9 +37,14 @@ object LinkGraph {
   /** Absolute http(s) urls appearing in free text. The explicit class
     * (letters, digits, and url punctuation — no `\w`/`\s` shorthand whose
     * Unicode semantics differ per engine) ends a match at whitespace or
-    * any character that cannot appear in a url.
+    * any character that cannot appear in a url. The LAST character
+    * additionally excludes `.` `:` `?` — sentence punctuation trailing a
+    * url in prose ("see https://x.com.") is otherwise harvested into the
+    * url, and a trailing-dot host then fails registered-domain extraction,
+    * funneling extremely-common end-of-sentence citations into one bogus
+    * empty-domain edge that corrupts PageRank mass routing.
     */
-  val UrlPattern = "https?://[A-Za-z0-9./:?=&#_%-]+"
+  val UrlPattern = "https?://[A-Za-z0-9./:?=&#_%-]*[A-Za-z0-9/=&#_%-]"
 
   def harvestUrls(text: Column): Column =
     regexp_extract_all(text, lit(UrlPattern), lit(0))
@@ -181,7 +186,30 @@ object LinkGraph {
       (head.contains("<html") || head.contains("<head") || head.contains("<body") ||
         head.contains("<!doctype html") || head.contains("<div") || head.contains("<p>") ||
         head.contains("<title"))
-    val base = concat(lit("https://"), UrlOps.host(col("page_url")))
+    // RFC-3986-lite resolution, all codegen'd column branches:
+    //   absolute http(s)    → as-is
+    //   protocol-relative   → https: + href (crawl default scheme)
+    //   root-relative /x    → https://<page host> + href
+    //   other scheme        → dropped (mailto:, javascript:, data: are not
+    //                         link-graph targets)
+    //   fragment-only/empty → dropped (self-references)
+    //   path-relative x.y   → <page directory> + href, where the directory
+    //                         is the page url truncated after its last '/'
+    //                         (host-only page urls gain the root '/') —
+    //                         bare host+href concatenation fused them
+    //                         ("https://a.comx.y")
+    val href = col("href")
+    val hostBase = concat(lit("https://"), UrlOps.host(col("page_url")))
+    val pageDir = when(regexp_count(col("page_url"), lit("/")) <= 2,
+        concat(col("page_url"), lit("/")))
+      .otherwise(regexp_replace(col("page_url"), "[^/]*$", ""))
+    val target =
+      when(href.startsWith("http://") || href.startsWith("https://"), href)
+        .when(href.startsWith("//"), concat(lit("https:"), href))
+        .when(href.startsWith("/"), concat(hostBase, href))
+        .when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*:") || href.startsWith("#") || href === "",
+          lit(null))
+        .otherwise(concat(pageDir, href))
     pages
       .filter(length(col(htmlCol)) > 0 && isHtml)
       .select(col(urlCol).as("page_url"),
@@ -189,9 +217,8 @@ object LinkGraph {
       .select(col("page_url"),
         regexp_extract(col("m"), AnchorPattern, 1).as("href"),
         regexp_extract(col("m"), AnchorPattern, 2).as("anchor_text"))
-      .select(col("page_url"), col("anchor_text"),
-        when(col("href").startsWith("http://") || col("href").startsWith("https://"), col("href"))
-          .otherwise(concat(base, col("href"))).as("target"))
+      .select(col("page_url"), col("anchor_text"), target.as("target"))
+      .filter(col("target").isNotNull)
       .groupBy(col("target"))
       .agg(
         countDistinct(col("page_url")).as("inlinks"),

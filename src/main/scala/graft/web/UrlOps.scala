@@ -184,7 +184,12 @@ object UrlOps {
   def metaRobots(html: Column, directive: String): Column = {
     require(directive.matches("[a-z-]+"), s"directive must be a plain token, got $directive")
     val h = lower(html)
-    h.rlike(s"""<meta[^>]*name=["']robots["'][^>]*content=["'][^"']*$directive""") ||
-      h.rlike(s"""<meta[^>]*content=["'][^"']*$directive[^"']*["'][^>]*name=["']robots["']""")
+    // the directive must be a whole comma/space-separated TOKEN of the
+    // content attribute, not a substring: "index" is a substring of
+    // "noindex"/"noimageindex", so a bare-substring match inverts the gate
+    // on exactly the pages that opted out
+    val tok = s"""(|[^"']*[ ,])$directive([ ,][^"']*|)["']"""
+    h.rlike(s"""<meta[^>]*name=["']robots["'][^>]*content=["']$tok""") ||
+      h.rlike(s"""<meta[^>]*content=["']$tok[^>]*name=["']robots["']""")
   }
 }

@@ -89,6 +89,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(inside == 0, "bins covered by the giant's span stay empty")
   }
 
+  test("upsampled (duplicate-id) input packs and shards deterministically via the copy tiebreak") {
+    import spark.implicits._
+    // two copies of every doc — the shape upsampleByEpochs emits; md5(id)
+    // alone leaves copies TIED in the window order, making the prefix sum
+    // and row_number order-dependent
+    val d = (0L until 300L).flatMap(i => Seq((i, 0L, 10L + i % 7), (i, 1L, 10L + i % 7)))
+      .toDF("doc_id", "copy", "w")
+    val pa = graft.pipeline.SeqPacker.packSequences(d.repartition(1), "doc_id", "w", 100L, 4)
+    val pb = graft.pipeline.SeqPacker.packSequences(d.repartition(16), "doc_id", "w", 100L, 4)
+    assert(pa.exceptAll(pb).isEmpty && pb.exceptAll(pa).isEmpty,
+      "packing of duplicate ids must be bit-identical at any parallelism")
+    // every (doc_id, copy) keeps exactly one (seq_no, seq_offset)
+    assert(pa.groupBy($"doc_id", $"copy").count().filter($"count" > 1).count() == 0)
+    val sa = Sharder.assignShards(d.repartition(1), "doc_id", "w", 8, 64, 4)
+    val sb = Sharder.assignShards(d.repartition(16), "doc_id", "w", 8, 64, 4)
+    assert(sa.exceptAll(sb).isEmpty && sb.exceptAll(sa).isEmpty,
+      "sharding of duplicate ids must be bit-identical at any parallelism")
+  }
+
   test("bpePairStats: frequency-weighted adjacent pairs; single-char tokens contribute nothing; ties by pair") {
     import spark.implicits._
     // "ab" ×3 (two docs), "abc" ×1, "x" ×2 (no pairs), "12" digits count too

@@ -87,11 +87,20 @@ class SamplerSpec extends AnyFunSuite {
     val lo = perDoc.count(_._2 == "lo")
     assert(hi3 > 175 && hi3 < 325, s"third-copy share off: $hi3/500")
     assert(lo > 175 && lo < 325, s"0.5-epoch survivor share off: $lo/500")
-    // the fractional keep/extra decision is bucket10k — same subset as rate sampling
+    // the fractional extra-copy decision uses its OWN md5 window (hex chars
+    // 17-24), disjoint from rate sampling's (1-8) and subStream's (9-16)
     val extras = perDoc.filter { case (_, s, n, _) => s == "hi" && n == 3 }.map(_._1).toSet
     val byBucket = docs.filter($"s" === "hi")
-      .where(Sampler.bucket10k($"id") < 5000).select("id").as[Long].collect().toSet
-    assert(extras == byBucket, "fractional copy must reuse the md5 bucket decision")
+      .where(Sampler.upsampleBucket10k($"id") < 5000).select("id").as[Long].collect().toSet
+    assert(extras == byBucket, "fractional copy must use the dedicated md5 window")
+    // composition independence: among rate-sampling survivors (bucket10k
+    // window), the fraction winning the extra copy stays ~frac_bp — with a
+    // SHARED window every survivor at rate_bp >= frac_bp would win it
+    val hiIds = docs.filter($"s" === "hi")
+    val survivors = hiIds.where(Sampler.bucket10k($"id") < 5000).select("id").as[Long].collect().toSet
+    val extraAmongSurvivors = extras.intersect(survivors).size.toDouble / survivors.size
+    assert(extraAmongSurvivors > 0.35 && extraAmongSurvivors < 0.65,
+      s"extra-copy rate among rate-sampling survivors must stay ~0.5, got $extraAmongSurvivors")
     // zero epochs drops the stratum; determinism across parallelism
     val none = Sampler.upsampleByEpochs(docs, Seq(("hi", 0L), ("lo", 0L)).toDF("s", "epochs_bp"), "id", "s")
     assert(none.count() == 0)

@@ -38,6 +38,33 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(got == Set(("u1", "en", 2), ("u1", "de", 1)))
   }
 
+  test("first-generation manifest (bare data dirs from line 3) reads every commit") {
+    // Format upgrade path: tables committed before the ids/seq/stats manifest
+    // existed carry (version \n rowCount \n dir per line). The parser must
+    // treat line 3 as the FIRST DATA DIR, not commit-id history — consuming
+    // it as ids silently dropped that dir's rows.
+    val root = tmp()
+    val d1 = s"$root/data/c1"
+    val d2 = s"$root/data/c2"
+    Seq(("u1", 1)).toDF("url", "gen").write.parquet(d1)
+    Seq(("u2", 2)).toDF("url", "gen").write.parquet(d2)
+    val snapDir = java.nio.file.Paths.get(root, "_snapshots")
+    Files.createDirectories(snapDir)
+    Files.write(snapDir.resolve("v00000001.manifest"),
+      s"1\n2\n$d1\n$d2".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val t = new SnapshotTable(root)
+    assert(rows(t) == Map("u1" -> 1, "u2" -> 2))
+    // a single-commit legacy table must not read as empty
+    val root2 = tmp()
+    val d = s"$root2/data/only"
+    Seq(("u9", 9)).toDF("url", "gen").write.parquet(d)
+    val sd2 = java.nio.file.Paths.get(root2, "_snapshots")
+    Files.createDirectories(sd2)
+    Files.write(sd2.resolve("v00000001.manifest"),
+      s"1\n1\n$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(rows(new SnapshotTable(root2)) == Map("u9" -> 9))
+  }
+
   test("deleteKeys: takedown commit hides rows without rewriting data") {
     val t = new SnapshotTable(tmp())
     t.append(Seq(("u1", 1), ("u2", 1)).toDF("url", "gen"), "c1")

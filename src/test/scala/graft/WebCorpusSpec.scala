@@ -93,6 +93,21 @@ class WebCorpusSpec extends AnyFunSuite {
     assert(r == "x <IP>7 y +123456 z <EMAIL>")
   }
 
+  test("redact audit counts agree with the sequential scrub on overlapping shapes") {
+    import spark.implicits._
+    // 'user@1.2.3.4.com' is ONE e-mail replacement — the raw text also
+    // contains an IP-shaped substring, but the scrub never replaces it, so
+    // the audit must not report an IP redaction that never happened
+    val r = Seq("ping user@1.2.3.4.com now").toDF("text").select(
+      Redactor.redact(col("text")).as("red"),
+      Redactor.emailCount(col("text")).as("e"),
+      Redactor.ipCount(col("text")).as("i"),
+      Redactor.phoneCount(col("text")).as("p")).collect()(0)
+    assert(r.getString(0) == "ping <EMAIL> now")
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((1L, 0L, 0L)),
+      s"counts must mirror the passes: ${(r.getLong(1), r.getLong(2), r.getLong(3))}")
+  }
+
   private def chunkRows(text: String, w: Int, s: Int): Seq[(Long, Long, String)] = {
     import spark.implicits._
     Chunker.chunks(Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text", w, s)
@@ -211,12 +226,15 @@ class WebCorpusSpec extends AnyFunSuite {
     val d = Seq(
       (s"https://a.com/p", "see https://b.org/x and https://b.org/y plus http://c.net:8080/z#f"),
       (s"https://a.com/q", "again https://b.org/z, no other links"),
+      // end-of-sentence dot must NOT harvest into the url (a trailing-dot
+      // host fails registered-domain extraction → bogus empty-domain edge)
+      (s"https://a.com/r", "cited as https://b.org."),
       (s"http://b.org/home", "loop https://b.org/self")).toDF("url", "text")
     val edges = graft.web.LinkGraph.domainEdges(d, "url", "text")
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     // trailing ',' after b.org/z is not url-class, so the match ends cleanly;
     // the :8080 port never leaks into c.net's registered domain
-    assert(edges == Map(("a.com", "b.org") -> 3L, ("a.com", "c.net") -> 1L,
+    assert(edges == Map(("a.com", "b.org") -> 4L, ("a.com", "c.net") -> 1L,
       ("b.org", "b.org") -> 1L))
   }
 
@@ -234,6 +252,17 @@ class WebCorpusSpec extends AnyFunSuite {
     assert(flags("""<head><meta name="viewport" content="width=1"></head><p>noindex nofollow</p>""") == ((false, false)),
       "directive words in body text or other meta tags must not trigger the gate")
     assert(flags("""<meta name="description" content="how to noindex a page">""") == ((false, false)))
+    // token boundaries: a directive that is a SUBSTRING of another token
+    // must not match — and real tokens still do at any position
+    def flag(html: String, d: String): Boolean = {
+      val r = Seq(html).toDF("html").select(UrlOps.metaRobots(col("html"), d).as("f")).collect()(0)
+      r.getBoolean(0)
+    }
+    assert(!flag("""<meta name="robots" content="noimageindex">""", "index"))
+    assert(!flag("""<meta name="robots" content="noindex">""", "index"))
+    assert(flag("""<meta name="robots" content="index, follow">""", "index"))
+    assert(flag("""<meta name="robots" content="follow, index">""", "index"))
+    assert(flag("""<meta content="all, noarchive" name="robots">""", "noarchive"))
   }
 
   test("anchorStats: harvest, relative-href resolution, distinct-doc inlinks vs mentions") {
@@ -254,6 +283,27 @@ class WebCorpusSpec extends AnyFunSuite {
       ("https://a.com/x", 2L, 3L, "also x"),
       ("https://b.org/y", 1L, 1L, "to y")),
       s"pdf/empty/non-html payloads excluded; relative hrefs resolve to the page host: ${out.toSeq}")
+  }
+
+  test("anchorStats href resolution: path-relative, protocol-relative, non-link schemes") {
+    import spark.implicits._
+    val pages = Seq(
+      ("https://a.com/dir/page.html",
+        ("""<html><body><a href="about.html">path rel</a>""" +
+          """ <a href="//cdn.other.com/x">proto rel</a>""" +
+          """ <a href="mailto:x@y.com">mail</a>""" +
+          """ <a href="javascript:void(0)">js</a>""" +
+          """ <a href="#top">frag</a></body></html>""").getBytes("UTF-8")),
+      // host-only page url: path-relative resolves under the root
+      ("https://h.com", """<html><body><a href="p.html">p</a></body></html>""".getBytes("UTF-8"))
+    ).toDF("url", "html")
+    val got = graft.web.LinkGraph.anchorStats(pages).collect()
+      .map(r => r.getString(0)).sorted.toSeq
+    assert(got == Seq(
+      "https://a.com/dir/about.html", // page directory, not host+href fusion
+      "https://cdn.other.com/x",      // protocol-relative keeps its own host
+      "https://h.com/p.html"),
+      s"mailto/javascript/fragment-only dropped; got $got")
   }
 
   test("domainRank: hand-computed integerized PageRank on a 2-node graph") {
