@@ -281,6 +281,23 @@ object SparkEntry {
     // crawl-1 appends every doc, crawl-2 re-crawls the %3 slice (equality
     // delete + append, latest wins), a takedown commit hides the %5 slice.
     // The oracle replays the same latest-wins/visibility rules in SQL.
+    // Write-once bucketed tables, join-many without shuffle: documents
+    // and their embeddings bucketed by doc id, sort-merge joined with
+    // zero Exchange (plan gated in BucketingSpec). The 100-TB recurring
+    // join pattern — the result itself is an ordinary equi-join, which
+    // is exactly the point: bucketing changes the plan, not the answer.
+    "q_bucket_join" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-bucket").toString
+      graft.table.Bucketing.writeBucketed(
+        docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+        "graft_docs_bkt", s"$root/docs", 8, "doc_id")
+      graft.table.Bucketing.writeBucketed(
+        embs(s, dir).select(col("vec_id"), col("label")),
+        "graft_embs_bkt", s"$root/embs", 8, "vec_id")
+      graft.table.Bucketing.cojoin(s, "graft_docs_bkt", "graft_embs_bkt", "doc_id", "vec_id")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("label").cast("long").as("label"))
+    }),
     "q_table_upsert" -> ((s, dir) => {
       val root = java.nio.file.Files.createTempDirectory("graft-upsert").toString
       val t = new graft.table.SnapshotTable(root)
@@ -1056,6 +1073,9 @@ object SparkEntry {
       """SELECT CAST((1700000000 + doc_id) - (1700000000 + doc_id) % 600 AS BIGINT) AS window_start_s,
         |       lang, count(*) AS n_pages
         |FROM documents GROUP BY 1, 2""".stripMargin,
+    "q_bucket_join" ->
+      """SELECT d.doc_id, d.lang, d.n_chars, CAST(e.label AS BIGINT) AS label
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id""".stripMargin,
     "q_table_upsert" ->
       """SELECT doc_id,
         |  CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS gen
