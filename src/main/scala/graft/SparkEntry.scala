@@ -286,6 +286,21 @@ object SparkEntry {
     // zero Exchange (plan gated in BucketingSpec). The 100-TB recurring
     // join pattern — the result itself is an ordinary equi-join, which
     // is exactly the point: bucketing changes the plan, not the answer.
+    // D6+ stateful streaming duplicate counter, gated in BATCH mode
+    // (flatMapGroupsWithState runs one invocation per group there, the
+    // cross-batch fold is spec-covered in StreamingExtractSpec): pages
+    // synthesized straight from documents (html = utf-8 text bytes, ts =
+    // the PagesGen epoch convention) so the oracle is a plain group-by.
+    "q_dup_counts" -> ((s, dir) => {
+      import s.implicits._
+      val pages = docs(s, dir).select(
+        concat(lit("doc://"), col("doc_id").cast("string")).as("url"),
+        timestamp_seconds(lit(1700000000L) + col("doc_id")).as("warc_ts"),
+        col("text").cast("binary").as("html"),
+        col("text"),
+        col("lang")).as[graft.model.PageRow]
+      graft.streaming.StreamingExtract.duplicateCounts(pages).toDF()
+    }),
     "q_bucket_join" -> ((s, dir) => {
       val root = java.nio.file.Files.createTempDirectory("graft-bucket").toString
       graft.table.Bucketing.writeBucketed(
@@ -1073,6 +1088,11 @@ object SparkEntry {
       """SELECT CAST((1700000000 + doc_id) - (1700000000 + doc_id) % 600 AS BIGINT) AS window_start_s,
         |       lang, count(*) AS n_pages
         |FROM documents GROUP BY 1, 2""".stripMargin,
+    "q_dup_counts" ->
+      """SELECT md5(text) AS content_fp,
+        |       'doc://' || CAST(min(doc_id) AS VARCHAR) AS first_url,
+        |       count(*) AS n_seen
+        |FROM documents GROUP BY 1""".stripMargin,
     "q_bucket_join" ->
       """SELECT d.doc_id, d.lang, d.n_chars, CAST(e.label AS BIGINT) AS label
         |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id""".stripMargin,

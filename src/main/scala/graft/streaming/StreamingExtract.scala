@@ -4,8 +4,19 @@ import graft.job.{ExtractJob, ExtractKernel}
 import graft.model.{FieldRule, PageRow}
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
+
+/** Output row of [[StreamingExtract.duplicateCounts]]: cumulative
+  * sightings of one payload fingerprint, attributed to the url that
+  * crawled it first.
+  */
+final case class DupCount(content_fp: String, first_url: String, n_seen: Long)
+
+/** Keyed state behind [[StreamingExtract.duplicateCounts]] — slim by
+  * construction (url + two longs; never the payload).
+  */
+final case class DupState(firstUrl: String, firstTsMs: Long, n: Long)
 
 /** Structured Streaming ingest: the same extraction kernel over a
   * continuously-arriving pages table (`readStream` file source →
@@ -46,6 +57,53 @@ object StreamingExtract {
       .dropDuplicatesWithinWatermark("content_fp")
       .drop("content_fp")
       .as[PageRow]
+  }
+
+  /** Running per-content duplicate counter — CUSTOM keyed state via
+    * `flatMapGroupsWithState` where the built-in state shapes don't fit:
+    * `dropDuplicatesWithinWatermark` can only keep-first, and a windowed
+    * count forgets WHICH url saw the bytes first. This operator carries
+    * both across micro-batches: every batch that re-sees a payload emits
+    * an updated `(content_fp, first_url, n_seen)` row, so a monitor can
+    * watch mirror/tracker duplication grow live and attribute it to the
+    * canonical (first-crawled) url.
+    *
+    * Scale shape: state per distinct payload inside the horizon is one
+    * (32-hex fp → url + two longs) entry — the payload itself never
+    * enters the state store — and `EventTimeTimeout` expires entries one
+    * horizon past their last sighting, so state is bounded by horizon ×
+    * distinct-rate, not stream length. Within a batch, occurrences are
+    * folded in `(warc_ts, url)` order so the emitted first-url is
+    * deterministic under any partitioning. Also runs in BATCH mode (one
+    * group = one invocation, timeouts inert) — `q_dup_counts` gates the
+    * fold against a DuckDB group-by oracle that way.
+    */
+  def duplicateCounts(pages: Dataset[PageRow], watermark: String = "1 hour",
+                      horizonMs: Long = 3600L * 1000L): Dataset[DupCount] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.toDF()
+      .withColumn("content_fp", md5(col("html")))
+      .withWatermark("warc_ts", watermark)
+      .select(col("content_fp"), col("url"), col("warc_ts"))
+      .as[(String, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (fp: String, it: Iterator[(String, String, java.sql.Timestamp)], state: GroupState[DupState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = it.toVector.sortBy(t => (t._3.getTime, t._2))
+            val (firstUrl, firstTs) = state.getOption
+              .map(s => (s.firstUrl, s.firstTsMs))
+              .getOrElse((batch.head._2, batch.head._3.getTime))
+            val n = state.getOption.map(_.n).getOrElse(0L) + batch.size
+            state.update(DupState(firstUrl, firstTs, n))
+            // EventTimeTimeout: expire one horizon past the latest sighting
+            // (inert in batch mode, where no watermark ever advances).
+            state.setTimeoutTimestamp(batch.last._3.getTime + horizonMs)
+            Iterator.single(DupCount(fp, firstUrl, n))
+          }
+      }
   }
 
   /** Start continuous extraction from parquet files arriving in `inputDir`.

@@ -162,6 +162,45 @@ class StreamingExtractSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful duplicate counter: counts accumulate across batches, first url sticks") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val Array(a, b) = PagesGen.pages(spark, sfDir).limit(2).collect()
+    val mem = MemoryStream[graft.model.PageRow]
+    val q = StreamingExtract.duplicateCounts(mem.toDS(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("dup_sink").outputMode("update").start()
+    try {
+      mem.addData(a, a.copy(url = a.url + "#m1"), b)
+      q.processAllAvailable()
+      mem.addData(a.copy(url = a.url + "#m2"))
+      q.processAllAvailable()
+      val rows = spark.table("dup_sink")
+        .select($"content_fp", $"first_url", $"n_seen").as[(String, String, Long)].collect()
+      val byFp = rows.groupBy(_._1)
+      assert(byFp.size == 2, s"two distinct payloads, got $byFp")
+      val aRows = byFp.values.find(_.exists(_._3 > 1)).get
+      assert(aRows.map(_._3).sorted.toSeq == Seq(2L, 3L),
+        "update-mode emissions per batch: 2 after batch 1, 3 after batch 2")
+      assert(aRows.forall(_._2 == a.url), "first-crawled url must stick across batches")
+      val bRows = byFp.values.find(_.forall(_._3 == 1)).get
+      assert(bRows.map(_._2).toSet == Set(b.url))
+    } finally q.stop()
+  }
+
+  test("duplicate counter in batch mode matches the relational fold (oracle twin)") {
+    import spark.implicits._
+    val pages = PagesGen.pages(spark, sfDir).limit(50)
+    val dup = StreamingExtract.duplicateCounts(pages).toDF()
+    val expect = pages.toDF()
+      .groupBy(md5($"html").as("content_fp"))
+      .agg(min(struct($"warc_ts", $"url")).as("f"), count(lit(1)).as("n_seen"))
+      .select($"content_fp", $"f.url".as("first_url"), $"n_seen")
+    assert(dup.count() > 0)
+    assert(dup.exceptAll(expect).isEmpty && expect.exceptAll(dup).isEmpty,
+      "batch-mode flatMapGroupsWithState must equal the group-by fold")
+  }
+
   test("ingest with content dedup: mirror url is never extracted") {
     import spark.implicits._
     val inputDir = Files.createTempDirectory("graft-dedup-in").toString
