@@ -286,6 +286,13 @@ object SparkEntry {
     // zero Exchange (plan gated in BucketingSpec). The 100-TB recurring
     // join pattern — the result itself is an ordinary equi-join, which
     // is exactly the point: bucketing changes the plan, not the answer.
+    // T7+ iterative BPE merge-table learning (tokenizer training): the
+    // corpus collapses to the pretoken vocab ONCE; each of the 20
+    // iterations aggregates pairs over the vocab only and applies the
+    // winning merge map-side. Rows-only by design (the argmax loop is
+    // not SQL-expressible); canonical semantics pinned in BpeTrainerSpec.
+    "t_bpe_merges" -> ((s, dir) =>
+      graft.text.BpeTrainer.learnMerges(docs(s, dir), "text", numMerges = 20)),
     // D6+ stateful streaming duplicate counter, gated in BATCH mode
     // (flatMapGroupsWithState runs one invocation per group there, the
     // cross-batch fold is spec-covered in StreamingExtractSpec): pages
