@@ -293,6 +293,23 @@ object SparkEntry {
     // not SQL-expressible); canonical semantics pinned in BpeTrainerSpec.
     "t_bpe_merges" -> ((s, dir) =>
       graft.text.BpeTrainer.learnMerges(docs(s, dir), "text", numMerges = 20)),
+    // T7++ tokenizer APPLY, end-to-end: learn a small merge table on the
+    // corpus (8 driver iterations over the Zipf-bounded vocab), then
+    // segment every document with it — the map-only, zero-shuffle pass a
+    // trainer feed runs over 100 TB. Rows-only by design (greedy
+    // lowest-rank merge replay is not SQL-expressible); apply semantics
+    // pinned in BpeTrainerSpec (hand fixture + determinism across
+    // parallelism).
+    "t_bpe_segment" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = graft.text.BpeTrainer.learnMerges(d, "text", numMerges = 8)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.text.BpeTrainer.segment(d, "text", merges, "doc_id")
+        .select(col("doc_id"),
+          size(col("symbols")).cast("long").as("n_symbols"),
+          array_join(slice(col("symbols"), 1, 12), "|").as("head_symbols"))
+    }),
     // D6+ stateful streaming duplicate counter, gated in BATCH mode
     // (flatMapGroupsWithState runs one invocation per group there, the
     // cross-batch fold is spec-covered in StreamingExtractSpec): pages
