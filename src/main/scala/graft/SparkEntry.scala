@@ -346,6 +346,20 @@ object SparkEntry {
       t.deleteKeys(d.where(col("doc_id") % 5 === 0), "takedown-1")
       t.read(s).get.select(col("doc_id"), col("gen"))
     }),
+    // S4++ SCHEMA EVOLUTION: crawl-2 ships a quality column crawl-1
+    // predates. The manifest records the merged schema, the read pins the
+    // scan to it, pre-evolution rows surface quality = NULL — the oracle
+    // replays both crawls as a UNION with an explicit NULL.
+    "q_table_evolve" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+      val t = new graft.table.SnapshotTable(root)
+      val d = docs(s, dir)
+      t.append(d.select(col("doc_id"), col("lang")), "crawl-1")
+      t.append(d.where(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("lang"),
+          (col("n_chars") % 100).cast("long").as("quality")), "crawl-2")
+      t.read(s).get.select(col("doc_id"), col("lang"), col("quality"))
+    }),
     "x_extract_results" -> ((s, dir) => {
       import s.implicits._
       val res = ExtractJob.extractAll(
@@ -1124,6 +1138,11 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS gen
         |FROM documents WHERE doc_id % 5 <> 0""".stripMargin,
+    "q_table_evolve" ->
+      """SELECT doc_id, lang, CAST(NULL AS BIGINT) AS quality FROM documents
+        |UNION ALL
+        |SELECT doc_id + 1000000, lang, CAST(n_chars % 100 AS BIGINT) AS quality
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
     "p1_content_hash" -> "SELECT doc_id, sha256(text) AS h FROM documents",
     "p3_cache_key" ->
       s"SELECT doc_id, 'extract:' || lang || ':' || sha256(text) || ':$schemaHashHex' AS cache_key FROM documents",

@@ -6,7 +6,7 @@ import java.util.Base64
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 
 import scala.jdk.CollectionConverters._
 
@@ -64,7 +64,15 @@ import scala.jdk.CollectionConverters._
   *    prunes delete entries that no remaining entry is older than, so a
   *    compacted table pays zero read-time delete cost. Delete parquet
   *    files stay on disk forever — older manifests reference them, which
-  *    keeps TIME TRAVEL exact across upserts.
+  *    keeps TIME TRAVEL exact across upserts;
+  *  - SCHEMA EVOLUTION (additive, Iceberg model): every manifest records
+  *    the unified table schema, merged at commit time ([[mergeSchemas]]:
+  *    new columns append nullable, dropped columns stay, type changes are
+  *    rejected). Readers pin the scan to the RECORDED schema, so dirs
+  *    written before a column existed read null for it without any
+  *    footer-merging pass, and [[readAt]] returns each version under the
+  *    schema it was published with. Compaction materializes evolution —
+  *    merged dirs physically carry every column.
   */
 final class SnapshotTable(
     val root: String,
@@ -87,14 +95,27 @@ final class SnapshotTable(
 
   final case class Snapshot(
       version: Int, entries: Vector[Entry], deletes: Vector[Del],
-      rowCount: Long, commitIds: Vector[String]) {
+      rowCount: Long, commitIds: Vector[String],
+      schemaJson: Option[String] = None) {
     def dataDirs: Vector[String] = entries.map(_.dir)
+    /** The unified table schema recorded at this version, when the manifest
+      * carries one (SCHEMA EVOLUTION — see [[mergeSchemas]]).
+      */
+    def schema: Option[StructType] =
+      schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
   }
 
   /** Line-3 prefix marking the commit-id history line; its absence marks a
     * first-generation manifest whose body is bare data dirs from line 3 on.
     */
   private val IdsMarker = "ids:"
+
+  /** Optional line-4 prefix carrying the unified table schema (b64 of the
+    * StructType JSON). Manifests written before schema tracking lack it —
+    * readers then fall back to footer-derived schemas, exactly the old
+    * behavior, so legacy tables keep reading.
+    */
+  private val SchemaMarker = "schema:"
 
   private def b64(s: String): String = Base64.getEncoder.encodeToString(s.getBytes(UTF_8))
   private def unb64(s: String): String = new String(Base64.getDecoder.decode(s), UTF_8)
@@ -113,16 +134,19 @@ final class SnapshotTable(
     val ids =
       if (hasIds) lines(2).stripPrefix(IdsMarker).split(",", -1).toVector.filter(_.nonEmpty)
       else Vector.empty[String]
+    val hasSchema = hasIds && lines.length > 3 && lines(3).startsWith(SchemaMarker)
+    val schemaJson =
+      if (hasSchema) Some(unb64(lines(3).stripPrefix(SchemaMarker))) else None
     val entries = Vector.newBuilder[Entry]
     val dels = Vector.newBuilder[Del]
-    lines.drop(if (hasIds) 3 else 2).foreach { line =>
+    lines.drop(if (hasSchema) 4 else if (hasIds) 3 else 2).foreach { line =>
       val f = line.split("\t", -1)
       if (f.head == "D") dels += Del(f(1), f(2).toInt)
       else if (f.length >= 4) entries += Entry(f(0), f(1).toInt, Some(unb64(f(2))), Some(unb64(f(3))))
       else if (f.length >= 2) entries += Entry(f(0), f(1).toInt, None, None)
       else entries += Entry(f(0), 0, None, None)
     }
-    Snapshot(lines.head.toInt, entries.result(), dels.result(), lines(1).toLong, ids)
+    Snapshot(lines.head.toInt, entries.result(), dels.result(), lines(1).toLong, ids, schemaJson)
   }
 
   private def manifestPath(v: Int): Path = snapDir.resolve(f"v$v%08d.manifest")
@@ -167,11 +191,23 @@ final class SnapshotTable(
     * scan with zero overhead.
     */
   private def readEntries(
-      spark: SparkSession, entries: Vector[Entry], deletes: Vector[Del]): DataFrame = {
-    if (deletes.isEmpty) return spark.read.parquet(entries.map(_.dir): _*)
+      spark: SparkSession, entries: Vector[Entry], deletes: Vector[Del],
+      schemaJson: Option[String]): DataFrame = {
+    // SCHEMA EVOLUTION read path: when the manifest recorded a unified
+    // schema, the scan is pinned to it — Spark's parquet reader fills
+    // columns a file predates with null, so dirs written before an
+    // added column read correctly WITHOUT opening any footer for schema
+    // discovery (Iceberg's schema-from-metadata model, not mergeSchema's
+    // schema-from-every-footer). Legacy manifests (no schema line) keep
+    // the footer-derived behavior.
+    def scan = schemaJson match {
+      case Some(j) => spark.read.schema(DataType.fromJson(j).asInstanceOf[StructType])
+      case None => spark.read
+    }
+    if (deletes.isEmpty) return scan.parquet(entries.map(_.dir): _*)
     val keyCols = spark.read.parquet(deletes.head.dir).columns.toSeq
     val data = entries
-      .map(e => spark.read.parquet(e.dir).withColumn("_graft_seq", lit(e.seq)))
+      .map(e => scan.parquet(e.dir).withColumn("_graft_seq", lit(e.seq)))
       .reduce(_ unionByName _)
     val dels = deletes
       .map(d => spark.read.parquet(d.dir).withColumn("_graft_del_seq", lit(d.seq)))
@@ -185,7 +221,8 @@ final class SnapshotTable(
 
   /** Read the committed table (all live rows). */
   def read(spark: SparkSession): Option[DataFrame] =
-    latest().filter(_.entries.nonEmpty).map(s => readEntries(spark, s.entries, s.deletes))
+    latest().filter(_.entries.nonEmpty)
+      .map(s => readEntries(spark, s.entries, s.deletes, s.schemaJson))
 
   /** Entries of the latest snapshot whose `[statMin, statMax]` could hold a
     * `statsCol` value in `[lo, hi]` (inclusive, string order), plus the
@@ -215,7 +252,7 @@ final class SnapshotTable(
     latest().flatMap { s =>
       val (kept, _) = pruneRange(lo, hi)
       if (kept.isEmpty) None
-      else Some(readEntries(spark, kept, s.deletes).where(col(c).between(lo, hi)))
+      else Some(readEntries(spark, kept, s.deletes, s.schemaJson).where(col(c).between(lo, hi)))
     }
   }
 
@@ -236,7 +273,7 @@ final class SnapshotTable(
     */
   def readAt(spark: SparkSession, version: Int): Option[DataFrame] =
     snapshotAt(version).filter(_.entries.nonEmpty)
-      .map(s => readEntries(spark, s.entries, s.deletes))
+      .map(s => readEntries(spark, s.entries, s.deletes, s.schemaJson))
 
   /** One pass over a freshly written dir: row count plus min/max of
     * `statsCol` when it is a string column with at least one non-null
@@ -285,10 +322,39 @@ final class SnapshotTable(
     keys.dropDuplicates().write.mode("overwrite").parquet(dd)
     val entries0 = prev.map(_.entries).getOrElse(Vector.empty)
     val deletes0 = prev.map(_.deletes).getOrElse(Vector.empty) :+ Del(dd, newVersion)
-    val (entries, deletes) = compact(keys.sparkSession, entries0, deletes0, newVersion)
+    val schemaJson = prev.flatMap(_.schemaJson) // delete-only: schema unchanged
+    val (entries, deletes) =
+      compact(keys.sparkSession, entries0, deletes0, newVersion, schemaJson)
     commit(newVersion, entries, deletes,
       prev.map(_.rowCount).getOrElse(0L),
-      prev.map(_.commitIds).getOrElse(Vector.empty) :+ commitId)
+      prev.map(_.commitIds).getOrElse(Vector.empty) :+ commitId,
+      schemaJson)
+  }
+
+  /** SCHEMA EVOLUTION merge (additive, the Iceberg model): columns match
+    * by NAME; a column present in both sides must keep its exact type —
+    * a type change is rejected loudly (no implicit promotion: silently
+    * widening 10^12 committed rows is how tables corrupt). Columns only
+    * in the new commit are APPENDED nullable (old dirs read null for
+    * them); columns the new commit dropped STAY in the table (old rows
+    * keep their values, new rows read null — removal is a reader-side
+    * projection, never data loss).
+    */
+  private[table] def mergeSchemas(prev: StructType, next: StructType): StructType = {
+    val nextByName = next.fields.map(f => f.name -> f).toMap
+    val kept = prev.fields.map { p =>
+      nextByName.get(p.name) match {
+        case Some(n) =>
+          require(n.dataType == p.dataType,
+            s"schema evolution rejected: column '${p.name}' changes type " +
+              s"${p.dataType.simpleString} -> ${n.dataType.simpleString}")
+          p.copy(nullable = p.nullable || n.nullable)
+        case None => p.copy(nullable = true)
+      }
+    }
+    val prevNames = prev.fieldNames.toSet
+    val added = next.fields.filterNot(f => prevNames.contains(f.name)).map(_.copy(nullable = true))
+    StructType(kept ++ added)
   }
 
   private def publish(df: DataFrame, commitId: String, deleteKeyCols: Seq[String]): Int = {
@@ -311,10 +377,22 @@ final class SnapshotTable(
         base :+ Del(dd, newVersion)
       }
     }
-    val (entries, deletes) = compact(spark, entries0, deletes0, newVersion)
+    // unified schema for the new snapshot: the just-written dir's on-disk
+    // schema merged into the previous one (legacy tables without a
+    // recorded schema derive theirs from footers once, here at write time)
+    val written = spark.read.parquet(outDir).schema
+    val unified = prev match {
+      case Some(s) if s.entries.nonEmpty =>
+        val prevSchema = s.schema.getOrElse(spark.read.parquet(s.dataDirs: _*).schema)
+        mergeSchemas(prevSchema, written)
+      case _ => written
+    }
+    val schemaJson = Some(unified.json)
+    val (entries, deletes) = compact(spark, entries0, deletes0, newVersion, schemaJson)
     commit(newVersion, entries, deletes,
       prev.map(_.rowCount).getOrElse(0L) + rows,
-      prev.map(_.commitIds).getOrElse(Vector.empty) :+ commitId)
+      prev.map(_.commitIds).getOrElse(Vector.empty) :+ commitId,
+      schemaJson)
   }
 
   /** Dir-name prefix for merged generations. NOT underscore-prefixed:
@@ -344,7 +422,7 @@ final class SnapshotTable(
     */
   private def compact(
       spark: SparkSession, entries0: Vector[Entry], deletes0: Vector[Del],
-      newVersion: Int): (Vector[Entry], Vector[Del]) = {
+      newVersion: Int, schemaJson: Option[String]): (Vector[Entry], Vector[Del]) = {
     var entries = entries0
     var seq = 0
     var more = true
@@ -358,7 +436,9 @@ final class SnapshotTable(
         val (group, rest) = entries.partition(e => levelOf(e.dir) == l)
         val target = dataDir.resolve(s"$CompactPrefix${l + 1}-$newVersion-$seq").toString
         seq += 1
-        readEntries(spark, group, deletes0).write.mode("overwrite").parquet(target)
+        // rewriting under the unified schema also MATERIALIZES evolution:
+        // the merged dir physically carries every column, nulls filled
+        readEntries(spark, group, deletes0, schemaJson).write.mode("overwrite").parquet(target)
         val (_, stats) = statsOf(spark, target)
         entries = rest :+ Entry(target, newVersion, stats.map(_._1), stats.map(_._2))
       }
@@ -369,7 +449,8 @@ final class SnapshotTable(
 
   private def commit(
       newVersion: Int, entries: Vector[Entry], deletes: Vector[Del],
-      totalRows: Long, commitIds: Vector[String]): Int = {
+      totalRows: Long, commitIds: Vector[String],
+      schemaJson: Option[String]): Int = {
     Files.createDirectories(snapDir)
     val entryLines = entries.map { e =>
       (e.statMin, e.statMax) match {
@@ -380,6 +461,7 @@ final class SnapshotTable(
     val delLines = deletes.map(d => s"D\t${d.dir}\t${d.seq}")
     val body =
       (Vector(newVersion.toString, totalRows.toString, IdsMarker + commitIds.mkString(",")) ++
+        schemaJson.map(j => SchemaMarker + b64(j)).toVector ++
         entryLines ++ delLines).mkString("\n")
     val tmp = snapDir.resolve(s".tmp-$newVersion-$totalRows")
     Files.write(tmp, body.getBytes(UTF_8))

@@ -6,6 +6,8 @@ import graft.table.SnapshotTable
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+import scala.jdk.CollectionConverters._
+
 class SnapshotTableSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
   import spark.implicits._
@@ -145,5 +147,72 @@ class SnapshotTableSpec extends AnyFunSuite {
     t.append(Seq(("héllo/ü", 1), ("zzz", 1)).toDF("url", "gen"), "c1")
     val e = t.latest().get.entries.head
     assert(e.statMin.contains("héllo/ü") && e.statMax.contains("zzz"))
+  }
+
+  test("schema evolution: added column reads null from pre-evolution dirs") {
+    val t = new SnapshotTable(tmp())
+    t.append(Seq(("u1", 1), ("u2", 1)).toDF("url", "gen"), "c1")
+    t.append(Seq(("u3", 2, "en")).toDF("url", "gen", "lang"), "c2")
+    val got = t.read(spark).get.select("url", "gen", "lang")
+      .as[(String, Int, Option[String])].collect().toSet
+    assert(got == Set(("u1", 1, None), ("u2", 1, None), ("u3", 2, Some("en"))))
+    // time travel returns the PRE-evolution schema at v1
+    assert(t.readAt(spark, 1).get.columns.toSeq == Seq("url", "gen"))
+  }
+
+  test("schema evolution: dropped column stays; new rows read null for it") {
+    val t = new SnapshotTable(tmp())
+    t.append(Seq(("u1", 1, "en")).toDF("url", "gen", "lang"), "c1")
+    t.append(Seq(("u2", 2)).toDF("url", "gen"), "c2")
+    val got = t.read(spark).get.select("url", "lang")
+      .as[(String, Option[String])].collect().toSet
+    assert(got == Set(("u1", Some("en")), ("u2", None)))
+  }
+
+  test("schema evolution: a type change is rejected loudly") {
+    val t = new SnapshotTable(tmp())
+    t.append(Seq(("u1", 1)).toDF("url", "gen"), "c1")
+    val e = intercept[IllegalArgumentException] {
+      t.append(Seq(("u2", "two")).toDF("url", "gen"), "c2")
+    }
+    assert(e.getMessage.contains("gen") && e.getMessage.contains("changes type"))
+  }
+
+  test("schema evolution: upsert with added column still deletes by key") {
+    val t = new SnapshotTable(tmp())
+    t.append(Seq(("u1", 1), ("u2", 1)).toDF("url", "gen"), "c1")
+    t.upsert(Seq(("u2", 2, "en")).toDF("url", "gen", "lang"), "c2", Seq("url"))
+    val got = t.read(spark).get.select("url", "gen", "lang")
+      .as[(String, Int, Option[String])].collect().toSet
+    assert(got == Set(("u1", 1, None), ("u2", 2, Some("en"))))
+  }
+
+  test("compaction materializes evolution: merged dir carries every column") {
+    val t = new SnapshotTable(tmp(), compactFanIn = 3)
+    t.append(Seq(("u1", 1)).toDF("url", "gen"), "c1")
+    t.append(Seq(("u2", 2)).toDF("url", "gen"), "c2")
+    t.append(Seq(("u3", 3, "en")).toDF("url", "gen", "lang"), "c3") // tips fan-in
+    val s = t.latest().get
+    assert(s.entries.size == 1, "three level-0 dirs must merge into one")
+    // the merged parquet itself (read WITHOUT the manifest schema) has lang
+    assert(spark.read.parquet(s.entries.head.dir).columns.contains("lang"))
+    val got = t.read(spark).get.select("url", "lang")
+      .as[(String, Option[String])].collect().toSet
+    assert(got == Set(("u1", None), ("u2", None), ("u3", Some("en"))))
+  }
+
+  test("legacy manifest without a schema line still reads and can evolve") {
+    val root = tmp()
+    val t = new SnapshotTable(root)
+    t.append(Seq(("u1", 1)).toDF("url", "gen"), "c1")
+    // strip the schema line, simulating a manifest from before evolution
+    val p = java.nio.file.Paths.get(root, "_snapshots", "v00000001.manifest")
+    val kept = Files.readAllLines(p).asScala.filterNot(_.startsWith("schema:"))
+    Files.write(p, kept.mkString("\n").getBytes("UTF-8"))
+    assert(rows(t) == Map("u1" -> 1), "legacy read must fall back to footers")
+    t.append(Seq(("u2", 2, "en")).toDF("url", "gen", "lang"), "c2")
+    val got = t.read(spark).get.select("url", "gen", "lang")
+      .as[(String, Int, Option[String])].collect().toSet
+    assert(got == Set(("u1", 1, None), ("u2", 2, Some("en"))))
   }
 }
