@@ -360,6 +360,23 @@ object SparkEntry {
           (col("n_chars") % 100).cast("long").as("quality")), "crawl-2")
       t.read(s).get.select(col("doc_id"), col("lang"), col("quality"))
     }),
+    // S4+++ INCREMENTAL APPEND READ (resume primitive): three crawls land
+    // with compactFanIn=2 so crawl-2's dir is immediately compacted OUT of
+    // the manifest — the incremental scan must still surface exactly the
+    // rows appended after v1, read from the per-commit dirs, under the
+    // evolved schema (gen arrives with crawl-2). Deletes never apply: the
+    // append stream is not a diff.
+    "q_table_appends" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-appends").toString
+      val t = new graft.table.SnapshotTable(root, compactFanIn = 2)
+      val d = docs(s, dir)
+      t.append(d.select(col("doc_id"), col("lang")), "crawl-1")
+      t.append(d.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("lang"), lit(2L).as("gen")), "crawl-2")
+      t.append(d.where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("lang"), lit(3L).as("gen")), "crawl-3")
+      t.readAppendsSince(s, 1).get.select(col("doc_id"), col("lang"), col("gen"))
+    }),
     "x_extract_results" -> ((s, dir) => {
       import s.implicits._
       val res = ExtractJob.extractAll(
@@ -1143,6 +1160,10 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id + 1000000, lang, CAST(n_chars % 100 AS BIGINT) AS quality
         |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
+    "q_table_appends" ->
+      """SELECT doc_id, lang, CAST(2 AS BIGINT) AS gen FROM documents WHERE doc_id % 3 = 0
+        |UNION ALL
+        |SELECT doc_id, lang, CAST(3 AS BIGINT) AS gen FROM documents WHERE doc_id % 5 = 0""".stripMargin,
     "p1_content_hash" -> "SELECT doc_id, sha256(text) AS h FROM documents",
     "p3_cache_key" ->
       s"SELECT doc_id, 'extract:' || lang || ':' || sha256(text) || ':$schemaHashHex' AS cache_key FROM documents",

@@ -151,9 +151,9 @@ final class SnapshotTable(
 
   private def manifestPath(v: Int): Path = snapDir.resolve(f"v$v%08d.manifest")
 
-  /** All published snapshot versions, ascending. Every manifest stays on
-    * disk forever (compaction rewrites data dirs, never manifests), so the
-    * full history is always listable.
+  /** All published snapshot versions, ascending. Manifests are immutable
+    * and compaction never touches them, so the full history stays
+    * listable until [[expireBefore]] explicitly drops a prefix of it.
     */
   def versions(): Vector[Int] = {
     if (!Files.isDirectory(snapDir)) return Vector.empty
@@ -261,7 +261,8 @@ final class SnapshotTable(
     * leaves merged SOURCE dirs (and delete files) on disk — so a training
     * run that recorded its corpus version can re-read the byte-identical
     * input later, after any number of further appends, upserts, and
-    * compactions. None if the version was never published.
+    * compactions (until [[expireBefore]] deliberately retires it). None
+    * if the version was never published.
     */
   def snapshotAt(version: Int): Option[Snapshot] = {
     val p = manifestPath(version)
@@ -274,6 +275,76 @@ final class SnapshotTable(
   def readAt(spark: SparkSession, version: Int): Option[DataFrame] =
     snapshotAt(version).filter(_.entries.nonEmpty)
       .map(s => readEntries(spark, s.entries, s.deletes, s.schemaJson))
+
+  /** INCREMENTAL APPEND READ (Iceberg incremental-scan analog): exactly
+    * the rows appended by commits AFTER `sinceVersion`, read straight
+    * from the per-commit data dirs — which stay on disk even when
+    * compaction immediately merges them out of the manifest — pinned to
+    * the CURRENT unified schema so the frame aligns with a full read.
+    * This is the resume primitive a 10^12-row pipeline consumes: process
+    * to version V, record V, and the next run reads only (V, latest]
+    * instead of re-scanning the table. Equality deletes are deliberately
+    * NOT applied — this is the append STREAM, not a table diff (the same
+    * contract Iceberg's incremental read documents); delete-only commits
+    * contribute nothing. Commit ids must be unique per table (hasCommit
+    * already assumes this). None when nothing was appended since.
+    */
+  def readAppendsSince(spark: SparkSession, sinceVersion: Int): Option[DataFrame] =
+    latest().flatMap { cur =>
+      val dirs = versions().filter(_ > sinceVersion)
+        .flatMap(v => snapshotAt(v).flatMap(_.commitIds.lastOption))
+        .map(cid => dataDir.resolve(cid))
+        .filter(Files.isDirectory(_))
+        .map(_.toString)
+      if (dirs.isEmpty) None
+      else {
+        val scan = cur.schema match {
+          case Some(st) => spark.read.schema(st)
+          case None => spark.read
+        }
+        Some(scan.parquet(dirs: _*))
+      }
+    }
+
+  /** SNAPSHOT EXPIRY (Iceberg `expire_snapshots` analog — the maintenance
+    * op that stops storage growing with history): drop every manifest
+    * with version < `keepFrom`, then delete the data/delete dirs no
+    * retained manifest needs. Retained = every entry and delete dir of a
+    * kept manifest PLUS each kept version's own commit dir (so
+    * [[readAppendsSince]] keeps working across the retained range even
+    * where compaction merged a commit out of its manifest). Time travel
+    * before `keepFrom` is gone afterwards — that is the point. Streaming
+    * replay detection survives: the commit-id HISTORY lives in the latest
+    * manifest, not in the expired files. Returns
+    * (manifests deleted, dirs deleted).
+    */
+  def expireBefore(keepFrom: Int): (Int, Int) = {
+    val (drop, keep) = versions().partition(_ < keepFrom)
+    if (drop.isEmpty || keep.isEmpty) return (0, 0)
+    val kept = keep.flatMap(snapshotAt(_))
+    val referenced: Set[String] =
+      kept.flatMap(s => s.entries.map(_.dir) ++ s.deletes.map(_.dir)).toSet ++
+        kept.flatMap(_.commitIds.lastOption).map(cid => dataDir.resolve(cid).toString).toSet
+    def children(p: Path): Vector[Path] =
+      if (!Files.isDirectory(p)) Vector.empty
+      else {
+        val st = Files.list(p)
+        try st.iterator().asScala.filter(Files.isDirectory(_)).toVector
+        finally st.close()
+      }
+    def deleteRecursively(p: Path): Unit = {
+      val st = Files.walk(p)
+      try st.sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator().asScala.foreach(Files.delete)
+      finally st.close()
+    }
+    var removed = 0
+    (children(dataDir) ++ children(delDir)).foreach { d =>
+      if (!referenced.contains(d.toString)) { deleteRecursively(d); removed += 1 }
+    }
+    drop.foreach(v => Files.delete(manifestPath(v)))
+    (drop.size, removed)
+  }
 
   /** One pass over a freshly written dir: row count plus min/max of
     * `statsCol` when it is a string column with at least one non-null

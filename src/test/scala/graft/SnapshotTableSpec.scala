@@ -201,6 +201,59 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(got == Set(("u1", None), ("u2", None), ("u3", Some("en"))))
   }
 
+  test("incremental read: appends since V, exact even when compaction merged them away") {
+    val t = new SnapshotTable(tmp(), compactFanIn = 2) // merge aggressively
+    t.append(Seq(("u1", 1)).toDF("url", "gen"), "c1")
+    t.append(Seq(("u2", 2)).toDF("url", "gen"), "c2") // compacts c1+c2
+    t.append(Seq(("u3", 3)).toDF("url", "gen"), "c3")
+    assert(t.latest().get.version == 3)
+    val inc = t.readAppendsSince(spark, 1).get.as[(String, Int)].collect().toSet
+    assert(inc == Set(("u2", 2), ("u3", 3)),
+      "appends after v1 must surface even though c2's dir was compacted out of the manifest")
+    assert(t.readAppendsSince(spark, 3).isEmpty, "nothing appended after latest")
+  }
+
+  test("incremental read ignores delete-only commits and applies no deletes") {
+    val t = new SnapshotTable(tmp())
+    t.append(Seq(("u1", 1)).toDF("url", "gen"), "c1")
+    t.append(Seq(("u2", 2)).toDF("url", "gen"), "c2")
+    t.deleteKeys(Seq(Tuple1("u2")).toDF("url"), "takedown")
+    val inc = t.readAppendsSince(spark, 1).get.as[(String, Int)].collect().toSet
+    assert(inc == Set(("u2", 2)), "the append stream is not a diff: deletes do not apply")
+  }
+
+  test("incremental read pins the current schema across evolution") {
+    val t = new SnapshotTable(tmp())
+    t.append(Seq(("u1", 1)).toDF("url", "gen"), "c1")
+    t.append(Seq(("u2", 2, "en")).toDF("url", "gen", "lang"), "c2")
+    val since0 = t.readAppendsSince(spark, 0).get.select("url", "lang")
+      .as[(String, Option[String])].collect().toSet
+    assert(since0 == Set(("u1", None), ("u2", Some("en"))))
+  }
+
+  test("expireBefore: old history dies, retained reads and incremental survive") {
+    val t = new SnapshotTable(tmp(), compactFanIn = 2)
+    t.append(Seq(("u1", 1)).toDF("url", "gen"), "c1")
+    t.append(Seq(("u2", 2)).toDF("url", "gen"), "c2")
+    t.append(Seq(("u3", 3)).toDF("url", "gen"), "c3")
+    val (manifests, dirs) = t.expireBefore(3)
+    assert(manifests == 2 && dirs > 0)
+    assert(t.versions() == Vector(3) && t.readAt(spark, 1).isEmpty)
+    assert(rows(t) == Map("u1" -> 1, "u2" -> 2, "u3" -> 3), "latest read intact after expiry")
+    // c3 is version 3's own commit dir: retained, so incremental still works
+    assert(t.readAppendsSince(spark, 2).get.as[(String, Int)].collect().toSet == Set(("u3", 3)))
+    assert(t.hasCommit("c1"), "commit-id history lives in the latest manifest, not expired files")
+  }
+
+  test("expireBefore keeps every dir a retained manifest references") {
+    val t = new SnapshotTable(tmp()) // default fan-in: no compaction
+    t.append(Seq(("u1", 1)).toDF("url", "gen"), "c1")
+    t.append(Seq(("u2", 2)).toDF("url", "gen"), "c2")
+    val (m, d) = t.expireBefore(2)
+    assert(m == 1 && d == 0, "v2 still references c1's dir, so nothing may be deleted")
+    assert(rows(t) == Map("u1" -> 1, "u2" -> 2))
+  }
+
   test("legacy manifest without a schema line still reads and can evolve") {
     val root = tmp()
     val t = new SnapshotTable(root)
