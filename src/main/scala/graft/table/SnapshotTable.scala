@@ -338,11 +338,15 @@ final class SnapshotTable(
         .iterator().asScala.foreach(Files.delete)
       finally st.close()
     }
+    // manifests go FIRST: once they are gone no reader can resolve an
+    // expired version, so a crash between the two phases leaves only
+    // harmless orphan dirs (cleaned by the next expiry), never a live
+    // manifest pointing at deleted data
+    drop.foreach(v => Files.delete(manifestPath(v)))
     var removed = 0
     (children(dataDir) ++ children(delDir)).foreach { d =>
       if (!referenced.contains(d.toString)) { deleteRecursively(d); removed += 1 }
     }
-    drop.foreach(v => Files.delete(manifestPath(v)))
     (drop.size, removed)
   }
 
