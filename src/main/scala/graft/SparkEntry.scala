@@ -77,6 +77,26 @@ object SparkEntry {
     * oracle SQL. */
   private val AsOfCutoffUs: Long = 1705363200000000L
 
+  /** Synthetic outage windows for `e_range_join` (mirrored in the oracle
+    * SQL): 40 windows pacing the events table's Jan-2024 span — one every
+    * 18 h from 2024-01-01T00:00:00Z (µs 1704067200000000), lasting
+    * 2 + (w mod 4) hours. Durations straddle the 6 h join bucket, so both
+    * the single-bucket and the multi-bucket (canonical-bucket dedup)
+    * paths of [[graft.events.EventOps.rangeJoin]] are exercised.
+    */
+  private val RangeEpoch0Us: Long = 1704067200000000L
+  private val RangeSpacingUs: Long = 18L * 3600 * 1000000
+  private val RangeHourUs: Long = 3600L * 1000000
+  private val RangeBucketUs: Long = 6L * 3600 * 1000000
+  private val RangeNumWindows: Int = 40
+
+  /** Probe terms and k for the BM25 retrieval query (mirrored in the
+    * oracle SQL): drawn from the synthetic corpus vocabulary with spread
+    * document frequencies, so idf weights genuinely differ. */
+  private val Bm25Terms: Seq[String] =
+    Seq("spark", "vector", "customer", "window", "slow", "hash")
+  private val Bm25K: Int = 25
+
   /** Document text with deterministic duplicate planting for the
     * incremental-dedup query (mirrored in the oracle SQL): `% 7 == 0` docs
     * collapse to one shared boilerplate (present in BOTH the committed
@@ -231,6 +251,51 @@ object SparkEntry {
         .otherwise(lit("")),
       lit("<title>d</title></head><body>"), col("text"), lit("</body></html>"))
   }
+
+  /** Synthetic CMS-style markup for the template-fingerprint query
+    * (mirrored in the oracle SQL): three page templates chosen by doc_id —
+    * an article whose repeated-paragraph count varies with `id % 3` (one
+    * logical template splits into three structural variants), a
+    * nav/listing page, and a bare table page. The visible text differs per
+    * page (a prefix of the document body rides inside the tags) while the
+    * tag skeleton is family-constant — exactly the share-structure /
+    * differ-text shape the text-level dedup family cannot group.
+    */
+  private def templHtml: Column = {
+    val id = col("doc_id")
+    val body = substring(col("text"), 1, 40)
+    val para = concat(lit("<p>"), body, lit("</p>"))
+    val article = concat(
+      lit("<html><head><title>t</title></head><body><article><h1>h</h1>"),
+      para,
+      when(id % 3 >= 1, para).otherwise(lit("")),
+      when(id % 3 === 2, para).otherwise(lit("")),
+      lit("</article></body></html>"))
+    val listing = concat(
+      lit("<html><head><title>t</title></head><body><nav><a>a</a><a>b</a></nav><ul><li>"),
+      body, lit("</li><li>x</li></ul><footer><p>c</p></footer></body></html>"))
+    val tablePage = concat(
+      lit("<html><body><table><tr><td>"), body,
+      lit("</td><td>y</td></tr></table></body></html>"))
+    when(id % 5 <= 2, article).when(id % 5 === 3, listing).otherwise(tablePage)
+  }
+
+  /** SQL twin of [[templHtml]]. NB interpolated into an oracle string that
+    * itself calls `.stripMargin` — no line here may start with `|`, or the
+    * outer strip eats one pipe of a `||` operator.
+    */
+  private val templHtmlSql: String =
+    """CASE WHEN doc_id % 5 <= 2 THEN
+      |    '<html><head><title>t</title></head><body><article><h1>h</h1>' ||
+      |    '<p>' || substr(text, 1, 40) || '</p>' ||
+      |    (CASE WHEN doc_id % 3 >= 1 THEN '<p>' || substr(text, 1, 40) || '</p>' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 3 = 2 THEN '<p>' || substr(text, 1, 40) || '</p>' ELSE '' END) ||
+      |    '</article></body></html>'
+      |  WHEN doc_id % 5 = 3 THEN
+      |    '<html><head><title>t</title></head><body><nav><a>a</a><a>b</a></nav><ul><li>' ||
+      |    substr(text, 1, 40) || '</li><li>x</li></ul><footer><p>c</p></footer></body></html>'
+      |  ELSE '<html><body><table><tr><td>' || substr(text, 1, 40) ||
+      |    '</td><td>y</td></tr></table></body></html>' END""".stripMargin
 
   /** Benchmark/eval set for the decontamination queries: 28-token excerpts
     * of every 101st sufficiently long document (benchmarks quote web
@@ -474,6 +539,11 @@ object SparkEntry {
         .orderBy(desc("tf"), asc("token"))
         .limit(50)
     }),
+    // BM25 keyword retrieval (fixed-point integer scoring): inverted-
+    // index shape — the probe-term prune runs map-side with the explode,
+    // df/corpus stats broadcast back, top-k via TakeOrderedAndProject
+    "t_bm25_topk" -> ((s, dir) =>
+      graft.text.Retrieval.bm25TopK(docs(s, dir), "doc_id", "text", Bm25Terms, Bm25K)),
     // Gopher-family repetition filter: duplicate-token mass + hottest
     // adjacent bigram, HOF-free (slice/arrays_zip/explode + hash aggs)
     "t_repetition" -> ((s, dir) =>
@@ -610,6 +680,14 @@ object SparkEntry {
           PagesGen.row(id, Option(t).getOrElse(""), Option(lang).getOrElse("und")) }
       graft.web.LinkGraph.anchorStats(pages.toDF())
     }),
+    // templated-page families via DOM-skeleton fingerprinting: map-only
+    // regexp harvest of the tag sequence (payload never shuffles), one
+    // slim (32-hex fp) group-by — the structure-level dedup signal the
+    // text-level family cannot see
+    "w_template_fp" -> ((s, dir) =>
+      graft.web.Templates.templateGroups(
+        docs(s, dir).select(col("doc_id"), templHtml.as("html")),
+        "doc_id", "html", minPages = 2L)),
     // writing-system detection over multi-script synthesis: four
     // replace-and-measure passes + argmax, map-only codegen
     "t_script" -> ((s, dir) => {
@@ -710,6 +788,25 @@ object SparkEntry {
           col("event_id").as("view_id"), col("ts_us").as("view_ts_us"))
       graft.events.EventOps.asofJoin(clicks, views, "user_id", "ts_us",
         Seq("view_id", "view_ts_us"))
+    }),
+    // interval-overlap (range) JOIN: user sessions × synthetic outage
+    // windows, via the bucketed equi-join with canonical-bucket dedup —
+    // never the quadratic inequality BNLJ. Overlap duration in exact µs.
+    "e_range_join" -> ((s, dir) => {
+      val sessions = graft.events.EventOps.sessionize(
+          s.read.parquet(s"$dir/events.parquet"),
+          "user_id", "ts", "event_id", gapMicros = SessionGapUs)
+        .select(col("user_id"), col("session_id"), col("start_us"), col("end_us"))
+      val windows = s.range(RangeNumWindows.toLong).select(
+        col("id").as("window_id"),
+        (lit(RangeEpoch0Us) + col("id") * RangeSpacingUs).as("w_start_us"),
+        (lit(RangeEpoch0Us) + col("id") * RangeSpacingUs +
+          (lit(2L) + col("id") % 4) * RangeHourUs).as("w_end_us"))
+      graft.events.EventOps.rangeJoin(sessions, windows,
+          "start_us", "end_us", "w_start_us", "w_end_us", RangeBucketUs)
+        .select(col("user_id"), col("session_id"), col("window_id"),
+          (least(col("end_us"), col("w_end_us")) -
+            greatest(col("start_us"), col("w_start_us"))).as("overlap_us"))
     }),
     // ---- deduplication ----
     // passage-level boilerplate mass: word-8-grams shared by ≥ 2 distinct
@@ -1434,6 +1531,26 @@ object SparkEntry {
     // DuckDB's native ASOF LEFT JOIN (greatest right ts <= left ts,
     // inclusive) is the exact semantics the union+window formulation
     // implements — the strongest possible oracle for this operator
+    // the oracle keeps the NAIVE inequality join — proving the bucketed
+    // equi-join + canonical-bucket dedup formulation semantics-free
+    "e_range_join" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+         |l AS (SELECT user_id, ts_us, event_id,
+         |  CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+         |         OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > $SessionGapUs
+         |       THEN 1 ELSE 0 END AS is_new FROM e),
+         |s AS (SELECT user_id, ts_us,
+         |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM l),
+         |sess AS (SELECT user_id, session_id, min(ts_us) AS start_us, max(ts_us) AS end_us
+         |         FROM s GROUP BY 1, 2),
+         |w AS (SELECT CAST(x AS BIGINT) AS window_id,
+         |  $RangeEpoch0Us + x * $RangeSpacingUs AS w_start_us,
+         |  $RangeEpoch0Us + x * $RangeSpacingUs + (2 + x % 4) * $RangeHourUs AS w_end_us
+         |  FROM generate_series(0, ${RangeNumWindows - 1}) AS t(x))
+         |SELECT sess.user_id, sess.session_id, w.window_id,
+         |  least(sess.end_us, w.w_end_us) - greatest(sess.start_us, w.w_start_us) AS overlap_us
+         |FROM sess JOIN w ON sess.start_us <= w.w_end_us AND w.w_start_us <= sess.end_us""".stripMargin,
     "e_asof_join" ->
       """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type FROM events),
         |l AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'click'),
@@ -1446,6 +1563,44 @@ object SparkEntry {
         |  FROM documents WHERE length(trim(text)) > 0)
         |SELECT token, CAST(count(*) AS BIGINT) AS tf, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
         |FROM t GROUP BY 1 ORDER BY tf DESC, token LIMIT 50""".stripMargin,
+    // BM25 twin: same fixed-point integer formula (k1=1.2, b=0.75,
+    // rational rarity idf), but the NAIVE (idf * ratio) // 1e6 product —
+    // the hash match proves the Spark side's quotient/remainder
+    // decomposition semantics-free (cf. w_domain_rank)
+    "t_bm25_topk" -> {
+      val termsList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id,
+         |  CASE WHEN length(trim(text)) = 0 THEN []
+         |       ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS l
+         |FROM documents),
+         |base AS (SELECT doc_id, l, CAST(len(l) AS BIGINT) AS dl FROM t),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(dl) AS BIGINT) // CAST(count(*) AS BIGINT) AS avgdl FROM base),
+         |tf AS (SELECT doc_id, dl, token AS term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, dl, unnest(l) AS token FROM base)
+         |       WHERE token IN ($termsList) GROUP BY 1, 2, 3),
+         |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.doc_id, tf.tf,
+         |    ((s.n_docs - dfx.df) * 1000000) // dfx.df AS idf_x1m,
+         |    250000 + (750000 * tf.dl) // s.avgdl AS norm_x1m
+         |  FROM tf JOIN dfx USING (term) CROSS JOIN stats s),
+         |sc2 AS (SELECT doc_id,
+         |    (idf_x1m * ((tf * 2200000000000) //
+         |      (tf * 1000000 + (1200000 * norm_x1m) // 1000000))) // 1000000 AS score_x1m
+         |  FROM sc)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+         |  CAST(sum(score_x1m) AS BIGINT) AS score_x1m
+         |FROM sc2 GROUP BY 1 ORDER BY score_x1m DESC, doc_id LIMIT $Bm25K""".stripMargin
+    },
+    "w_template_fp" ->
+      s"""WITH h AS (SELECT doc_id, $templHtmlSql AS html FROM documents),
+         |f AS (SELECT doc_id,
+         |  md5(array_to_string(regexp_extract_all(lower(html), '<([a-z][a-z0-9]*)', 1), ',')) AS template_fp,
+         |  CAST(len(regexp_extract_all(lower(html), '<([a-z][a-z0-9]*)', 1)) AS BIGINT) AS n_tags
+         |FROM h)
+         |SELECT template_fp, CAST(count(*) AS BIGINT) AS n_pages,
+         |  min(doc_id) AS rep_id, max(n_tags) AS n_tags
+         |FROM f GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
     "t_repetition" ->
       s"""WITH t AS (SELECT doc_id,
          |  CASE WHEN length(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\\s+') END AS l

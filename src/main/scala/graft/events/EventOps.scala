@@ -95,6 +95,50 @@ object EventOps {
     * `rightPayload` names the right columns to attach (they must not
     * collide with left column names — rename on the way in).
     */
+  /** Interval-overlap (range) JOIN: every (left, right) pair whose closed
+    * intervals `[lStart, lEnd]` and `[rStart, rEnd]` overlap — the temporal
+    * join a crawl pipeline runs against maintenance windows, robots-change
+    * windows, or incident spans ("which fetch sessions were exposed to
+    * outage W"). Spark has no native interval join; the naive formulation
+    * `l JOIN r ON l.s <= r.e AND r.s <= l.e` has no equi-key, so the
+    * planner falls back to BroadcastNestedLoopJoin / CartesianProduct —
+    * quadratic, and a non-starter at 10^12 rows.
+    *
+    * This is the bucketed formulation: each interval explodes into the
+    * fixed-width time buckets it covers, the join runs as a plain
+    * EQUI-join on the bucket id, and the exact overlap predicate filters
+    * the bucket-collisions. A pair overlapping across k shared buckets
+    * would match k times; instead of a `distinct` (a second shuffle over
+    * the matched pairs), each pair is kept only at its CANONICAL bucket —
+    * the bucket of `greatest(lStart, rStart)`, which for an overlapping
+    * pair lies in both intervals' bucket ranges — so every overlapping
+    * pair survives exactly once and the plan stays one equi-join with no
+    * dedup stage.
+    *
+    * Scale notes: shuffle keys are bucket ids (one long); fan-out per row
+    * is `ceil(span / bucketUs) + 1`, so `bucketUs` should be chosen near
+    * the median interval span (fan-out ~2). Hot buckets (everyone overlaps
+    * rush hour) are AQE-splittable since the join is a plain equi-join.
+    * Timestamps must be non-negative (integer `DIV` truncates toward zero,
+    * which is floor only for non-negatives — same precondition as the
+    * sampler's hash buckets).
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame,
+                lStart: String, lEnd: String, rStart: String, rEnd: String,
+                bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
+    val collisions = left.columns.toSet.intersect(right.columns.toSet)
+    require(collisions.isEmpty, s"left/right column names collide: $collisions")
+    val lb = left.withColumn("_bucket",
+      explode(sequence(expr(s"$lStart DIV ${bucketUs}L"), expr(s"$lEnd DIV ${bucketUs}L"))))
+    val rb = right.withColumn("_bucket",
+      explode(sequence(expr(s"$rStart DIV ${bucketUs}L"), expr(s"$rEnd DIV ${bucketUs}L"))))
+    lb.join(rb, Seq("_bucket"))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("_bucket") === expr(s"greatest($lStart, $rStart) DIV ${bucketUs}L"))
+      .drop("_bucket")
+  }
+
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
                rightPayload: Seq[String]): DataFrame = {
     require(rightPayload.nonEmpty, "rightPayload must name at least one column")

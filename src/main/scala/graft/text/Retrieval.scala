@@ -1,0 +1,86 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ranked keyword retrieval over the corpus: BM25-family scoring with
+  * k1 = 1.2, b = 0.75 in FIXED-POINT INTEGER arithmetic, so the score is
+  * bit-portable across engines (the DuckDB oracle replays it exactly —
+  * same discipline as [[graft.web.LinkGraph]]'s integerized PageRank).
+  * This is the curation-side search a training-data pipeline runs
+  * constantly: "rank documents for these probe terms" (contamination
+  * spot-checks, topic audits, eval-leak triage).
+  *
+  * Two deliberate, documented deviations from textbook BM25, both forced
+  * by engine portability:
+  *   - the idf term is the RATIONAL rarity weight
+  *     `idf_x1m = ((N − df) · 10^6) DIV df` instead of
+  *     `ln((N − df + 0.5)/(df + 0.5))`: `ln` is not bit-identical across
+  *     engines, while the rational weight is pure BIGINT division, shares
+  *     the log-idf's strict monotone decrease in df (so per-term document
+  *     ranking is unchanged), and stays ≥ 0 (log-idf goes negative past
+  *     df > N/2, a known BM25 wart).
+  *   - all ×10^6 fixed-point divisions truncate (`DIV`), so scores are
+  *     exact integers; ranking ties break by ascending id.
+  *
+  * Scale shape: the corpus explodes to tokens MAP-SIDE and the `isin`
+  * prune to the probe terms happens before any exchange — at 10^12 docs
+  * only matched (id, term) postings shuffle, the inverted-index shape.
+  * Corpus stats (N, avgdl) are a one-row aggregate broadcast back; term
+  * document frequencies are ≤ |terms| rows, broadcast-joined. The final
+  * top-k is `TakeOrderedAndProject` (k rows to the driver), never a
+  * global sort.
+  *
+  * Overflow bounds (BIGINT): the score product is quotient/remainder-
+  * decomposed — `(a·b) DIV m = (a DIV m)·b + ((a mod m)·b) DIV m`, exact
+  * for non-negatives — so `idf_x1m` (≤ N·10^6, i.e. up to 10^15 at
+  * N = 10^9) never multiplies `ratio_x1m` (≤ 2.2·10^6) directly; the
+  * decomposed terms stay ≤ 2.2·10^15. The ratio numerator `tf·2.2·10^12`
+  * requires tf < 4·10^6 — generous for any real document.
+  */
+object Retrieval {
+
+  /** Top-k documents by summed per-term BM25 score over `terms`.
+    * Output: (id, n_terms_matched, score_x1m), score descending, id
+    * ascending — deterministic under ties.
+    */
+  def bm25TopK(d: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(k > 0, s"k must be positive, got $k")
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val base = d.select(col(idCol),
+      when(length(trim(col(textCol))) === 0, array().cast("array<string>"))
+        .otherwise(toks).as("toks"))
+      .select(col(idCol), col("toks"), size(col("toks")).cast("long").as("dl"))
+    // one-row corpus stats (N, integer avgdl), broadcast back to the postings
+    val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+      .select(col("n_docs"), expr("tot DIV n_docs").as("avgdl"))
+    // inverted postings: the term prune runs in the SAME map task as the
+    // explode, so only probe-term hits ever reach the (id, term) exchange
+    val tf = base
+      .select(col(idCol), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // df per term: ≤ |terms| rows (tf already has one row per (doc, term))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_x1m", expr("((n_docs - df) * 1000000L) DIV df"))
+      .withColumn("norm_x1m", expr("250000L + (750000L * dl) DIV avgdl"))
+      .withColumn("ratio_x1m",
+        expr("(tf * 2200000000000L) DIV (tf * 1000000L + (1200000L * norm_x1m) DIV 1000000L)"))
+      // exact decomposition of (idf_x1m * ratio_x1m) DIV 1000000 — the
+      // oracle keeps the naive product, so the hash match proves the
+      // decomposition semantics-free (cf. LinkGraph.domainRank)
+      .withColumn("score_x1m",
+        expr("(idf_x1m DIV 1000000L) * ratio_x1m + ((idf_x1m % 1000000L) * ratio_x1m) DIV 1000000L"))
+    scored
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms_matched"), sum(col("score_x1m")).as("score_x1m"))
+      .orderBy(col("score_x1m").desc, col(idCol))
+      .limit(k)
+  }
+}

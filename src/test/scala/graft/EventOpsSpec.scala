@@ -118,6 +118,51 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got.filter($"ts_us" > cutoff).count() == 0)
   }
 
+  test("rangeJoin: inclusive endpoints, exact overlap set, multi-bucket pairs survive exactly once") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 0L, 100L),   // overlaps r10 and touches r20 at exactly 100
+      (2L, 200L, 250L), // strictly inside r20
+      (3L, 400L, 500L), // overlaps nothing
+      (4L, 0L, 1000L)   // spans many 64-wide buckets; overlaps all three
+    ).toDF("lid", "ls", "le")
+    val right = Seq(
+      (10L, 50L, 150L), (20L, 100L, 300L), (30L, 600L, 700L)
+    ).toDF("rid", "rs", "re")
+    val got = EventOps.rangeJoin(left, right, "ls", "le", "rs", "re", bucketUs = 64L)
+      .select($"lid", $"rid").as[(Long, Long)].collect()
+    val want = Set((1L, 10L), (1L, 20L), (2L, 20L), (4L, 10L), (4L, 20L), (4L, 30L))
+    assert(got.toSet == want, s"got ${got.toSet}")
+    // row count equals the pair-set size: pairs sharing several buckets
+    // are emitted only at their canonical bucket, never duplicated
+    assert(got.length == want.size)
+  }
+
+  test("rangeJoin: brute-force parity on randomized intervals across bucket widths") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val lRows = (1 to 200).map { i =>
+      val s = rnd.nextInt(5000).toLong; (i.toLong, s, s + rnd.nextInt(300))
+    }
+    val rRows = (1 to 100).map { i =>
+      val s = rnd.nextInt(5000).toLong; (i.toLong, s, s + rnd.nextInt(500))
+    }
+    val want = (for {
+      (lid, ls, le) <- lRows; (rid, rs, re) <- rRows
+      if ls <= re && rs <= le
+    } yield (lid, rid)).toSet
+    val left = lRows.toDF("lid", "ls", "le")
+    val right = rRows.toDF("rid", "rs", "re")
+    // widths below, near, and far above the median span — fan-out and
+    // canonical-bucket dedup must be invariant to the tuning knob
+    for (bucket <- Seq(7L, 256L, 100000L)) {
+      val got = EventOps.rangeJoin(left, right, "ls", "le", "rs", "re", bucket)
+        .select($"lid", $"rid").as[(Long, Long)].collect()
+      assert(got.toSet == want, s"bucket=$bucket: wrong pair set")
+      assert(got.length == want.size, s"bucket=$bucket: duplicate pairs emitted")
+    }
+  }
+
   test("latestAsOf: equal timestamps break ties by id (deterministic)") {
     val e = events(Seq(
       (1L, "2024-01-01 00:00:00", 5L, "a"),

@@ -341,4 +341,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange SinglePartition") && !plan.contains("rangepartitioning"),
       s"no global funnel:\n$plan")
   }
+
+  test("range join: bucketed EQUI-join — never the quadratic inequality BNLJ/Cartesian") {
+    val plan = finalPlan(SparkEntry.queries("e_range_join")(spark, sfDir))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval join must run as a bucket equi-join:\n$plan")
+    assert(plan.contains("_bucket"), s"join key must be the time bucket:\n$plan")
+  }
+
+  test("bm25: term prune runs with the explode map-side; df broadcasts; top-k is TakeOrdered, not a global sort") {
+    val df = SparkEntry.queries("t_bm25_topk")(spark, sfDir)
+    val plan = finalPlan(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must ship k rows to the driver, never a global sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the df stats join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no sort-merge anywhere in the retrieval plan:\n$plan")
+    // the isin prune must sit under the same stage as the generate — i.e.
+    // appear as a Filter over the exploded term, not after an exchange
+    assert(plan.contains("Generate explode"), s"postings come from an explode:\n$plan")
+  }
+
+  test("template fingerprint: payload never shuffles — the one exchange carries the 32-hex fp") {
+    val plan = finalPlan(SparkEntry.queries("w_template_fp")(spark, sfDir))
+    assert(plan.contains("Exchange hashpartitioning(template_fp"),
+      s"group-by must shuffle on the fingerprint:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"exactly one exchange (the slim fp group-by):\n$plan")
+  }
 }
