@@ -761,6 +761,14 @@ object SparkEntry {
     // partial aggregate (distinct keys are slim: lang, source, 32-hex md5)
     "q_corpus_card" -> ((s, dir) =>
       graft.stats.CorpusStats.corpusCard(docs(s, dir), "text", "lang", "source")),
+    // KMV distinct sketch (custom TypedImperativeAggregate, k=16 minima
+    // of a portable 40-bit md5 hash): per-source distinct-text estimate
+    // with the exact count alongside — O(k) state per group vs exact
+    // distinct's expand + second shuffle; ~25 distinct per source at any
+    // sf, so the ESTIMATOR regime (not the exact-under-k fallback) is
+    // what the oracle replays
+    "q_kmv_distinct" -> ((s, dir) =>
+      graft.stats.CorpusStats.distinctSketch(docs(s, dir), "source", "text", k = 16)),
     // ---- event-stream operators (crawl-log shape) ----
     // gap-based sessionization over the events table: one shuffle on the
     // entity key, two in-partition window passes sharing it
@@ -1502,6 +1510,21 @@ object SparkEntry {
         |  CAST(quantile_cont(n_chars, 0.75) * 4 AS BIGINT) AS p75_x4,
         |  CAST(max(n_chars) AS BIGINT) AS v_max
         |FROM documents GROUP BY 1""".stripMargin,
+    // KMV twin: the k-min set replayed via DISTINCT + row_number rank;
+    // same integer estimator ((k-1) * 2^40) // kth
+    "q_kmv_distinct" ->
+      """WITH h AS (SELECT source, text,
+        |  ('0x' || substr(md5(text), 1, 10))::BIGINT AS hv FROM documents),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_exact FROM h GROUP BY 1),
+        |d AS (SELECT DISTINCT source, hv FROM h),
+        |r AS (SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rn FROM d),
+        |kk AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(max(hv) AS BIGINT) AS kth_min FROM r WHERE rn <= 16 GROUP BY 1)
+        |SELECT g.source, g.n_rows, g.n_distinct_exact, kk.n_kept, kk.kth_min,
+        |  CAST(CASE WHEN kk.n_kept < 16 THEN kk.n_kept
+        |       ELSE (15 * 1099511627776) // greatest(kth_min, 1) END AS BIGINT) AS est_distinct
+        |FROM g JOIN kk USING (source)""".stripMargin,
     "q_corpus_card" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tok) END) AS BIGINT) AS n_tokens,

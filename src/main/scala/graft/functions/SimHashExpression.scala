@@ -128,6 +128,21 @@ object GraftFunctions {
     NfcExpression(children.head)
   }
 
+  /** KMV distinct-sketch aggregate (the analyzer wraps the returned
+    * AggregateFunction into an AggregateExpression, same as built-in
+    * aggregates). Second argument must be a foldable int — the sketch
+    * width is a plan-time parameter, not a per-row value.
+    */
+  val KmvName = "graft_kmv_mink"
+  private val kmvInfo = new ExpressionInfo(classOf[KmvMinK].getName, KmvName)
+
+  val kmvBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2, s"$KmvName takes exactly 2 arguments, got ${children.length}")
+    require(children(1).foldable, s"$KmvName k must be a literal")
+    val k = children(1).eval().asInstanceOf[Number].intValue()
+    KmvMinK(children.head, k)
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.registerFunction(FunctionIdentifier(SimHashName), simhashInfo, simhashBuilder)
@@ -135,6 +150,7 @@ object GraftFunctions {
     reg.registerFunction(FunctionIdentifier(LshSigName), lshsigInfo, lshsigBuilder)
     reg.registerFunction(FunctionIdentifier(MightContainName), mightContainInfo, mightContainBuilder)
     reg.registerFunction(FunctionIdentifier(NfcName), nfcInfo, nfcBuilder)
+    reg.registerFunction(FunctionIdentifier(KmvName), kmvInfo, kmvBuilder)
   }
 }
 
@@ -165,6 +181,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier(GraftFunctions.NfcName),
         new ExpressionInfo(classOf[NfcExpression].getName, GraftFunctions.NfcName),
         GraftFunctions.nfcBuilder))
+    ext.injectFunction(
+      (FunctionIdentifier(GraftFunctions.KmvName),
+        new ExpressionInfo(classOf[KmvMinK].getName, GraftFunctions.KmvName),
+        GraftFunctions.kmvBuilder))
   }
 }
 

@@ -1,6 +1,6 @@
 package graft.stats
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Grouped corpus distribution statistics — the per-stratum length/size
@@ -86,4 +86,50 @@ object CorpusStats {
       countDistinct(col(langCol)).as("n_langs"),
       countDistinct(col(sourceCol)).as("n_sources"),
       countDistinct(graft.text.TextAnalytics.fingerprint(col(textCol))).as("n_distinct_texts"))
+
+  /** Hash domain of [[hash40]]: 2^40. */
+  val Hash40Domain: Long = 1L << 40
+
+  /** Engine-portable 40-bit hash: first 10 hex chars of md5, as a long in
+    * `[0, 2^40)` — the same md5-window discipline as
+    * [[graft.sample.Sampler.bucket10k]] (DuckDB replays it as
+    * `('0x' || substr(md5(x), 1, 10))::BIGINT`). 40 bits keeps the KMV
+    * estimator's `(k−1) · 2^40` numerator far inside BIGINT.
+    */
+  def hash40(c: Column): Column =
+    conv(substring(md5(c), 1, 10), 16, 10).cast("long")
+
+  /** Per-stratum distinct cardinality via the [[graft.functions.KmvMinK]]
+    * sketch, with the exact count alongside for honesty: one row per
+    * group with (n_rows, n_distinct_exact, n_kept, kth_min,
+    * est_distinct). Under k distinct values the sketch IS exact
+    * (`est = n_kept`); past k the classic estimator
+    * `(k−1) · 2^40 DIV kth_min` applies.
+    *
+    * Scale shape: ONE hash aggregate with a map-side partial whose state
+    * is k longs per group — this is the operator to reach for when the
+    * exact `countDistinct` (kept here only as the test oracle) becomes
+    * the bottleneck: exact distinct plans an Expand + a second shuffle
+    * carrying every distinct key; the sketch shuffles k longs per
+    * (partition, group) regardless of cardinality.
+    */
+  def distinctSketch(d: DataFrame, groupCol: String, valueCol: String,
+                     k: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(d.sparkSession)
+    val mink = call_function(graft.functions.GraftFunctions.KmvName,
+      hash40(col(valueCol)), lit(k))
+    d.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(valueCol)).as("n_distinct_exact"),
+        mink.as("mink"))
+      .select(col(groupCol), col("n_rows"), col("n_distinct_exact"),
+        size(col("mink")).cast("long").as("n_kept"),
+        // guard the all-null-values group (empty buffer): element_at(_, 0)
+        // throws under ANSI; CaseWhen evaluates branches lazily
+        when(size(col("mink")) > 0, element_at(col("mink"), size(col("mink"))))
+          .otherwise(lit(0L)).as("kth_min"),
+        when(size(col("mink")) < k, size(col("mink")).cast("long"))
+          .otherwise(expr(s"(${k - 1}L * ${Hash40Domain}L) DIV greatest(element_at(mink, $k), 1L)"))
+          .as("est_distinct"))
+  }
 }

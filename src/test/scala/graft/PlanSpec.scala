@@ -363,6 +363,23 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Generate explode"), s"postings come from an explode:\n$plan")
   }
 
+  test("kmv sketch: ObjectHashAggregate with a map-side partial, no Expand when used alone") {
+    import org.apache.spark.sql.functions.{col, lit, count}
+    graft.functions.GraftFunctions.register(spark)
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val sketchOnly = d.groupBy(col("source"))
+      .agg(org.apache.spark.sql.functions.call_function("graft_kmv_mink",
+        graft.stats.CorpusStats.hash40(col("text")), lit(16)).as("mink"),
+        count(lit(1)).as("n"))
+    val plan = finalPlan(sketchOnly)
+    assert(plan.contains("ObjectHashAggregate"),
+      s"typed-imperative aggregate must plan as ObjectHashAggregate:\n$plan")
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"partial (map-side) + final aggregate expected:\n$plan")
+    assert(!plan.contains("Expand"),
+      s"the sketch alone must not pay exact-distinct's Expand:\n$plan")
+  }
+
   test("template fingerprint: payload never shuffles — the one exchange carries the 32-hex fp") {
     val plan = finalPlan(SparkEntry.queries("w_template_fp")(spark, sfDir))
     assert(plan.contains("Exchange hashpartitioning(template_fp"),
