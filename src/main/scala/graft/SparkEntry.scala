@@ -544,6 +544,16 @@ object SparkEntry {
     // df/corpus stats broadcast back, top-k via TakeOrderedAndProject
     "t_bm25_topk" -> ((s, dir) =>
       graft.text.Retrieval.bm25TopK(docs(s, dir), "doc_id", "text", Bm25Terms, Bm25K)),
+    // the write-once / query-many retrieval shape: persistent inverted
+    // index partitioned on a term hash bucket; the probe reads ONLY the
+    // partitions its terms hash into (directory pruning, PlanSpec-gated)
+    // and must return byte-identically what the corpus re-scan returns —
+    // both share one oracle
+    "t_bm25_indexed" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-bm25-idx").toString
+      graft.text.Retrieval.buildIndex(docs(s, dir), "doc_id", "text", path, termBuckets = 16)
+      graft.text.Retrieval.bm25FromIndex(s, path, "doc_id", Bm25Terms, Bm25K, termBuckets = 16)
+    }),
     // Gopher-family repetition filter: duplicate-token mass + hottest
     // adjacent bigram, HOF-free (slice/arrays_zip/explode + hash aggs)
     "t_repetition" -> ((s, dir) =>
@@ -996,6 +1006,38 @@ object SparkEntry {
   // ---------------------------------------------------------------- oracle
 
   private val tok = "regexp_split_to_array(trim(text), '\\s+')"
+
+  /** Shared oracle for `t_bm25_topk` AND `t_bm25_indexed` — the index is a
+    * storage layout, not a semantics change, so both paths must reproduce
+    * this exact result. Same fixed-point formula as [[graft.text.Retrieval]]
+    * but the NAIVE `(idf * ratio) // 1e6` product (the hash match proves
+    * the Spark side's overflow decomposition semantics-free).
+    */
+  private val bm25OracleSql: String = {
+    val termsList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id,
+       |  CASE WHEN length(trim(text)) = 0 THEN []
+       |       ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS l
+       |FROM documents),
+       |base AS (SELECT doc_id, l, CAST(len(l) AS BIGINT) AS dl FROM t),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(dl) AS BIGINT) // CAST(count(*) AS BIGINT) AS avgdl FROM base),
+       |tf AS (SELECT doc_id, dl, token AS term, CAST(count(*) AS BIGINT) AS tf
+       |       FROM (SELECT doc_id, dl, unnest(l) AS token FROM base)
+       |       WHERE token IN ($termsList) GROUP BY 1, 2, 3),
+       |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT tf.doc_id, tf.tf,
+       |    ((s.n_docs - dfx.df) * 1000000) // dfx.df AS idf_x1m,
+       |    250000 + (750000 * tf.dl) // s.avgdl AS norm_x1m
+       |  FROM tf JOIN dfx USING (term) CROSS JOIN stats s),
+       |sc2 AS (SELECT doc_id,
+       |    (idf_x1m * ((tf * 2200000000000) //
+       |      (tf * 1000000 + (1200000 * norm_x1m) // 1000000))) // 1000000 AS score_x1m
+       |  FROM sc)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+       |  CAST(sum(score_x1m) AS BIGINT) AS score_x1m
+       |FROM sc2 GROUP BY 1 ORDER BY score_x1m DESC, doc_id LIMIT $Bm25K""".stripMargin
+  }
 
   /** SQL twin of [[TextAnalytics.fingerprint]] over the `text` column,
     * shared by the fingerprint and incremental-dedup oracles.
@@ -1589,32 +1631,10 @@ object SparkEntry {
     // BM25 twin: same fixed-point integer formula (k1=1.2, b=0.75,
     // rational rarity idf), but the NAIVE (idf * ratio) // 1e6 product —
     // the hash match proves the Spark side's quotient/remainder
-    // decomposition semantics-free (cf. w_domain_rank)
-    "t_bm25_topk" -> {
-      val termsList = Bm25Terms.map(t => s"'$t'").mkString(", ")
-      s"""WITH t AS (SELECT doc_id,
-         |  CASE WHEN length(trim(text)) = 0 THEN []
-         |       ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS l
-         |FROM documents),
-         |base AS (SELECT doc_id, l, CAST(len(l) AS BIGINT) AS dl FROM t),
-         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(sum(dl) AS BIGINT) // CAST(count(*) AS BIGINT) AS avgdl FROM base),
-         |tf AS (SELECT doc_id, dl, token AS term, CAST(count(*) AS BIGINT) AS tf
-         |       FROM (SELECT doc_id, dl, unnest(l) AS token FROM base)
-         |       WHERE token IN ($termsList) GROUP BY 1, 2, 3),
-         |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-         |sc AS (SELECT tf.doc_id, tf.tf,
-         |    ((s.n_docs - dfx.df) * 1000000) // dfx.df AS idf_x1m,
-         |    250000 + (750000 * tf.dl) // s.avgdl AS norm_x1m
-         |  FROM tf JOIN dfx USING (term) CROSS JOIN stats s),
-         |sc2 AS (SELECT doc_id,
-         |    (idf_x1m * ((tf * 2200000000000) //
-         |      (tf * 1000000 + (1200000 * norm_x1m) // 1000000))) // 1000000 AS score_x1m
-         |  FROM sc)
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
-         |  CAST(sum(score_x1m) AS BIGINT) AS score_x1m
-         |FROM sc2 GROUP BY 1 ORDER BY score_x1m DESC, doc_id LIMIT $Bm25K""".stripMargin
-    },
+    // decomposition semantics-free (cf. w_domain_rank). The indexed
+    // variant must return the identical result, so it shares this oracle.
+    "t_bm25_indexed" -> bm25OracleSql,
+    "t_bm25_topk" -> bm25OracleSql,
     "w_template_fp" ->
       s"""WITH h AS (SELECT doc_id, $templHtmlSql AS html FROM documents),
          |f AS (SELECT doc_id,

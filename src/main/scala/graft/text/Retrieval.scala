@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Ranked keyword retrieval over the corpus: BM25-family scoring with
@@ -63,24 +63,88 @@ object Retrieval {
       .filter(col("term").isin(terms: _*))
       .groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    // df per term: ≤ |terms| rows (tf already has one row per (doc, term))
+    scoreTopK(tf, stats, idCol, k)
+  }
+
+  /** Shared scoring tail: postings (id, dl, term, tf) + one-row stats
+    * (n_docs, avgdl) → top-k. Kept identical between the scan path
+    * ([[bm25TopK]]) and the index path ([[bm25FromIndex]]) so the two are
+    * provably the same function of their postings. The per-term df is ≤
+    * |terms| rows (postings carry one row per (doc, term)) and broadcasts;
+    * the score product is the exact quotient/remainder decomposition of
+    * `(idf_x1m · ratio_x1m) DIV 10^6` — the oracle keeps the naive
+    * product, so the hash match proves the decomposition semantics-free
+    * (cf. LinkGraph.domainRank).
+    */
+  private def scoreTopK(tf: DataFrame, stats: DataFrame, idCol: String, k: Int): DataFrame = {
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tf
-      .join(broadcast(df), "term")
+    tf.join(broadcast(df), "term")
       .crossJoin(broadcast(stats))
       .withColumn("idf_x1m", expr("((n_docs - df) * 1000000L) DIV df"))
       .withColumn("norm_x1m", expr("250000L + (750000L * dl) DIV avgdl"))
       .withColumn("ratio_x1m",
         expr("(tf * 2200000000000L) DIV (tf * 1000000L + (1200000L * norm_x1m) DIV 1000000L)"))
-      // exact decomposition of (idf_x1m * ratio_x1m) DIV 1000000 — the
-      // oracle keeps the naive product, so the hash match proves the
-      // decomposition semantics-free (cf. LinkGraph.domainRank)
       .withColumn("score_x1m",
         expr("(idf_x1m DIV 1000000L) * ratio_x1m + ((idf_x1m % 1000000L) * ratio_x1m) DIV 1000000L"))
-    scored
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_terms_matched"), sum(col("score_x1m")).as("score_x1m"))
       .orderBy(col("score_x1m").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Build a persistent INVERTED INDEX for the write-once / query-many
+    * retrieval shape: full postings (id, dl, term, tf) partitioned on a
+    * term hash bucket, plus the one-row corpus stats. [[bm25TopK]] re-scans
+    * and re-explodes the whole corpus per probe; at 10^12 documents that is
+    * the wrong amortization for a query workload — the index pays the
+    * explode ONCE, and every later probe reads only the partitions its
+    * terms hash into (directory-level partition pruning at the scan,
+    * PlanSpec-gated), i.e. ≤ |terms| of `termBuckets` directories.
+    *
+    * `termBuckets` bounds the directory fan-out (a dir per raw term would
+    * be 10^8 dirs at web scale); xxhash64 keys the bucket — deterministic
+    * across runs, which is all an internal layout needs (no oracle ever
+    * replays the bucket id).
+    */
+  def buildIndex(d: DataFrame, idCol: String, textCol: String, path: String,
+                 termBuckets: Int = 64): Unit = {
+    require(termBuckets > 0, s"termBuckets must be positive, got $termBuckets")
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val base = d.select(col(idCol),
+      when(length(trim(col(textCol))) === 0, array().cast("array<string>"))
+        .otherwise(toks).as("toks"))
+      .select(col(idCol), col("toks"), size(col("toks")).cast("long").as("dl"))
+    base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+      .select(col("n_docs"), expr("tot DIV n_docs").as("avgdl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    base
+      .select(col(idCol), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(termBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("term_bucket").parquet(s"$path/postings")
+  }
+
+  /** Probe the index: same output as [[bm25TopK]] on the indexed corpus
+    * (same scoring tail, identical oracle), but the scan touches only the
+    * probe terms' hash-bucket partitions — the per-query cost is the index
+    * lookup, not the corpus.
+    */
+  def bm25FromIndex(spark: SparkSession, path: String, idCol: String,
+                    terms: Seq[String], k: Int, termBuckets: Int = 64): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    // derive the probe buckets with the SAME expression the writer used —
+    // a hand-rolled driver-side xxhash64/pmod replica would silently
+    // diverge on sign handling; |terms| rows, driver-sized
+    import spark.implicits._
+    val buckets = terms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(termBuckets.toLong)).as("b"))
+      .distinct().as[Long].collect().toSeq
+    val stats = spark.read.parquet(s"$path/stats")
+    val tf = spark.read.parquet(s"$path/postings")
+      .filter(col("term_bucket").isin(buckets: _*)) // partition pruning
+      .filter(col("term").isin(terms: _*))
+      .select(col(idCol), col("dl"), col("term"), col("tf"))
+    scoreTopK(tf, stats, idCol, k)
   }
 }

@@ -363,6 +363,17 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Generate explode"), s"postings come from an explode:\n$plan")
   }
 
+  test("bm25 index probe: partition pruning on the term bucket reaches the scan") {
+    val path = Files.createTempDirectory("graft-planspec-idx").toString
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    graft.text.Retrieval.buildIndex(d, "doc_id", "text", path, termBuckets = 16)
+    val probe = graft.text.Retrieval.bm25FromIndex(spark, path, "doc_id",
+      Seq("spark", "vector"), 10, termBuckets = 16)
+    val plan = finalPlan(probe)
+    assert(plan.contains("PartitionFilters: [") && plan.contains("term_bucket"),
+      s"the probe scan must prune term_bucket partitions at the directory level:\n$plan")
+  }
+
   test("kmv sketch: ObjectHashAggregate with a map-side partial, no Expand when used alone") {
     import org.apache.spark.sql.functions.{col, lit, count}
     graft.functions.GraftFunctions.register(spark)

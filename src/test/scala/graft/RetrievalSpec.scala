@@ -54,6 +54,22 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got == Seq(0L, 1L, 2L), s"got $got")
   }
 
+  test("inverted index probe returns exactly what the corpus re-scan returns") {
+    val texts = (0 until 400).map {
+      case i if i % 9 == 0 => ""
+      case i => Seq.fill(i % 7 + 1)(s"t${i % 19}").mkString(" ") + " probe extra"
+    }
+    val d = corpus(texts: _*)
+    val terms = Seq("probe", "t4", "t11", "missing")
+    val path = java.nio.file.Files.createTempDirectory("graft-idx-spec").toString
+    graft.text.Retrieval.buildIndex(d, "id", "text", path, termBuckets = 8)
+    val scan = Retrieval.bm25TopK(d, "id", "text", terms, 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val idx = Retrieval.bm25FromIndex(spark, path, "id", terms, 30, termBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(idx == scan, s"index path diverged:\nidx=$idx\nscan=$scan")
+  }
+
   test("deterministic across parallelism; empty texts count toward N and avgdl") {
     import org.apache.spark.sql.functions.col
     val texts = (0 until 300).map {
