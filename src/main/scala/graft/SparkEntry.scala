@@ -771,6 +771,15 @@ object SparkEntry {
     // partial aggregate (distinct keys are slim: lang, source, 32-hex md5)
     "q_corpus_card" -> ((s, dir) =>
       graft.stats.CorpusStats.corpusCard(docs(s, dir), "text", "lang", "source")),
+    // Morton/z-order interleave (the 2-D clustering key behind
+    // ZOrder.clusterByZ): pure shift/mask integer arithmetic, map-only;
+    // the locality/skipping claim itself is quantified in ZOrderSpec
+    "q_zorder" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        (col("doc_id") % 1024).as("za"), ((col("doc_id") * 37) % 1024).as("zb"))
+      d.select(col("doc_id"), col("za"), col("zb"),
+        graft.table.ZOrder.zValue(col("za"), col("zb"), 10).as("zval"))
+    }),
     // KMV distinct sketch (custom TypedImperativeAggregate, k=16 minima
     // of a portable 40-bit md5 hash): per-source distinct-text estimate
     // with the exact count alongside — O(k) state per group vs exact
@@ -1552,6 +1561,16 @@ object SparkEntry {
         |  CAST(quantile_cont(n_chars, 0.75) * 4 AS BIGINT) AS p75_x4,
         |  CAST(max(n_chars) AS BIGINT) AS v_max
         |FROM documents GROUP BY 1""".stripMargin,
+    // Morton twin: the bit interleave unrolled as a 10-term shift/mask sum
+    "q_zorder" -> {
+      val terms = (0 until 10).map(i =>
+        s"(((za >> $i) & 1) * ${1L << (2 * i)} + ((zb >> $i) & 1) * ${1L << (2 * i + 1)})")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, doc_id % 1024 AS za, (doc_id * 37) % 1024 AS zb
+         |  FROM documents)
+         |SELECT doc_id, CAST(za AS BIGINT) AS za, CAST(zb AS BIGINT) AS zb,
+         |  CAST($terms AS BIGINT) AS zval FROM t""".stripMargin
+    },
     // KMV twin: the k-min set replayed via DISTINCT + row_number rank;
     // same integer estimator ((k-1) * 2^40) // kth
     "q_kmv_distinct" ->
