@@ -771,6 +771,22 @@ object SparkEntry {
     // partial aggregate (distinct keys are slim: lang, source, 32-hex md5)
     "q_corpus_card" -> ((s, dir) =>
       graft.stats.CorpusStats.corpusCard(docs(s, dir), "text", "lang", "source")),
+    // incrementally-maintained aggregate view: three crawls append to a
+    // snapshot table, the view refreshes after each by reading ONLY the
+    // delta (readAppendsSince) and upserting merged (count, sum) per
+    // group — end state must equal the full group-by (the oracle);
+    // the delta-only/idempotence properties are IncrementalViewSpec-gated
+    "q_incr_view" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-iview").toString
+      val src = new graft.table.SnapshotTable(s"$root/src")
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+      val view = new graft.table.IncrementalView(s"$root/src", s"$root/view", "source", "n_chars")
+      (0 until 3).foreach { i =>
+        src.append(d.filter(col("doc_id") % 3 === i), s"crawl-$i")
+        view.refresh(s)
+      }
+      view.read(s).get
+    }),
     // Morton/z-order interleave (the 2-D clustering key behind
     // ZOrder.clusterByZ): pure shift/mask integer arithmetic, map-only;
     // the locality/skipping claim itself is quantified in ZOrderSpec
@@ -982,6 +998,17 @@ object SparkEntry {
           (mf.url.toLong, mf.kind, q(0), q(8), q(15), q.sum)
         }
         .toDF("doc_id", "kind", "f0_q", "f8_q", "f15_q", "fsum_q")
+    }),
+    // batched inference (stub model, real batching plumbing): one
+    // vectorized call per in-partition batch over a reused buffer; the
+    // batch bookkeeping is projected away because scores are proven
+    // batch-size-invariant (MediaSpec) — batching is execution, not
+    // semantics
+    "m_batch_score" -> ((s, dir) => {
+      import s.implicits._
+      MediaKernel.batchScoreAll(mediaRows(s, dir), 16, 32)(s)
+        .map(b => (b.url.toLong, b.kind, b.score_q))
+        .toDF("doc_id", "kind", "score_q")
     }),
     // M4: aspect-preserving integer resize of the decoded dimensions
     "m_resize" -> ((s, dir) => {
@@ -1561,6 +1588,12 @@ object SparkEntry {
         |  CAST(quantile_cont(n_chars, 0.75) * 4 AS BIGINT) AS p75_x4,
         |  CAST(max(n_chars) AS BIGINT) AS v_max
         |FROM documents GROUP BY 1""".stripMargin,
+    // incremental-view twin: the end state of delta-merge maintenance
+    // must equal one full group-by over everything ever appended
+    "q_incr_view" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_value
+        |FROM documents GROUP BY 1""".stripMargin,
     // Morton twin: the bit interleave unrolled as a 10-term shift/mask sum
     "q_zorder" -> {
       val terms = (0 until 10).map(i =>
@@ -1953,6 +1986,24 @@ object SparkEntry {
         |FROM n)
         |SELECT doc_id, kind, fq[1] AS f0_q, fq[9] AS f8_q, fq[16] AS f15_q,
         |       CAST(list_sum(fq) AS BIGINT) AS fsum_q
+        |FROM q""".stripMargin,
+    // batched-inference twin: same quantized features as m_features, then
+    // the stub model's integer weighted sum — the weight formula is
+    // MediaKernel.scoreWeight verbatim
+    "m_batch_score" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  list_transform(generate_series(0, 15), i ->
+        |    2 * CAST(('0x' || substr(sha256(text), 2 * i + 1, 2)) AS BIGINT) - 255) AS d2
+        |FROM documents),
+        |n AS (SELECT doc_id, kind, d2,
+        |  sqrt(CAST(list_sum(list_transform(d2, v -> v * v)) AS DOUBLE)) AS nrm FROM d),
+        |q AS (SELECT doc_id, kind,
+        |  list_transform(d2, v -> CAST(floor(CAST(CAST(v / nrm AS FLOAT) AS DOUBLE) * 1000000.0) AS BIGINT)) AS fq
+        |FROM n)
+        |SELECT doc_id, kind,
+        |  CAST(list_sum(list_transform(generate_series(0, 15), i ->
+        |    fq[i + 1] * (((i * 2654435761 + 97531) % 2003) - 1001))) AS BIGINT) AS score_q
         |FROM q""".stripMargin,
     "m_resize" -> {
       val w = s"CASE WHEN octet_length(encode(text)) = 0 THEN -1 WHEN doc_id % 3 = 1 THEN -1 ELSE 320 + ${hexInt(1, 6)} % 1024 END"

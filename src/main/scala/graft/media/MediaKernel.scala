@@ -42,6 +42,13 @@ object MediaKernel {
 
   final case class Frame(url: String, frame_idx: Int, frame: Array[Byte])
 
+  /** Output of [[batchScoreAll]]: one score per input row, with the batch
+    * bookkeeping (`batch_idx` within its partition, `batch_size` actually
+    * packed — the last batch of a partition may be short).
+    */
+  final case class BatchScore(url: String, kind: String, batch_idx: Long,
+                              batch_size: Int, score_q: Long)
+
   private val md5Local: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
@@ -139,5 +146,63 @@ object MediaKernel {
   def framesAll(ds: Dataset[MediaRow], n: Int)(implicit spark: SparkSession): Dataset[Frame] = {
     import spark.implicits._
     ds.mapPartitions(_.flatMap(r => sampleFrames(r, n)))
+  }
+
+  /** Per-plane weight of the STUB scoring model (Weyl-style mixed
+    * congruential over a prime, same discipline as
+    * [[graft.functions.LshSig.weight]]): deterministic, signed, small.
+    */
+  def scoreWeight(j: Int): Long =
+    ((j.toLong * 2654435761L + 97531L) % 2003L) - 1001L
+
+  /** STUB vectorized model over ONE batch: per row, the integer-quantized
+    * weighted sum `Σ_j floor(f_j·10^6)·w_j` — pure integer on quantized
+    * features, so engine-portable (stands in for an ONNX/TF session run
+    * over the [batch × dim] matrix; the batch-at-once call signature is
+    * the part a real runtime needs).
+    */
+  def scoreBatch(buf: Array[Array[Float]], n: Int, dim: Int): Array[Long] =
+    Array.tabulate(n) { i =>
+      var s = 0L
+      var j = 0
+      while (j < dim) {
+        s += math.floor(buf(i)(j).toDouble * 1e6).toLong * scoreWeight(j)
+        j += 1
+      }
+      s
+    }
+
+  /** BATCHED inference — the `mapPartitions` shape a real vectorized
+    * scorer needs: rows grouped into fixed-size batches INSIDE each
+    * partition, features packed into a REUSED [batchSize × dim] buffer,
+    * ONE model call per batch, per-row scores emitted with their batch
+    * bookkeeping. The model is the marked stub above (no inference
+    * runtimes in the sandbox); the plumbing — grouping, buffer reuse,
+    * row↔batch index alignment, the short final batch — is real, and the
+    * invariant that makes it safe is spec-gated in MediaSpec: SCORES ARE
+    * IDENTICAL FOR EVERY batchSize (batching is an execution detail,
+    * never semantics). `batch_idx`/`batch_size` depend on partitioning by
+    * construction — relational consumers project them away (`m_batch_score`
+    * emits only (id, kind, score)).
+    */
+  def batchScoreAll(ds: Dataset[MediaRow], dim: Int = 16, batchSize: Int = 32)(
+      implicit spark: SparkSession): Dataset[BatchScore] = {
+    require(batchSize >= 1, s"batchSize must be positive, got $batchSize")
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      val buf = Array.ofDim[Float](batchSize, dim)
+      it.grouped(batchSize).zipWithIndex.flatMap { case (batch, bi) =>
+        var i = 0
+        batch.foreach { r =>
+          val f = feature(r.media, dim)
+          System.arraycopy(f, 0, buf(i), 0, dim)
+          i += 1
+        }
+        val scores = scoreBatch(buf, i, dim)
+        batch.zipWithIndex.map { case (r, j) =>
+          BatchScore(r.url, r.kind, bi.toLong, i, scores(j))
+        }
+      }
+    }
   }
 }

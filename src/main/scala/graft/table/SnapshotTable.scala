@@ -7,6 +7,7 @@ import java.util.Base64
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
+import org.apache.spark.util.sketch.BloomFilter
 
 import scala.jdk.CollectionConverters._
 
@@ -48,7 +49,13 @@ import scala.jdk.CollectionConverters._
   *    writer clusters by url touches only the dirs whose url range covers
   *    it, WITHOUT opening a single parquet footer. Dirs with no recorded
   *    stats (legacy manifests, empty increments, missing column) are never
-  *    pruned — skipping is an optimization, absence is always safe;
+  *    pruned — skipping is an optimization, absence is always safe. Each
+  *    stat-tracked dir additionally carries a BLOOM SIDECAR
+  *    (`_graft.bloom`, the Iceberg-puffin analog — sketches live next to
+  *    the data, never in the manifest) so [[readPoint]] also skips dirs
+  *    whose RANGE covers the value but whose bloom proves it absent — the
+  *    pruning min/max cannot do when writers don't cluster by the lookup
+  *    column;
   *  - EQUALITY DELETES / UPSERT (Iceberg v2 merge-on-read analog): every
   *    entry carries the sequence number (= snapshot version) it was
   *    published at. [[upsert]] writes the new rows as a normal data dir
@@ -354,6 +361,17 @@ final class SnapshotTable(
     * `statsCol` when it is a string column with at least one non-null
     * value. (Numeric columns are deliberately not stat-tracked — the
     * manifest stores strings and string order would mis-prune numbers.)
+    *
+    * When stats are recorded, a BLOOM SIDECAR is also written into the dir
+    * (`_graft.bloom` — underscore-prefixed, so every parquet listing
+    * treats it as hidden metadata): point lookups on `statsCol` then skip
+    * dirs whose range covers the value but whose bloom proves it absent —
+    * the case min/max pruning cannot help with when writers don't cluster
+    * by the lookup column (Iceberg stores the same sketches in puffin
+    * sidecars, never the manifest, and so does this: the manifest stays
+    * slim). Capacity is capped at [[BloomCapItems]] — past it fpp degrades
+    * instead of the sidecar growing unbounded, same discipline as the
+    * resume bloom's numBits cap.
     */
   private def statsOf(spark: SparkSession, dir: String): (Long, Option[(String, String)]) = {
     val df = spark.read.parquet(dir)
@@ -362,7 +380,61 @@ final class SnapshotTable(
       case None => (df.count(), None)
       case Some(c) =>
         val r = df.agg(count(lit(1)), min(col(c)), max(col(c))).collect()(0)
-        (r.getLong(0), if (r.isNullAt(1)) None else Some((r.getString(1), r.getString(2))))
+        val stats = if (r.isNullAt(1)) None else Some((r.getString(1), r.getString(2)))
+        if (stats.isDefined) {
+          val expected = math.min(math.max(r.getLong(0), 1L), BloomCapItems)
+          val bloom = df.stat.bloomFilter(c, expected, BloomFpp)
+          val out = Files.newOutputStream(Paths.get(dir, BloomSidecar))
+          try bloom.writeTo(out) finally out.close()
+        }
+        (r.getLong(0), stats)
+    }
+  }
+
+  /** Name of the per-dir bloom sidecar ('_'-prefixed: hidden from scans). */
+  private val BloomSidecar = "_graft.bloom"
+  private val BloomCapItems = 4000000L
+  private val BloomFpp = 0.01
+
+  /** Lazily-loaded sidecar blooms, keyed by dir (driver-side, one filter
+    * per data dir — bounded by the compacted dir count).
+    */
+  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[String, Option[BloomFilter]]()
+
+  private def bloomOf(dir: String): Option[BloomFilter] =
+    bloomCache.computeIfAbsent(dir, d => {
+      val p = Paths.get(d, BloomSidecar)
+      if (!Files.isRegularFile(p)) None
+      else {
+        val in = Files.newInputStream(p)
+        try Some(BloomFilter.readFrom(in)) finally in.close()
+      }
+    })
+
+  /** Entries of the latest snapshot that could hold `statsCol = v`:
+    * min/max range pruning first, then the bloom sidecar — a dir whose
+    * range covers `v` but whose bloom rejects it is provably clean and
+    * skipped. Dirs without stats or sidecar always survive (absence is
+    * safe, exactly like [[pruneRange]]). Returns (kept, total).
+    */
+  def prunePoint(v: String): (Vector[Entry], Int) = {
+    val (rangeKept, total) = pruneRange(v, v)
+    val kept = rangeKept.filter(e => bloomOf(e.dir).forall(_.mightContainString(v)))
+    (kept, total)
+  }
+
+  /** Point lookup over `statsCol` with manifest range pruning AND bloom
+    * sidecar skipping: only dirs that might hold the value are opened,
+    * the row-level equality applies on top, equality deletes still apply.
+    * None when the table is empty or every dir is provably clean.
+    */
+  def readPoint(spark: SparkSession, v: String): Option[DataFrame] = {
+    val c = statsCol.getOrElse(
+      throw new IllegalStateException("readPoint requires a statsCol-configured table"))
+    latest().flatMap { s =>
+      val (kept, _) = prunePoint(v)
+      if (kept.isEmpty) None
+      else Some(readEntries(spark, kept, s.deletes, s.schemaJson).where(col(c) === v))
     }
   }
 

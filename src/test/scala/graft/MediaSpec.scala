@@ -69,4 +69,36 @@ class MediaSpec extends AnyFunSuite {
     val frames = MediaKernel.framesAll(ds, 3).collect()
     assert(frames.length == 9)
   }
+
+  test("batched inference: scores identical for every batch size and partitioning") {
+    implicit val s = spark
+    import s.implicits._
+    val rows = (0 until 97).map(i =>
+      MediaRow(s"u$i", Seq("image", "audio", "video")(i % 3), s"payload-$i".getBytes(UTF_8)))
+    val ds1 = rows.toDS().repartition(1)
+    val ds5 = rows.toDS().repartition(5)
+    def scores(ds: org.apache.spark.sql.Dataset[MediaRow], bs: Int) =
+      MediaKernel.batchScoreAll(ds, 16, bs).collect().map(b => b.url -> b.score_q).toMap
+    val ref = scores(ds1, 1)
+    assert(ref.size == 97)
+    // batching and partitioning are execution details: 1-row batches,
+    // odd batches with a short tail, and oversized batches all agree
+    assert(scores(ds1, 7) == ref)
+    assert(scores(ds5, 32) == ref)
+    assert(scores(ds5, 1000) == ref)
+    // scores are real (not degenerate): distinct payloads → distinct values
+    assert(ref.values.toSet.size > 90)
+  }
+
+  test("batched inference: bookkeeping marks real batch boundaries and the short tail") {
+    implicit val s = spark
+    import s.implicits._
+    val rows = (0 until 10).map(i => MediaRow(s"u$i", "image", s"p$i".getBytes(UTF_8)))
+    val got = MediaKernel.batchScoreAll(rows.toDS().repartition(1), 16, 4).collect()
+    // 10 rows in one partition at batchSize 4 → batches of 4, 4, 2
+    assert(got.groupBy(_.batch_idx).view.mapValues(_.length).toMap ==
+      Map(0L -> 4, 1L -> 4, 2L -> 2))
+    assert(got.filter(_.batch_idx == 2L).forall(_.batch_size == 2),
+      "the short final batch must report its REAL packed size")
+  }
 }

@@ -135,6 +135,48 @@ class SnapshotTableSpec extends AnyFunSuite {
       "the statless dir must survive every prune")
   }
 
+  test("bloom sidecar: point lookup skips range-covered dirs that provably lack the value") {
+    val t = new SnapshotTable(tmp(), statsCol = Some("url"))
+    // every dir's [min, max] spans a/…z/ — range pruning keeps all three;
+    // only the per-dir bloom sidecars can separate the mid-range members
+    t.append(Seq(("a/1", 1), ("m/1", 1), ("z/1", 1)).toDF("url", "gen"), "c1")
+    t.append(Seq(("a/2", 2), ("m/2", 2), ("z/2", 2)).toDF("url", "gen"), "c2")
+    t.append(Seq(("a/3", 3), ("m/3", 3), ("z/3", 3)).toDF("url", "gen"), "c3")
+    val (rangeKept, _) = t.pruneRange("m/2", "m/2")
+    assert(rangeKept.size == 3, "min/max alone cannot prune interleaved ranges")
+    val (kept, total) = t.prunePoint("m/2")
+    assert(total == 3 && kept.size == 1, s"bloom must leave 1 of 3 dirs, got ${kept.size}")
+    val got = t.readPoint(spark, "m/2").get.as[(String, Int)].collect().toSet
+    assert(got == Set(("m/2", 2)))
+    assert(got == t.read(spark).get.where(col("url") === "m/2")
+      .as[(String, Int)].collect().toSet, "pruning must not change the result")
+    // a value no dir holds reads as empty (or prunes to nothing outright)
+    assert(t.readPoint(spark, "m/9").map(_.count()).getOrElse(0L) == 0L)
+  }
+
+  test("bloom skipping is safe: sidecar-less dirs are never pruned") {
+    val t = new SnapshotTable(tmp(), statsCol = Some("url"))
+    t.append(Seq((7, 1)).toDF("other", "gen"), "c1") // no stats column → no sidecar
+    t.append(Seq(("a/1", 2)).toDF("url", "gen"), "c2")
+    val (kept, total) = t.prunePoint("zzz")
+    assert(total == 2 && kept.size == 1 && kept.head.statMin.isEmpty,
+      "the sidecar-less dir must survive every point prune")
+  }
+
+  test("compacted dirs carry a fresh bloom sidecar") {
+    val t = new SnapshotTable(tmp(), compactFanIn = 3, statsCol = Some("url"))
+    t.append(Seq(("a/1", 1)).toDF("url", "gen"), "c1")
+    t.append(Seq(("m/1", 2)).toDF("url", "gen"), "c2")
+    t.append(Seq(("z/1", 3)).toDF("url", "gen"), "c3")
+    val snap = t.latest().get
+    assert(snap.entries.size == 1 && snap.entries.head.dir.contains("compacted-"),
+      "fanIn=3 must merge the three commits")
+    assert(t.readPoint(spark, "m/1").get.collect().length == 1)
+    // the merged dir's range spans a/…z/ but its bloom rejects an absent key
+    val (none, _) = t.prunePoint("q/404")
+    assert(none.isEmpty, "compacted dir bloom must reject an absent value")
+  }
+
   test("upsert into an empty table publishes no delete entry") {
     val t = new SnapshotTable(tmp())
     t.upsert(Seq(("u1", 1)).toDF("url", "gen"), "c1", Seq("url"))

@@ -263,4 +263,51 @@ class StreamingExtractSpec extends AnyFunSuite {
     // warc_ts = base + doc_id seconds → windows are deterministic
     assert(m.forall(_.getAs[Long]("payload_bytes") >= 0))
   }
+
+  test("stream-stream attribution join matches the batch window join across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val horizon = 600L // 10 min attribution window
+    val base = 1704067200L
+    // 4 users; views every ~4 min, clicks every ~7 min → some clicks see
+    // 2-3 views in the horizon, some none; boundary cases at exactly 0s
+    // and exactly horizon included by construction below
+    val views = (0L until 60L).map(i => (i % 4, base + i * 240, 1000L + i))
+    // boundary fixtures lead the sequence: they must arrive in the FIRST
+    // micro-batch — fed later they would be LATE DATA behind the click
+    // watermark and Spark correctly drops them (that discipline is the
+    // point of the watermark, not a test artifact to fight)
+    val clicks = Seq((0L, base + 960, 3000L), // click at user 0's i=4 view instant
+      (1L, base + 240 + horizon, 3001L)) ++ // user 1's i=1 view exactly horizon earlier
+      (0L until 35L).map(i => (i % 4, base + i * 420, 2000L + i))
+    val vMem = MemoryStream[(Long, Long, Long)]
+    val cMem = MemoryStream[(Long, Long, Long)]
+    val vDf = vMem.toDF().toDF("user_id", "v_epoch", "view_id")
+      .withColumn("v_ts", timestamp_seconds(col("v_epoch"))).drop("v_epoch")
+    val cDf = cMem.toDF().toDF("c_user", "c_epoch", "click_id")
+      .withColumn("c_ts", timestamp_seconds(col("c_epoch"))).drop("c_epoch")
+      .withColumnRenamed("c_user", "user_id")
+    val joined = graft.streaming.StreamJoins.windowedPairs(
+      cDf, vDf, "user_id", "c_ts", "v_ts", horizon)
+    val q = joined.select($"click_id", $"view_id")
+      .writeStream.format("memory").queryName("attr_sink").outputMode("append").start()
+    try {
+      // feed in two chunks so the join genuinely crosses micro-batches
+      vMem.addData(views.take(30): _*); cMem.addData(clicks.take(20): _*)
+      q.processAllAvailable()
+      vMem.addData(views.drop(30): _*); cMem.addData(clicks.drop(20): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("attr_sink").as[(Long, Long)].collect().toSet
+      val want = (for {
+        (cu, cts, cid) <- clicks; (vu, vts, vid) <- views
+        if cu == vu && vts <= cts && vts >= cts - horizon
+      } yield (cid, vid)).toSet
+      assert(streamed == want,
+        s"missing=${want.diff(streamed).take(5)} extra=${streamed.diff(want).take(5)}")
+      assert(want.exists(_._1 == 3000L) && want.exists(_._1 == 3001L),
+        "boundary fixtures (view at click instant / exactly horizon earlier) must attribute")
+    } finally q.stop()
+  }
 }
