@@ -151,6 +151,11 @@ object GraftFunctions {
     reg.registerFunction(FunctionIdentifier(MightContainName), mightContainInfo, mightContainBuilder)
     reg.registerFunction(FunctionIdentifier(NfcName), nfcInfo, nfcBuilder)
     reg.registerFunction(FunctionIdentifier(KmvName), kmvInfo, kmvBuilder)
+    // optimizer surface parity with GraftExtensions (idempotent: guard
+    // against repeated register() calls appending duplicates)
+    if (!spark.experimental.extraOptimizations.contains(CollapseIdempotentNormalization))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ CollapseIdempotentNormalization
   }
 }
 
@@ -185,6 +190,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier(GraftFunctions.KmvName),
         new ExpressionInfo(classOf[KmvMinK].getName, GraftFunctions.KmvName),
         GraftFunctions.kmvBuilder))
+    ext.injectOptimizerRule(_ => CollapseIdempotentNormalization)
   }
 }
 

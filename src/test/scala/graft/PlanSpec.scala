@@ -363,6 +363,34 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Generate explode"), s"postings come from an explode:\n$plan")
   }
 
+  test("idempotent-normalization rule collapses nested nfc/lower/trim; leaves mixed chains alone") {
+    import org.apache.spark.sql.functions.{col, lower, upper, trim}
+    graft.functions.GraftFunctions.register(spark)
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    def nfc(c: org.apache.spark.sql.Column) = graft.text.TextAnalytics.nfcNative(d)(c)
+    def count(plan: String, token: String): Int = token.r.findAllIn(plan).size
+    // a 3-deep nfc chain and a trim∘trim chain each collapse to one call
+    val collapsed = d.select(nfc(nfc(nfc(col("text")))).as("a"),
+      trim(trim(col("text"))).as("b"))
+    val p1 = collapsed.queryExecution.optimizedPlan.toString
+    assert(count(p1, "graft_nfc") == 1, s"nfc chain must collapse to one call:\n$p1")
+    assert(count(p1, "trim") == 1, s"trim chain must collapse:\n$p1")
+    // charset trims are idempotent only PER charset — nested different
+    // charsets must survive the rule
+    val mixed = d.selectExpr("trim(BOTH 'x' FROM trim(BOTH 'y' FROM text)) AS c")
+    val p2 = mixed.queryExecution.optimizedPlan.toString
+    assert(count(p2, "trim") == 2, s"different-charset trim chain must survive:\n$p2")
+    // upstream SimplifyCaseConversionExpressions owns case chains — our
+    // rule must not break that composition
+    val caseChain = d.select(lower(upper(lower(col("text")))).as("d"))
+    val p3 = caseChain.queryExecution.optimizedPlan.toString
+    assert(count(p3, "lower") == 1 && count(p3, "upper") == 0, s"upstream rule intact:\n$p3")
+    // semantics unchanged by the rewrite
+    assert(collapsed.selectExpr("sum(length(a))", "sum(length(b))").collect()(0) ==
+      d.select(nfc(col("text")).as("a"), trim(col("text")).as("b"))
+        .selectExpr("sum(length(a))", "sum(length(b))").collect()(0))
+  }
+
   test("bm25 index probe: partition pruning on the term bucket reaches the scan") {
     val path = Files.createTempDirectory("graft-planspec-idx").toString
     val d = spark.read.parquet(s"$sfDir/documents.parquet")

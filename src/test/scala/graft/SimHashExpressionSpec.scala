@@ -1,7 +1,7 @@
 package graft
 
 import graft.dedup.Dedup
-import graft.functions.{GraftFunctions, SimHash}
+import graft.functions.{CollapseIdempotentNormalization, GraftExtensions, GraftFunctions, SimHash}
 import org.apache.spark.sql.functions._
 import org.apache.spark.unsafe.types.UTF8String
 import org.scalatest.funsuite.AnyFunSuite
@@ -104,5 +104,28 @@ class SimHashExpressionSpec extends AnyFunSuite {
     val b = SimHash.compute(UTF8String.fromString("the quick brown fox jumps over the lazy dog near the ocean"))
     val c = SimHash.compute(UTF8String.fromString("catalyst optimizer rewrites logical plans into physical operators"))
     assert(java.lang.Long.bitCount(a ^ b) < java.lang.Long.bitCount(a ^ c))
+  }
+
+  test("spark.sql.extensions injector: full function surface AND the optimizer rule") {
+    // a second in-JVM session cannot apply static confs (spark.sql.extensions
+    // is static and the SparkContext is shared across the suite), so the
+    // injector object is exercised directly; its private[sql] accessors are
+    // public in bytecode, reachable via reflection
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val reg = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone()
+    val registerFns = ext.getClass.getMethods.find(_.getName == "registerFunctions")
+      .getOrElse(fail("SparkSessionExtensions.registerFunctions not found"))
+    registerFns.invoke(ext, reg)
+    Seq(GraftFunctions.SimHashName, GraftFunctions.QDotName, GraftFunctions.LshSigName,
+      GraftFunctions.MightContainName, GraftFunctions.NfcName, GraftFunctions.KmvName)
+      .foreach(f => assert(
+        reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(f)),
+        s"extensions path must expose $f — same surface as register()"))
+    val buildRules = ext.getClass.getMethods.find(_.getName == "buildOptimizerRules")
+      .getOrElse(fail("SparkSessionExtensions.buildOptimizerRules not found"))
+    val rules = buildRules.invoke(ext, SparkTestBase.spark).asInstanceOf[Seq[_]]
+    assert(rules.contains(CollapseIdempotentNormalization),
+      "extensions path must inject the idempotent-normalization rule")
   }
 }
