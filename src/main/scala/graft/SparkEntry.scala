@@ -690,6 +690,25 @@ object SparkEntry {
           PagesGen.row(id, Option(t).getOrElse(""), Option(lang).getOrElse("und")) }
       graft.web.LinkGraph.anchorStats(pages.toDF())
     }),
+    // crawl-frontier politeness scheduling: hosts pinned to one worker
+    // (map-side hash), per-host fetch sequence + delay slots from ONE
+    // host-key exchange shared with the window rank
+    "w_frontier" -> ((s, dir) => {
+      val u = docs(s, dir).select(col("doc_id"), synthUrl.as("url"))
+      graft.web.Frontier.schedule(u, "url", numWorkers = 4, perHostDelayMs = 500L)
+    }),
+    // deflate-compressibility quality signal (rows-only: no deflate in
+    // DuckDB; semantics pinned by EntropySpec — the long-period
+    // repetition gate t_repetition's bigram horizon misses). Every 25th
+    // doc is replaced by repeated spam filler so BOTH branches of the
+    // gate run on the driver corpus, not just in the spec
+    "t_entropy" -> ((s, dir) =>
+      graft.text.Entropy.stats(
+        docs(s, dir).withColumn("text",
+          when(col("doc_id") % 25 === 0,
+            repeat(lit("subscribe now and buy cheap pills "), 20))
+            .otherwise(col("text"))),
+        "doc_id", "text")),
     // templated-page families via DOM-skeleton fingerprinting: map-only
     // regexp harvest of the tag sequence (payload never shuffles), one
     // slim (32-hex fp) group-by — the structure-level dedup signal the
@@ -1421,6 +1440,16 @@ object SparkEntry {
          |  scheme || '://' || host || path || (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END) AS canon_url,
          |  host, domain
          |FROM p5""".stripMargin,
+    // frontier twin: same disjoint md5 windows (1–8 worker, 9–24 order)
+    "w_frontier" ->
+      s"""WITH $urlCte,
+         |sch AS (SELECT doc_id, url, host,
+         |  ('0x' || substr(md5(host), 1, 8))::BIGINT % 4 AS worker,
+         |  CAST(row_number() OVER (PARTITION BY host
+         |    ORDER BY substr(md5(url), 9, 16), url) - 1 AS BIGINT) AS seq_in_host
+         |FROM p5)
+         |SELECT doc_id, url, host, CAST(worker AS BIGINT) AS worker, seq_in_host,
+         |  seq_in_host * 500 AS fetch_offset_ms FROM sch""".stripMargin,
     "w_domain_stats" ->
       s"""WITH $urlCte
          |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,

@@ -432,6 +432,27 @@ class WebCorpusSpec extends AnyFunSuite {
     assert(g.getLong(3) == 4L, "skeleton html,body,div,p has 4 tags")
   }
 
+  test("frontier: hosts pin to one worker; per-host slots are gapless and delay-spaced") {
+    import spark.implicits._
+    val us = (0 until 60).map(i => (i.toLong, s"https://site${i % 5}.com/page$i")).toDF("id", "url")
+    val plan = graft.web.Frontier.schedule(us, "url", numWorkers = 3, perHostDelayMs = 250L)
+      .select($"url", $"host", $"worker", $"seq_in_host", $"fetch_offset_ms")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(plan.length == 60)
+    // politeness invariant: one worker per host
+    plan.groupBy(_._2).foreach { case (host, rows) =>
+      assert(rows.map(_._3).distinct.length == 1, s"host $host split across workers")
+      // gapless deterministic sequence 0..n-1, offsets = seq × delay
+      assert(rows.map(_._4).sorted.toSeq == (0L until rows.length.toLong))
+      rows.foreach(r => assert(r._5 == r._4 * 250L))
+    }
+    assert(plan.map(_._3).distinct.length > 1, "5 hosts must spread over >1 of 3 workers")
+    // determinism: same schedule under different partitioning
+    val again = graft.web.Frontier.schedule(us.repartition(7), "url", 3, 250L)
+      .select($"url", $"seq_in_host").collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(plan.map(p => p._1 -> p._4).toMap == again)
+  }
+
   test("templates: closing tags, comments, and text '<' noise never enter the skeleton") {
     val p = pagesOf("<html><!-- <fake> --><body>cost < 5 <b>bold</b></body></html>")
     val row = graft.web.Templates.templateFingerprint(p, "id", "html").collect()(0)
