@@ -690,6 +690,24 @@ object SparkEntry {
           PagesGen.row(id, Option(t).getOrElse(""), Option(lang).getOrElse("und")) }
       graft.web.LinkGraph.anchorStats(pages.toDF())
     }),
+    // robots.txt gate (RFC 9309): per-host bodies parsed once into a slim
+    // rules relation, urls evaluated map-side after the host join. The
+    // synthesis exercises group selection (an OtherBot disallow-all decoy
+    // that must NOT apply), longest-match with Allow override
+    // (/Docs/Page12 beats /Docs/Page1), the $ end anchor (/Docs/Page4$
+    // blocks Page4 but not Page40–49, cdn hosts only), and absent robots
+    // (.net hosts have none → allowed by default)
+    "w_robots_txt" -> ((s, dir) => {
+      val u = docs(s, dir).select(col("doc_id"), synthUrl.as("url"))
+      val hosts = u.select(UrlOps.host(col("url")).as("host")).distinct()
+        .filter(!col("host").endsWith(".net"))
+      val robots = hosts.withColumn("body", concat(
+        lit("User-agent: OtherBot\nDisallow: /\n\n# crawler group\n" +
+          "User-agent: graftbot\nDisallow: /Docs/Page1\nAllow: /Docs/Page12\n"),
+        when(col("host").startsWith("cdn."), lit("Disallow: /Docs/Page4$\n"))
+          .otherwise(lit(""))))
+      graft.web.RobotsTxt.gate(u, "url", robots, "host", "body", "graftbot/1.0")
+    }),
     // crawl-frontier politeness scheduling: hosts pinned to one worker
     // (map-side hash), per-host fetch sequence + delay slots from ONE
     // host-key exchange shared with the window rank
@@ -1439,6 +1457,16 @@ object SparkEntry {
          |SELECT doc_id, url,
          |  scheme || '://' || host || path || (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END) AS canon_url,
          |  host, domain
+         |FROM p5""".stripMargin,
+    // robots twin: the fixed rule template replayed as closed-form CASE
+    // logic over the url CTE's host/path columns
+    "w_robots_txt" ->
+      s"""WITH $urlCte
+         |SELECT host, doc_id, url,
+         |  NOT (host NOT LIKE '%.net' AND (
+         |    (path LIKE '/Docs/Page1%' AND NOT path LIKE '/Docs/Page12%')
+         |    OR (host LIKE 'cdn.%' AND path = '/Docs/Page4')
+         |  )) AS robots_allowed
          |FROM p5""".stripMargin,
     // frontier twin: same disjoint md5 windows (1–8 worker, 9–24 order)
     "w_frontier" ->

@@ -432,6 +432,55 @@ class WebCorpusSpec extends AnyFunSuite {
     assert(g.getLong(3) == 4L, "skeleton html,body,div,p has 4 tags")
   }
 
+  test("robots.txt: group selection, longest-match, allow tie-break, wildcards, $ anchor") {
+    import graft.web.RobotsTxt
+    val body =
+      """# global decoy
+        |User-agent: OtherBot
+        |Disallow: /
+        |
+        |User-agent: graftbot
+        |User-agent: sidekickbot
+        |Disallow: /private/
+        |Allow: /private/ok
+        |Disallow: /tmp*.pdf
+        |Disallow: /exact$
+        |Disallow:
+        |""".stripMargin
+    val rules = RobotsTxt.parse(body, "Mozilla/5.0 (compatible; graftbot/1.0)")
+    assert(rules.map(_.pattern) == Seq("/private/", "/private/ok", "/tmp*.pdf", "/exact$"),
+      s"got $rules")
+    assert(RobotsTxt.isAllowed(rules, "/anything"), "unmatched path allowed")
+    assert(!RobotsTxt.isAllowed(rules, "/private/secret"), "prefix disallow")
+    assert(RobotsTxt.isAllowed(rules, "/private/ok/file"),
+      "longer Allow overrides shorter Disallow")
+    assert(!RobotsTxt.isAllowed(rules, "/tmp/deep/file.pdf"), "* wildcard spans segments")
+    assert(RobotsTxt.isAllowed(rules, "/tmp/deep/file.html"), "wildcard tail must match")
+    assert(!RobotsTxt.isAllowed(rules, "/exact"), "$ anchors the end")
+    assert(RobotsTxt.isAllowed(rules, "/exactly"), "$ must not prefix-match")
+    // allow wins EXACT specificity ties
+    val tie = Seq(RobotsTxt.Rule(allow = false, "/a/"), RobotsTxt.Rule(allow = true, "/a/"))
+    assert(RobotsTxt.isAllowed(tie, "/a/x"))
+    // the decoy group governs OtherBot, not us
+    val other = RobotsTxt.parse(body, "OtherBot/2.0")
+    assert(!RobotsTxt.isAllowed(other, "/anything"))
+    // no group matches an unknown agent → no rules → everything allowed
+    assert(RobotsTxt.parse(body, "randombot").isEmpty)
+  }
+
+  test("robots.txt gate: host join, default-allow without robots, query string ignored") {
+    import spark.implicits._
+    val u = Seq(
+      (1L, "https://a.com/private/x"),
+      (2L, "https://a.com/open/x?path=/private/"), // query must not gate
+      (3L, "https://norobots.com/private/x")
+    ).toDF("id", "url")
+    val robots = Seq(("a.com", "User-agent: *\nDisallow: /private/\n")).toDF("host", "body")
+    val got = graft.web.RobotsTxt.gate(u, "url", robots, "host", "body", "graftbot")
+      .select($"id", $"robots_allowed").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> false, 2L -> true, 3L -> true), got.toString)
+  }
+
   test("frontier: hosts pin to one worker; per-host slots are gapless and delay-spaced") {
     import spark.implicits._
     val us = (0 until 60).map(i => (i.toLong, s"https://site${i % 5}.com/page$i")).toDF("id", "url")
