@@ -619,22 +619,15 @@ object SparkEntry {
     // language-scoped stopword gate + repetition gate in ONE codegen'd
     // filter pass, then exact dedup (min doc_id per content fingerprint).
     // One scan, one slim (fp, id) shuffle — the E2E cleaning pipeline
-    "q_clean_corpus" -> ((s, dir) => {
-      val toks = when(length(trim(col("text"))) === 0, array().cast("array<string>"))
-        .otherwise(split(trim(col("text")), "\\s+"))
-      val staged = docs(s, dir).select(col("doc_id"), col("text"),
-        TextAnalytics.langId(col("text")).as("lg"),
-        size(toks).cast("long").as("nt"),
-        size(array_distinct(toks)).cast("long").as("nd"))
-      staged.filter(
-        TextAnalytics.isQuality(col("text")) &&
-          col("lg") =!= "und" &&
-          (col("lg") =!= "en" || TextAnalytics.stopTokenCount(col("text")) >= 2) &&
-          !((col("nt") - col("nd")) * lit(100) > col("nt") * lit(75)))
+    "q_clean_corpus" -> ((s, dir) =>
+      // filterClean keeps the composed gate COMPILED: project-with-CSE +
+      // barrier + boolean filter (a bare .filter(isClean) blows janino's
+      // 64 KB method limit and drops the stage to interpreted)
+      TextAnalytics.filterClean(
+          docs(s, dir).select(col("doc_id"), col("text")), "text")
         .groupBy(TextAnalytics.fingerprint(col("text")).as("fp"))
         .agg(min(col("doc_id")).as("doc_id"))
-        .select(col("doc_id"))
-    }),
+        .select(col("doc_id"))),
     // ---- web-corpus operators (urls, PII, packing, decontamination) ----
     // url canonicalization: the key-normalization step every url-keyed op
     // (dedup, resume, frontier, domain stats) depends on — map-only
@@ -713,7 +706,11 @@ object SparkEntry {
     // host-key exchange shared with the window rank
     "w_frontier" -> ((s, dir) => {
       val u = docs(s, dir).select(col("doc_id"), synthUrl.as("url"))
-      graft.web.Frontier.schedule(u, "url", numWorkers = 4, perHostDelayMs = 500L)
+      // doc_id tie-break: the synthetic url space COLLIDES at sf0.1
+      // (ids 3900 apart can synthesize one url), and duplicate urls tie
+      // the md5 sort key — nondeterministic row_number without it
+      graft.web.Frontier.schedule(u, "url", numWorkers = 4, perHostDelayMs = 500L,
+        tieCols = Seq("doc_id"))
     }),
     // deflate-compressibility quality signal (rows-only: no deflate in
     // DuckDB; semantics pinned by EntropySpec — the long-period
@@ -1474,7 +1471,7 @@ object SparkEntry {
          |sch AS (SELECT doc_id, url, host,
          |  ('0x' || substr(md5(host), 1, 8))::BIGINT % 4 AS worker,
          |  CAST(row_number() OVER (PARTITION BY host
-         |    ORDER BY substr(md5(url), 9, 16), url) - 1 AS BIGINT) AS seq_in_host
+         |    ORDER BY substr(md5(url), 9, 16), url, doc_id) - 1 AS BIGINT) AS seq_in_host
          |FROM p5)
          |SELECT doc_id, url, host, CAST(worker AS BIGINT) AS worker, seq_in_host,
          |  seq_in_host * 500 AS fetch_offset_ms FROM sch""".stripMargin,

@@ -54,7 +54,7 @@ object TrainingExport {
              materialize: Boolean = true): DataFrame = {
     def stage(df: DataFrame): DataFrame =
       if (materialize) df.localCheckpoint(eager = false) else df
-    val clean = stage(docs.filter(TextAnalytics.isClean(col(textCol))))
+    val clean = stage(TextAnalytics.filterClean(docs, textCol))
     // normalized fingerprint key (lower/trim/ws-collapse), matching the
     // q_clean_corpus flagship: "same text modulo case and spacing" is the
     // duplicate policy a training corpus wants

@@ -91,9 +91,12 @@ final class SnapshotTable(
 
   /** A committed data dir: `seq` is the snapshot version that published it
     * (0 for legacy manifests); `statMin`/`statMax` bound `statsCol` within
-    * the dir when recorded.
+    * the dir when recorded; `rows` is the dir's exact row count when
+    * recorded (post any delete-applying compaction — legacy manifests
+    * lack it).
     */
-  final case class Entry(dir: String, seq: Int, statMin: Option[String], statMax: Option[String])
+  final case class Entry(dir: String, seq: Int, statMin: Option[String],
+                         statMax: Option[String], rows: Option[Long] = None)
 
   /** A committed equality-delete file: parquet of key columns; applies to
     * rows in entries with a strictly smaller `seq`.
@@ -149,8 +152,16 @@ final class SnapshotTable(
     lines.drop(if (hasSchema) 4 else if (hasIds) 3 else 2).foreach { line =>
       val f = line.split("\t", -1)
       if (f.head == "D") dels += Del(f(1), f(2).toInt)
-      else if (f.length >= 4) entries += Entry(f(0), f(1).toInt, Some(unb64(f(2))), Some(unb64(f(3))))
-      else if (f.length >= 2) entries += Entry(f(0), f(1).toInt, None, None)
+      // row counts append as the LAST field, keeping every older layout
+      // parseable: 5 = stats+rows, 4 = legacy stats, 3 = statless+rows,
+      // 2 = legacy statless, 1 = first-generation bare dir
+      else if (f.length >= 5)
+        entries += Entry(f(0), f(1).toInt, Some(unb64(f(2))), Some(unb64(f(3))), Some(f(4).toLong))
+      else if (f.length == 4)
+        entries += Entry(f(0), f(1).toInt, Some(unb64(f(2))), Some(unb64(f(3))))
+      else if (f.length == 3)
+        entries += Entry(f(0), f(1).toInt, None, None, Some(f(2).toLong))
+      else if (f.length == 2) entries += Entry(f(0), f(1).toInt, None, None)
       else entries += Entry(f(0), 0, None, None)
     }
     Snapshot(lines.head.toInt, entries.result(), dels.result(), lines(1).toLong, ids, schemaJson)
@@ -230,6 +241,22 @@ final class SnapshotTable(
   def read(spark: SparkSession): Option[DataFrame] =
     latest().filter(_.entries.nonEmpty)
       .map(s => readEntries(spark, s.entries, s.deletes, s.schemaJson))
+
+  /** METADATA-ONLY live row count (Iceberg's `count(*)`-from-manifests
+    * analog): the sum of per-entry recorded counts — answered without
+    * touching a single data file, the way `SELECT count(*)` on a
+    * 10^12-row table should be. Defined only when it is EXACT: every
+    * entry must carry a recorded count (legacy manifests don't) and no
+    * un-applied equality deletes may be outstanding (their effect is
+    * unknown without a scan; compaction applies them, after which the
+    * merged entry's recorded count is correct again). None ⇒ fall back
+    * to `read(spark).count()`.
+    */
+  def fastCount: Option[Long] =
+    latest().flatMap { s =>
+      if (s.deletes.nonEmpty || s.entries.exists(_.rows.isEmpty)) None
+      else Some(s.entries.flatMap(_.rows).sum)
+    }
 
   /** Entries of the latest snapshot whose `[statMin, statMax]` could hold a
     * `statsCol` value in `[lo, hi]` (inclusive, string order), plus the
@@ -512,7 +539,7 @@ final class SnapshotTable(
     df.write.mode("overwrite").parquet(outDir)
     val (rows, stats) = statsOf(spark, outDir)
     val entries0 = prev.map(_.entries).getOrElse(Vector.empty) :+
-      Entry(outDir, newVersion, stats.map(_._1), stats.map(_._2))
+      Entry(outDir, newVersion, stats.map(_._1), stats.map(_._2), Some(rows))
     val deletes0 = {
       val base = prev.map(_.deletes).getOrElse(Vector.empty)
       // a delete is pointless when nothing older exists to delete from
@@ -586,8 +613,8 @@ final class SnapshotTable(
         // rewriting under the unified schema also MATERIALIZES evolution:
         // the merged dir physically carries every column, nulls filled
         readEntries(spark, group, deletes0, schemaJson).write.mode("overwrite").parquet(target)
-        val (_, stats) = statsOf(spark, target)
-        entries = rest :+ Entry(target, newVersion, stats.map(_._1), stats.map(_._2))
+        val (mergedRows, stats) = statsOf(spark, target)
+        entries = rest :+ Entry(target, newVersion, stats.map(_._1), stats.map(_._2), Some(mergedRows))
       }
     }
     val deletes = deletes0.filter(d => entries.exists(_.seq < d.seq))
@@ -600,9 +627,10 @@ final class SnapshotTable(
       schemaJson: Option[String]): Int = {
     Files.createDirectories(snapDir)
     val entryLines = entries.map { e =>
+      val rowsSuffix = e.rows.map(r => s"\t$r").getOrElse("")
       (e.statMin, e.statMax) match {
-        case (Some(mn), Some(mx)) => s"${e.dir}\t${e.seq}\t${b64(mn)}\t${b64(mx)}"
-        case _ => s"${e.dir}\t${e.seq}"
+        case (Some(mn), Some(mx)) => s"${e.dir}\t${e.seq}\t${b64(mn)}\t${b64(mx)}$rowsSuffix"
+        case _ => s"${e.dir}\t${e.seq}$rowsSuffix"
       }
     }
     val delLines = deletes.map(d => s"D\t${d.dir}\t${d.seq}")

@@ -149,11 +149,22 @@ object TextAnalytics {
     * Shared argmax for [[langId]] and [[dominantNonLatin]].
     */
   private def argmaxLabel(scores: Seq[(String, Column)], default: String): Column = {
-    val gmax = greatest(scores.map(_._2): _*)
-    val firstMax = scores.foldLeft(when(lit(false), lit(""))) { case (acc, (label, s)) =>
-      acc.when(s === gmax, lit(label))
+    // SINGLE-REFERENCE formulation: each score expression appears exactly
+    // once, as the leading field of a struct, and lexicographic array_max
+    // picks the winner — the precedence field (descending, so earlier
+    // labels beat later ones at equal score) breaks ties, and a
+    // (0, n+1, default) sentinel outranks every zero score, which IS the
+    // all-zero → default rule. The previous greatest(...) + CASE chain
+    // re-inlined every score ~(n+1) times; with scores like markerMass
+    // (dozens of regex passes each) that multiplication was the
+    // difference between a compiled stage and janino's 64 KB method
+    // limit (see [[filterClean]]).
+    val n = scores.size
+    val entries = scores.zipWithIndex.map { case ((label, s), i) =>
+      struct(s.cast("long").as("m"), lit(n - i).as("p"), lit(label).as("l"))
     }
-    when(gmax > 0, firstMax).otherwise(lit(default))
+    val sentinel = struct(lit(0L).as("m"), lit(n + 1).as("p"), lit(default).as("l"))
+    array_max(array(sentinel +: entries: _*)).getField("l")
   }
 
   /** Per-document repetition signals (the Gopher repetition-filter family:
@@ -224,9 +235,14 @@ object TextAnalytics {
   /** The full cleaning gate a training pipeline applies per document, as ONE
     * boolean Column (the same four gates `q_clean_corpus` stages): quality
     * heuristics, resolvable language, the English stopword floor, and the
-    * duplicate-token repetition cap. Codegen's subexpression elimination
-    * collapses the repeated `split`/`lower` calls inside the generated
-    * filter, so composing this as a single predicate costs one pass.
+    * duplicate-token repetition cap.
+    *
+    * Use [[filterClean]] to APPLY it: FILTER codegen performs no
+    * subexpression elimination, so this predicate used directly in a
+    * `.filter` re-inlines the normalized-text regexes dozens of times
+    * (lang-ID alone references them 16+ ways), the generated method blows
+    * janino's 64 KB limit, and Spark silently drops the whole stage to
+    * interpreted execution — measured on this exact predicate.
     */
   def isClean(c: Column): Column = {
     val toks = when(length(trim(c)) === 0, array().cast("array<string>"))
@@ -238,6 +254,48 @@ object TextAnalytics {
       lg =!= "und" &&
       (lg =!= "en" || stopTokenCount(c) >= 2) &&
       !((nt - nd) * lit(100) > nt * lit(75))
+  }
+
+  /** Apply [[isClean]] with the plan shape that stays COMPILED. Each
+    * expensive signal (per-language marker mass, token counts, stopword
+    * count, quality flag) is computed ONCE as its own projected column;
+    * the gate then combines cheap attribute references. Two things keep
+    * Catalyst from undoing the staging: (a) the filter carries an
+    * always-true `spark_partition_id() >= 0` conjunct — a predicate with
+    * a nondeterministic conjunct is never pushed through the projection
+    * (a bare barrier COLUMN doesn't work: column pruning deletes the
+    * unreferenced alias first, then the push proceeds — measured); and
+    * (b) `CollapseProject` refuses to merge multi-referenced non-cheap
+    * aliases, so the signal projection survives as its own codegen-CSE'd
+    * stage. Helper columns drop on the way out.
+    */
+  def filterClean(df: org.apache.spark.sql.DataFrame, textCol: String): org.apache.spark.sql.DataFrame = {
+    val c = col(textCol)
+    val toks = when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+    val massCols = LangMarkers.map { case (lang, ms) => s"_m_$lang" -> markerMass(c, ms) }
+    val staged = massCols.foldLeft(
+      df.withColumn("_nt", size(toks).cast("long"))
+        .withColumn("_nd", size(array_distinct(toks)).cast("long"))
+        .withColumn("_stop", stopTokenCount(c))
+        .withColumn("_q", isQuality(c))
+        // the barrier must be a REFERENCED nondeterministic FIELD of the
+        // projection: PushPredicateThroughNonJoin substitutes aliases into
+        // any (even nondeterministic) predicate as long as the project's
+        // fields are all deterministic, and column pruning deletes an
+        // UNreferenced barrier before the push — both measured here
+        .withColumn("_stage_barrier", spark_partition_id())) {
+      case (d, (n, e)) => d.withColumn(n, e)
+    }
+    val lg = argmaxLabel(LangMarkers.map { case (l, _) => l -> col(s"_m_$l") }, "und")
+    staged
+      .withColumn("_lg", lg)
+      .filter(col("_stage_barrier") >= 0 &&
+        col("_q") && col("_lg") =!= "und" &&
+        (col("_lg") =!= "en" || col("_stop") >= 2) &&
+        !((col("_nt") - col("_nd")) * lit(100) > col("_nt") * lit(75)))
+      .drop("_nt", "_nd", "_stop", "_q", "_lg", "_stage_barrier")
+      .drop(massCols.map(_._1): _*)
   }
 
   /** Quality gate: word-count floor, punctuation ratio cap, uppercase ratio

@@ -30,16 +30,23 @@ object Frontier {
   /** Fetch plan: (url, host, worker, seq_in_host, fetch_offset_ms).
     * `urls` must carry `urlCol`; the host is derived canonically
     * ([[UrlOps.host]]).
+    *
+    * `tieCols` MUST make rows unique when the input can carry duplicate
+    * urls (a frontier that hasn't url-deduped yet — re-crawl batches, or
+    * distinct pages whose synthesized urls collide): with duplicates the
+    * `(md5(url), url)` sort key ties and `row_number` becomes
+    * partition-order-dependent — nondeterministic across engines and
+    * runs. Passing the row's unique id restores a total order.
     */
   def schedule(urls: DataFrame, urlCol: String, numWorkers: Int,
-               perHostDelayMs: Long): DataFrame = {
+               perHostDelayMs: Long, tieCols: Seq[String] = Nil): DataFrame = {
     require(numWorkers >= 1, s"numWorkers must be positive, got $numWorkers")
     require(perHostDelayMs >= 0, s"perHostDelayMs must be non-negative, got $perHostDelayMs")
     val withHost = urls.withColumn("host", UrlOps.host(col(urlCol)))
     val worker =
       expr(s"CAST(conv(substring(md5(host), 1, 8), 16, 10) AS BIGINT) % ${numWorkers}L")
     val w = Window.partitionBy(col("host"))
-      .orderBy(substring(md5(col(urlCol)), 9, 16), col(urlCol))
+      .orderBy(substring(md5(col(urlCol)), 9, 16) +: col(urlCol) +: tieCols.map(col): _*)
     withHost
       .withColumn("worker", worker)
       .withColumn("seq_in_host", row_number().over(w).cast("long") - 1L)

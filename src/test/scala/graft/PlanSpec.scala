@@ -363,6 +363,19 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Generate explode"), s"postings come from an explode:\n$plan")
   }
 
+  test("clean gate generates compilable code — no silent interpreted fallback") {
+    // with fallback disabled a 64 KB-limit janino failure THROWS instead
+    // of silently dropping the stage to interpreted execution — the
+    // regression this guards: filter codegen does no subexpression
+    // elimination, so un-staged composed gates exceed the method limit
+    // (see TextAnalytics.filterClean / argmaxLabel)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      assert(SparkEntry.queries("q_clean_corpus")(spark, sfDir).collect() != null)
+      assert(SparkEntry.queries("t_lang_id")(spark, sfDir).collect() != null)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("idempotent-normalization rule collapses nested nfc/lower/trim; leaves mixed chains alone") {
     import org.apache.spark.sql.functions.{col, lower, upper, trim}
     graft.functions.GraftFunctions.register(spark)

@@ -135,6 +135,26 @@ class SnapshotTableSpec extends AnyFunSuite {
       "the statless dir must survive every prune")
   }
 
+  test("fastCount: metadata-only, exact across appends and compaction, honest about deletes") {
+    val t = new SnapshotTable(tmp(), compactFanIn = 3)
+    t.append(Seq(("u1", 1), ("u2", 1)).toDF("url", "gen"), "c1")
+    assert(t.fastCount.contains(2L))
+    t.append(Seq(("u3", 2)).toDF("url", "gen"), "c2")
+    assert(t.fastCount.contains(3L))
+    // upsert leaves an un-applied delete → unknown without a scan
+    t.upsert(Seq(("u1", 3)).toDF("url", "gen"), "c3", Seq("url"))
+    // c3 tips fanIn=3 → compaction applies the delete; either way the
+    // answer must be honest: None while deletes are live, exact after
+    t.fastCount match {
+      case Some(n) =>
+        assert(t.latest().get.deletes.isEmpty, "a count with live deletes is a lie")
+        assert(n == t.read(spark).get.count())
+        assert(n == 3L, "u1 replaced, not duplicated")
+      case None =>
+        assert(t.latest().get.deletes.nonEmpty)
+    }
+  }
+
   test("bloom sidecar: point lookup skips range-covered dirs that provably lack the value") {
     val t = new SnapshotTable(tmp(), statsCol = Some("url"))
     // every dir's [min, max] spans a/…z/ — range pruning keeps all three;

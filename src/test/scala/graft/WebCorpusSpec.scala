@@ -502,6 +502,21 @@ class WebCorpusSpec extends AnyFunSuite {
     assert(plan.map(p => p._1 -> p._4).toMap == again)
   }
 
+  test("frontier: duplicate urls need a tie-break column for a total order") {
+    import spark.implicits._
+    // two rows share a url — without a tiebreak their relative order is
+    // partition-luck; with the unique id it is total and deterministic
+    val dup = Seq((1L, "https://d.com/x"), (2L, "https://d.com/x"), (3L, "https://d.com/y"))
+      .toDF("id", "url")
+    def run(parts: Int) = graft.web.Frontier
+      .schedule(dup.repartition(parts), "url", 2, 100L, tieCols = Seq("id"))
+      .select($"id", $"seq_in_host").as[(Long, Long)].collect().toMap
+    val a = run(1)
+    assert(a == run(3), "tie-broken schedule must be partitioning-invariant")
+    assert(a(1L) < a(2L), "equal urls order by the tie column")
+    assert(a.values.toSeq.sorted == Seq(0L, 1L, 2L))
+  }
+
   test("templates: closing tags, comments, and text '<' noise never enter the skeleton") {
     val p = pagesOf("<html><!-- <fake> --><body>cost < 5 <b>bold</b></body></html>")
     val row = graft.web.Templates.templateFingerprint(p, "id", "html").collect()(0)
