@@ -766,7 +766,13 @@ object SparkEntry {
     // → redact → chunk, over the PII-augmented corpus so every stage has
     // real work to do (see pipeline/TrainingExport for the shuffle budget)
     "q_training_export" -> ((s, dir) => {
+      // the PII synthesis is staged: unstaged, every downstream text
+      // reference (the clean gate alone reads it ~30 ways) re-inlines the
+      // concat/CASE chains and the first pipeline stage blows janino's
+      // 64 KB limit (PlanSpec's fallback-off gate catches it); the
+      // checkpoint also computes the fixture once for both consumers
       val d = docs(s, dir).select(col("doc_id"), piiText.as("text"))
+        .localCheckpoint(false)
       graft.pipeline.TrainingExport.export(d, "doc_id", "text", benchExcerpt(d), "bench_text")
     }),
     // deterministic balanced shard packing (trainer feed): size-bucket

@@ -62,8 +62,14 @@ object TrainingExport {
       clean, idCol, TextAnalytics.fingerprint(col(textCol))))
     val decontaminated =
       Decontaminate.dropContaminated(deduped, idCol, textCol, bench, benchTextCol)
-    val redacted = decontaminated
-      .select(col(idCol), Redactor.redact(col(textCol)).as(textCol))
+    // the chunker references its text input several times (token count,
+    // chunk-count sequence, per-chunk slice/join); unstaged, Catalyst
+    // collapses the redaction projection into every one of those
+    // references — the three redaction regex chains inline 4+ times and
+    // the generated stage passes janino's 64 KB method limit (silent
+    // interpreted fallback, caught by PlanSpec's fallback-off gate)
+    val redacted = stage(decontaminated
+      .select(col(idCol), Redactor.redact(col(textCol)).as(textCol)))
     Chunker.chunks(redacted, idCol, textCol, window, stride)
   }
 }

@@ -273,12 +273,17 @@ object TextAnalytics {
     val c = col(textCol)
     val toks = when(length(trim(c)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(c), "\\s+"))
+    val nt = size(toks).cast("long")
+    val nd = size(array_distinct(toks)).cast("long")
+    // CHEAP gates first, as a plain pushable predicate (compiles fine on
+    // its own): rows failing quality/repetition never pay the 16-regex
+    // language stage below — the short-circuit the staged formulation
+    // would otherwise lose (measured: staging everything cost ~50% on a
+    // mostly-clean corpus)
+    val cheap = df.filter(isQuality(c) && !((nt - nd) * lit(100) > nt * lit(75)))
     val massCols = LangMarkers.map { case (lang, ms) => s"_m_$lang" -> markerMass(c, ms) }
     val staged = massCols.foldLeft(
-      df.withColumn("_nt", size(toks).cast("long"))
-        .withColumn("_nd", size(array_distinct(toks)).cast("long"))
-        .withColumn("_stop", stopTokenCount(c))
-        .withColumn("_q", isQuality(c))
+      cheap.withColumn("_stop", stopTokenCount(c))
         // the barrier must be a REFERENCED nondeterministic FIELD of the
         // projection: PushPredicateThroughNonJoin substitutes aliases into
         // any (even nondeterministic) predicate as long as the project's
@@ -291,10 +296,9 @@ object TextAnalytics {
     staged
       .withColumn("_lg", lg)
       .filter(col("_stage_barrier") >= 0 &&
-        col("_q") && col("_lg") =!= "und" &&
-        (col("_lg") =!= "en" || col("_stop") >= 2) &&
-        !((col("_nt") - col("_nd")) * lit(100) > col("_nt") * lit(75)))
-      .drop("_nt", "_nd", "_stop", "_q", "_lg", "_stage_barrier")
+        col("_lg") =!= "und" &&
+        (col("_lg") =!= "en" || col("_stop") >= 2))
+      .drop("_stop", "_lg", "_stage_barrier")
       .drop(massCols.map(_._1): _*)
   }
 

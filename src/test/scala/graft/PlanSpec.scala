@@ -373,6 +373,8 @@ class PlanSpec extends AnyFunSuite {
     try {
       assert(SparkEntry.queries("q_clean_corpus")(spark, sfDir).collect() != null)
       assert(SparkEntry.queries("t_lang_id")(spark, sfDir).collect() != null)
+      assert(SparkEntry.queries("q_training_export")(spark, sfDir).collect() != null)
+      assert(SparkEntry.queries("q_web_ingest")(spark, sfDir).collect() != null)
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 
