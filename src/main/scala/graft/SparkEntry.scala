@@ -811,6 +811,19 @@ object SparkEntry {
     // partial aggregate (distinct keys are slim: lang, source, 32-hex md5)
     "q_corpus_card" -> ((s, dir) =>
       graft.stats.CorpusStats.corpusCard(docs(s, dir), "text", "lang", "source")),
+    // point lookup through the snapshot table's manifest stats + bloom
+    // sidecars: three url-keyed commits, then readPoint — range pruning,
+    // bloom rejection, and the row-level equality all end-to-end; the
+    // oracle replays the lookup as plain SQL over the same synthesis
+    // (sf0.1's colliding urls make multi-row hits real)
+    "q_table_point" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-pt").toString
+      val t = new graft.table.SnapshotTable(s"$root/t", statsCol = Some("url"))
+      val d = docs(s, dir).select(col("doc_id"), synthUrl.as("url"), col("n_chars"))
+      (0 until 3).foreach(i => t.append(d.filter(col("doc_id") % 3 === i), s"c$i"))
+      val probe = d.filter(col("doc_id") === 7).select(col("url")).collect()(0).getString(0)
+      t.readPoint(s, probe).get
+    }),
     // incrementally-maintained aggregate view: three crawls append to a
     // snapshot table, the view refreshes after each by reading ONLY the
     // delta (readAppendsSince) and upserting merged (count, sum) per
@@ -1648,6 +1661,12 @@ object SparkEntry {
         |  CAST(quantile_cont(n_chars, 0.75) * 4 AS BIGINT) AS p75_x4,
         |  CAST(max(n_chars) AS BIGINT) AS v_max
         |FROM documents GROUP BY 1""".stripMargin,
+    // point-lookup twin: the equality select the table serves through
+    // manifest range stats + bloom sidecars
+    "q_table_point" ->
+      s"""WITH $urlCte
+         |SELECT doc_id, url, n_chars FROM u JOIN documents USING (doc_id)
+         |WHERE url = (SELECT url FROM u WHERE doc_id = 7)""".stripMargin,
     // incremental-view twin: the end state of delta-merge maintenance
     // must equal one full group-by over everything ever appended
     "q_incr_view" ->
