@@ -599,6 +599,16 @@ object SparkEntry {
       graft.sample.Sampler.upsampleByEpochs(d, epochs, "doc_id", "source")
         .select(col("doc_id"), col("source"), col("copy"))
     }),
+    // DSIR-style importance weighting: hashed-bigram bucket models for the
+    // en slice (target) vs the whole corpus (raw), per-doc fixed-point
+    // likelihood-ratio score — broadcast <=512-row weight table, documents
+    // never shuffle (only slim (id, partial sum) rows)
+    "q_sample_dsir" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.sample.Importance.importanceWeights(
+        d, "doc_id", "text", d.where(col("lang") === "en"), "text",
+        buckets = 512, n = 2)
+    }),
     "t_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextAnalytics.fingerprint(col("text")).as("fp"))),
     "t_quality" -> ((s, dir) =>
@@ -1814,6 +1824,27 @@ object SparkEntry {
         |  CAST(coalesce(s.seen_bigrams, 0) AS BIGINT) AS seen_bigrams,
         |  CAST(coalesce(s.sum_ppm, 0) AS BIGINT) AS sum_ppm,
         |  CAST(coalesce(s.sum_ppm, 0) // greatest(coalesce(s.n_bigrams, 0), 1) AS BIGINT) AS avg_ppm
+        |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
+    "q_sample_dsir" ->
+      """WITH w AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |g AS (SELECT doc_id, lang,
+        |  ('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 1, 8))::BIGINT % 512 AS bucket
+        |  FROM (SELECT doc_id, lang, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM w)),
+        |raw AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM g GROUP BY 1),
+        |tgt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ct FROM g WHERE lang = 'en' GROUP BY 1),
+        |tot AS (SELECT CAST((SELECT sum(cr) FROM raw) AS BIGINT) AS sr,
+        |  CAST((SELECT coalesce(sum(ct), 0) FROM tgt) AS BIGINT) AS st),
+        |wt AS (SELECT r.bucket,
+        |  ((((coalesce(t.ct, 0) + 1) * 1000000) // (tot.st + 512)) * 1000000)
+        |    // greatest(((r.cr + 1) * 1000000) // (tot.sr + 512), 1) AS w_ppm
+        |  FROM raw r LEFT JOIN tgt t USING (bucket) CROSS JOIN tot),
+        |s AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(wt.w_ppm) AS BIGINT) AS sum_w
+        |  FROM g JOIN wt USING (bucket) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(s.sum_w, 0) AS BIGINT) AS sum_w,
+        |  CAST(coalesce(s.sum_w, 0) // greatest(coalesce(s.n_grams, 0), 1) AS BIGINT) AS avg_w
         |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
     "q_sample_stratified" ->
       """WITH rates AS (SELECT DISTINCT source, lang,

@@ -108,4 +108,35 @@ class SamplerSpec extends AnyFunSuite {
     assert(p1.exceptAll(out).isEmpty && out.exceptAll(p1).isEmpty)
     out.unpersist()
   }
+
+  test("importanceWeights: target-like docs outscore off-target; gramless docs score 0; deterministic") {
+    import spark.implicits._
+    import graft.sample.Importance
+    // two styles: ids < 40 share the target's phrasing, 40..79 do not;
+    // id 80 has one token (no bigram), id 81 is empty
+    def phrase(i: Long) =
+      if (i < 40) s"the quick brown fox jumps over the lazy dog ${i % 4}"
+      else s"lorem ipsum dolor sit amet consectetur adipiscing elit ${i % 4}"
+    val corpus = ((0L until 82L).map(i =>
+      (i, if (i == 80) "word" else if (i == 81) "" else phrase(i)))).toDF("id", "text")
+    val target = corpus.where($"id" < 20) // exemplar slice drawn from the target style
+    val out = Importance.importanceWeights(corpus, "id", "text", target, "text",
+      buckets = 256, n = 2)
+    val rows = out.collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.size == 82, "every corpus doc gets a score row")
+    val hit = (0L until 40L).map(rows(_)._3)
+    val miss = (40L until 80L).map(rows(_)._3)
+    assert(hit.min > miss.max,
+      s"every target-style doc must outscore every off-target doc (${hit.min} vs ${miss.max})")
+    assert(rows(80L) == ((0L, 0L, 0L)) && rows(81L) == ((0L, 0L, 0L)),
+      "docs with < 2 tokens have no grams and score 0")
+    // weights probe must be a broadcast hash join (corpus grams never shuffle for it)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"weight probe must broadcast:\n$plan")
+    // deterministic across parallelism
+    val p1 = Importance.importanceWeights(corpus.repartition(7), "id", "text",
+      target.repartition(3), "text", buckets = 256, n = 2)
+    assert(p1.exceptAll(out).isEmpty && out.exceptAll(p1).isEmpty)
+  }
 }
