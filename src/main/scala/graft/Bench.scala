@@ -11,12 +11,14 @@ import org.apache.spark.sql.functions._
   *  - the north_rule scaling evidence: the SAME job on the SAME input at
   *    two parallelism levels (local[N] vs local[4N] — the sandbox analog
   *    of N vs 4N executors), efficiency = thr(4N) / (4 × thr(N));
-  *  - per-query wall times + ok/error status for the SparkEntry op suite;
+  *  - op-suite summary (count, ok count, total seconds, 3 slowest) +
+  *    the error list for the SparkEntry op suite;
   *  - approximation quality (ANN recall@5, near-dup LSH recall).
   * Per-run/per-pair telemetry (the `runs` array, per-pair steal, raw
-  * efficiency samples) goes to a sidecar file (`detail_file` in the
-  * output; default ./bench_detail.json) so the stdout line stays small
-  * enough for log-tail capture.
+  * efficiency samples) AND the full per-query timing map go to a sidecar
+  * file (`detail_file` in the output; default ./bench_detail.json) so the
+  * stdout line stays FIXED-SIZE for log-tail capture (the runs array
+  * overran the capture in r2, the grown query map in r3).
   *
   * HONESTY CONTRACT for the headline: `efficiency` is computed ONLY from
   * pairs that survived the exclusion telemetry. If fewer than 2 clean
@@ -411,20 +413,26 @@ object Bench {
       s"""{"cores":${r.cores},"sec":${d(r.sec, 3)},"cpu_util":${d(r.cpuUtil, 3)},"gc_ms":${r.gcMs},"steal_pct":${d(r.stealPct, 2)}}"""
     ).mkString("[", ",", "]")
     val total = secN4 + queries.map(_._2).sum
+    val slowest = queries.sortBy(-_._2).take(3)
+      .map { case (k, v, _) => s"""{"query":${js(k)},"sec":${d(v, 3)}}""" }.mkString("[", ",", "]")
 
-    // per-run/per-pair telemetry goes to a SIDECAR file (the growing runs
-    // array outran the driver's stdout tail capture in r2 — BENCH_r02 had
-    // parsed:null); stdout carries ONE compact, machine-parseable line
+    // per-run/per-pair telemetry AND the per-query timing map go to a
+    // SIDECAR file: both grow with the suite (the runs array overran the
+    // driver's stdout tail capture in r2, the 86-entry query map did the
+    // same in r3 — both times "parsed": null). The stdout headline is
+    // FIXED-SIZE: summary counters + the 3 slowest queries + the error
+    // list (empty on a healthy run; a run with many errors fails the exit
+    // code anyway).
     val detailFile = new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")).getAbsoluteFile
     val detail =
-      s"""{"sf":"$sfDir","cores_n":$n,"cores_4n":$n4,"replicate":$replicate,"efficiency_samples":[${allEffs.map(d(_, 3)).mkString(",")}],"pair_steal_pct":[${pairs.map(p => d(p.stealPct, 2)).mkString(",")}],"pair_excluded":[${pairs.map(pairContended).mkString(",")}],"runs":$runsJson,"util_floor":${d(UtilFloor, 2)},"cpusec_stall_factor":${d(CpuSecStallFactor, 2)},"host_cpu_scaling":${d(hostScaling, 3)},"cpu_steal_pct":${d(stealPct, 2)}}"""
+      s"""{"sf":"$sfDir","cores_n":$n,"cores_4n":$n4,"replicate":$replicate,"queries":$qs,"efficiency_samples":[${allEffs.map(d(_, 3)).mkString(",")}],"pair_steal_pct":[${pairs.map(p => d(p.stealPct, 2)).mkString(",")}],"pair_excluded":[${pairs.map(pairContended).mkString(",")}],"runs":$runsJson,"util_floor":${d(UtilFloor, 2)},"cpusec_stall_factor":${d(CpuSecStallFactor, 2)},"host_cpu_scaling":${d(hostScaling, 3)},"cpu_steal_pct":${d(stealPct, 2)}}"""
     java.nio.file.Files.write(detailFile.toPath, (detail + "\n").getBytes("UTF-8"))
 
     val scaling =
       s""""cores_n":$n,"cores_4n":$n4,"sec_n":${d(secN, 3)},"sec_4n":${d(secN4, 3)},"docs_per_sec_n":${d(thrN, 1)},"docs_per_sec_4n":${d(thrN4, 1)},"pairs_total":${pairs.size},"clean_pairs":${clean.size},"contended":$contended,"cpu_occupancy_inflation":${dOpt(cpuInflation, 3)},"efficiency_hw_normalized":${dOpt(effHwNormalized, 3)},"efficiency_min_ratio":${dOpt(effMinRatio, 3)},"detail_file":${js(detailFile.toString)},"efficiency":${dOpt(eff, 3)}"""
     println(
-      s"""{"metric":"total","value":${d(total, 3)},"unit":"sec","queries":$qs,"query_errors":$qErrs,"sf":"$sfDir","extract":{"docs":$docs,"docs_per_sec":${d(thrN4, 1)},"sec":${d(secN4, 3)}},"quality":{"ann_planes":$annPlanes,"ann_recall_at_5":${d(annRecall, 3)},"ivf_cells":$ivfCells,"ivf_recall_at_5":${d(ivfRecall, 3)},"neardup_lsh_recall":${d(ndRecall, 3)},"neardup_pairs_exact":$ndExact,"neardup_pairs_lsh":$ndLsh},"scaling":{$scaling}}"""
+      s"""{"metric":"total","value":${d(total, 3)},"unit":"sec","queries_total":${queries.size},"queries_ok":${queries.count(_._3.isEmpty)},"queries_sec":${d(queries.map(_._2).sum, 3)},"queries_slowest":$slowest,"query_errors":$qErrs,"sf":"$sfDir","extract":{"docs":$docs,"docs_per_sec":${d(thrN4, 1)},"sec":${d(secN4, 3)}},"quality":{"ann_planes":$annPlanes,"ann_recall_at_5":${d(annRecall, 3)},"ivf_cells":$ivfCells,"ivf_recall_at_5":${d(ivfRecall, 3)},"neardup_lsh_recall":${d(ndRecall, 3)},"neardup_pairs_exact":$ndExact,"neardup_pairs_lsh":$ndLsh},"scaling":{$scaling}}"""
     )
     if (queries.exists(_._3.isDefined)) sys.exit(1)
   }

@@ -521,11 +521,18 @@ object SparkEntry {
     }),
     // stopword-ratio quality signal (Gopher-style: ≥ 2 common function
     // words); integer counts only, ratio left to the consumer
-    "t_stopword" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id"),
-        TextAnalytics.tokenCount(col("text")).cast("long").as("n_tokens"),
-        TextAnalytics.stopTokenCount(col("text")).as("stop_tokens"),
-        (TextAnalytics.stopTokenCount(col("text")) >= 2).as("has_min_stop"))),
+    "t_stopword" -> ((s, dir) => {
+      // native single-pass signal kernels (the oracle replays the regex
+      // formulations; NativeSignalsSpec pins the field-level parity)
+      val d = docs(s, dir)
+      d.select(col("doc_id"),
+          TextAnalytics.textStatsNative(d)(col("text")).as("_ts"),
+          TextAnalytics.langSignalsNative(d)(col("text")).as("_ls"))
+        .select(col("doc_id"),
+          col("_ts").getField("words").as("n_tokens"),
+          col("_ls").getField("stop").as("stop_tokens"),
+          (col("_ls").getField("stop") >= 2).as("has_min_stop"))
+    }),
     // corpus vocabulary: term + document frequency, deterministic top-50
     // (ties broken by token). TakeOrderedAndProject keeps the "top-k"
     // driver-side cost at k rows; countDistinct is Spark's standard
@@ -611,19 +618,34 @@ object SparkEntry {
     }),
     "t_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextAnalytics.fingerprint(col("text")).as("fp"))),
-    "t_quality" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id"),
-        length(col("text")).cast("long").as("chars"),
-        TextAnalytics.tokenCount(col("text")).cast("long").as("n_tokens"),
-        TextAnalytics.punctChars(col("text")).cast("long").as("punct_chars"),
-        TextAnalytics.upperChars(col("text")).cast("long").as("upper_chars"),
-        TextAnalytics.digitChars(col("text")).cast("long").as("digit_chars"),
-        TextAnalytics.isQuality(col("text")).as("is_quality"))),
+    "t_quality" -> ((s, dir) => {
+      // native single-pass stats kernel; the quality flag recombines its
+      // integer fields exactly like TextAnalytics.isQuality (oracle-gated)
+      val d = docs(s, dir)
+      val ts = col("_ts")
+      val chars = ts.getField("chars"); val words = ts.getField("words")
+      d.select(col("doc_id"), TextAnalytics.textStatsNative(d)(col("text")).as("_ts"))
+        .select(col("doc_id"),
+          chars.as("chars"),
+          words.as("n_tokens"),
+          ts.getField("punct").as("punct_chars"),
+          ts.getField("upper").as("upper_chars"),
+          ts.getField("digits").as("digit_chars"),
+          ((words >= lit(5)) &&
+            (ts.getField("punct") * lit(100) <= chars * lit(20)) &&
+            (ts.getField("upper") * lit(100) <= chars * lit(30)) &&
+            (chars <= words * lit(20))).as("is_quality"))
+    }),
     "t_lang_id" -> ((s, dir) => {
-      val cols = TextAnalytics.LangMarkers.map { case (lang, ms) =>
-        TextAnalytics.markerMass(col("text"), ms).cast("long").as(s"m_$lang")
-      }
-      docs(s, dir).select(col("doc_id") +: cols :+ TextAnalytics.langId(col("text")).as("lang_guess"): _*)
+      // native language-signal kernel: 2 byte scans instead of 17 regex
+      // passes; the argmax consumes the struct fields
+      val d = docs(s, dir)
+      val ls = col("_ls")
+      d.select(col("doc_id"), TextAnalytics.langSignalsNative(d)(col("text")).as("_ls"))
+        .select(col("doc_id") +:
+          TextAnalytics.LangMarkers.map { case (lang, _) =>
+            ls.getField(s"m_$lang").as(s"m_$lang") } :+
+          TextAnalytics.langIdFromSignals(ls).as("lang_guess"): _*)
     }),
     // the composed "give me training data" call: quality gate + lang-ID +
     // language-scoped stopword gate + repetition gate in ONE codegen'd

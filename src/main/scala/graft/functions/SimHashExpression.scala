@@ -133,6 +133,22 @@ object GraftFunctions {
     * aggregates). Second argument must be a foldable int — the sketch
     * width is a plan-time parameter, not a per-row value.
     */
+  val TextStatsName = "graft_text_stats"
+  private val textStatsInfo = new ExpressionInfo(classOf[TextStatsExpression].getName, TextStatsName)
+
+  val textStatsBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 1, s"$TextStatsName takes exactly 1 argument, got ${children.length}")
+    TextStatsExpression(children.head)
+  }
+
+  val LangSignalsName = "graft_lang_signals"
+  private val langSignalsInfo = new ExpressionInfo(classOf[LangSignalsExpression].getName, LangSignalsName)
+
+  val langSignalsBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 1, s"$LangSignalsName takes exactly 1 argument, got ${children.length}")
+    LangSignalsExpression(children.head)
+  }
+
   val KmvName = "graft_kmv_mink"
   private val kmvInfo = new ExpressionInfo(classOf[KmvMinK].getName, KmvName)
 
@@ -150,6 +166,8 @@ object GraftFunctions {
     reg.registerFunction(FunctionIdentifier(LshSigName), lshsigInfo, lshsigBuilder)
     reg.registerFunction(FunctionIdentifier(MightContainName), mightContainInfo, mightContainBuilder)
     reg.registerFunction(FunctionIdentifier(NfcName), nfcInfo, nfcBuilder)
+    reg.registerFunction(FunctionIdentifier(TextStatsName), textStatsInfo, textStatsBuilder)
+    reg.registerFunction(FunctionIdentifier(LangSignalsName), langSignalsInfo, langSignalsBuilder)
     reg.registerFunction(FunctionIdentifier(KmvName), kmvInfo, kmvBuilder)
     // optimizer surface parity with GraftExtensions (idempotent: guard
     // against repeated register() calls appending duplicates)
@@ -186,6 +204,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier(GraftFunctions.NfcName),
         new ExpressionInfo(classOf[NfcExpression].getName, GraftFunctions.NfcName),
         GraftFunctions.nfcBuilder))
+    ext.injectFunction(
+      (FunctionIdentifier(GraftFunctions.TextStatsName),
+        new ExpressionInfo(classOf[TextStatsExpression].getName, GraftFunctions.TextStatsName),
+        GraftFunctions.textStatsBuilder))
+    ext.injectFunction(
+      (FunctionIdentifier(GraftFunctions.LangSignalsName),
+        new ExpressionInfo(classOf[LangSignalsExpression].getName, GraftFunctions.LangSignalsName),
+        GraftFunctions.langSignalsBuilder))
     ext.injectFunction(
       (FunctionIdentifier(GraftFunctions.KmvName),
         new ExpressionInfo(classOf[KmvMinK].getName, GraftFunctions.KmvName),

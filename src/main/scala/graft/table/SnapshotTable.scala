@@ -1,12 +1,13 @@
 package graft.table
 
 import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import java.util.Base64
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
 
 import scala.jdk.CollectionConverters._
@@ -22,11 +23,19 @@ import scala.jdk.CollectionConverters._
   *    ALL entries visible at that version (full-manifest model, so a
   *    reader needs exactly one file) plus every commit id ever published
   *    (streaming replay detection must survive compaction — see below);
-  *  - commits are atomic: manifest written to a temp path then moved with
-  *    `ATOMIC_MOVE`; a crash mid-write leaves the previous snapshot intact
-  *    and orphaned data dirs invisible (resume semantics: a killed run never
-  *    exposes partial output — the reference's durable analog of its Redis
-  *    result cache, `/root/reference/src/core/cache.py:82-135`, without TTL);
+  *  - commits are atomic AND optimistically concurrent (Iceberg's commit
+  *    model): the manifest is written to a temp path, then published with
+  *    a hard-link create-if-absent — the POSIX CAS. A crash mid-write
+  *    leaves the previous snapshot intact and orphaned data dirs invisible
+  *    (resume semantics: a killed run never exposes partial output — the
+  *    reference's durable analog of its Redis result cache,
+  *    `/root/reference/src/core/cache.py:82-135`, without TTL). A
+  *    concurrent writer that takes the same version makes the publish
+  *    FAIL, and the loser re-derives its snapshot against the winner's
+  *    manifest and retries (bounded by [[MaxCommitAttempts]]) — so a
+  *    streaming ingest and a batch backfill can share one table without a
+  *    lost-commit race (SnapshotTableSpec interleaves two appenders ×10
+  *    and asserts all 20 commits versioned linearly);
   *  - readers resolve `latestVersion` and read only manifests ≤ it, so
   *    re-running after a kill reprocesses only uncommitted rows;
   *  - LEVELED COMPACTION bounds reader cost: per-epoch streaming commits
@@ -406,15 +415,40 @@ final class SnapshotTable(
       df.schema.fields.exists(f => f.name == c && f.dataType == StringType)) match {
       case None => (df.count(), None)
       case Some(c) =>
-        val r = df.agg(count(lit(1)), min(col(c)), max(col(c))).collect()(0)
-        val stats = if (r.isNullAt(1)) None else Some((r.getString(1), r.getString(2)))
+        // row count first — parquet count pushdown answers it from footer
+        // metadata, no column scan — then ONE scan of the stats column
+        // computes min/max AND fills the bloom together (previously two
+        // scans: the agg pass plus df.stat.bloomFilter's own pass). The
+        // min/max comparison is UTF8String binary order, matching what
+        // Spark's min()/max() recorded before, and what pruneRange's
+        // string comparisons assume for ASCII-clustered keys.
+        val total = df.count()
+        val expected = math.min(math.max(total, 1L), BloomCapItems)
+        val zero: (UTF8String, UTF8String, BloomFilter) =
+          (null, null, BloomFilter.create(expected, BloomFpp))
+        val (mn, mx, bloom) = df.select(col(c)).queryExecution.toRdd
+          .treeAggregate(zero)(
+            seqOp = { case ((mn0, mx0, bf), row) =>
+              if (row.isNullAt(0)) (mn0, mx0, bf)
+              else {
+                val s = row.getUTF8String(0).clone() // unsafe rows are reused buffers
+                bf.putString(s.toString)
+                ((if (mn0 == null || s.compareTo(mn0) < 0) s else mn0),
+                  (if (mx0 == null || s.compareTo(mx0) > 0) s else mx0), bf)
+              }
+            },
+            combOp = { case ((mn1, mx1, b1), (mn2, mx2, b2)) =>
+              b1.mergeInPlace(b2)
+              ((if (mn1 == null) mn2 else if (mn2 == null || mn1.compareTo(mn2) <= 0) mn1 else mn2),
+                (if (mx1 == null) mx2 else if (mx2 == null || mx1.compareTo(mx2) >= 0) mx1 else mx2),
+                b1)
+            })
+        val stats = if (mn == null) None else Some((mn.toString, mx.toString))
         if (stats.isDefined) {
-          val expected = math.min(math.max(r.getLong(0), 1L), BloomCapItems)
-          val bloom = df.stat.bloomFilter(c, expected, BloomFpp)
           val out = Files.newOutputStream(Paths.get(dir, BloomSidecar))
           try bloom.writeTo(out) finally out.close()
         }
-        (r.getLong(0), stats)
+        (total, stats)
     }
   }
 
@@ -423,20 +457,36 @@ final class SnapshotTable(
   private val BloomCapItems = 4000000L
   private val BloomFpp = 0.01
 
-  /** Lazily-loaded sidecar blooms, keyed by dir (driver-side, one filter
-    * per data dir — bounded by the compacted dir count).
+  /** Lazily-loaded sidecar blooms, keyed by dir (driver-side): a bounded
+    * LRU — a long-lived driver probing many tables/epochs must not
+    * accumulate one deserialized filter per dir it ever touched (each is
+    * up to ~MBs at the capacity cap). Access-ordered LinkedHashMap under
+    * the table's own lock; capacity covers any realistic compacted dir
+    * count, so eviction only matters for the pathological caller.
     */
-  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[String, Option[BloomFilter]]()
+  private val BloomCacheMax = 256
+  private val bloomCache =
+    new java.util.LinkedHashMap[String, Option[BloomFilter]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Option[BloomFilter]]): Boolean =
+        size() > BloomCacheMax
+    }
 
-  private def bloomOf(dir: String): Option[BloomFilter] =
-    bloomCache.computeIfAbsent(dir, d => {
-      val p = Paths.get(d, BloomSidecar)
-      if (!Files.isRegularFile(p)) None
-      else {
-        val in = Files.newInputStream(p)
-        try Some(BloomFilter.readFrom(in)) finally in.close()
-      }
-    })
+  private def bloomOf(dir: String): Option[BloomFilter] = bloomCache.synchronized {
+    val hit = bloomCache.get(dir)
+    if (hit != null) hit
+    else {
+      val p = Paths.get(dir, BloomSidecar)
+      val loaded =
+        if (!Files.isRegularFile(p)) None
+        else {
+          val in = Files.newInputStream(p)
+          try Some(BloomFilter.readFrom(in)) finally in.close()
+        }
+      bloomCache.put(dir, loaded)
+      loaded
+    }
+  }
 
   /** Entries of the latest snapshot that could hold `statsCol = v`:
     * min/max range pruning first, then the bloom sidecar — a dir whose
@@ -490,19 +540,28 @@ final class SnapshotTable(
     * takedown/GDPR path. No data is rewritten until the next compaction.
     */
   def deleteKeys(keys: DataFrame, commitId: String): Int = {
-    val prev = latest()
-    val newVersion = prev.map(_.version + 1).getOrElse(1)
     val dd = delDir.resolve(commitId).toString
     keys.dropDuplicates().write.mode("overwrite").parquet(dd)
-    val entries0 = prev.map(_.entries).getOrElse(Vector.empty)
-    val deletes0 = prev.map(_.deletes).getOrElse(Vector.empty) :+ Del(dd, newVersion)
-    val schemaJson = prev.flatMap(_.schemaJson) // delete-only: schema unchanged
-    val (entries, deletes) =
-      compact(keys.sparkSession, entries0, deletes0, newVersion, schemaJson)
-    commit(newVersion, entries, deletes,
-      prev.map(_.rowCount).getOrElse(0L),
-      prev.map(_.commitIds).getOrElse(Vector.empty) :+ commitId,
-      schemaJson)
+    var attempt = 0
+    while (true) {
+      // same CAS loop as [[publish]] — see the concurrency note there
+      val prev = latest()
+      val newVersion = prev.map(_.version + 1).getOrElse(1)
+      val entries0 = prev.map(_.entries).getOrElse(Vector.empty)
+      val deletes0 = prev.map(_.deletes).getOrElse(Vector.empty) :+ Del(dd, newVersion)
+      val schemaJson = prev.flatMap(_.schemaJson) // delete-only: schema unchanged
+      val (entries, deletes) =
+        compact(keys.sparkSession, entries0, deletes0, newVersion, commitId, schemaJson)
+      if (tryCommit(newVersion, entries, deletes,
+          prev.map(_.rowCount).getOrElse(0L),
+          prev.map(_.commitIds).getOrElse(Vector.empty) :+ commitId,
+          schemaJson))
+        return newVersion
+      attempt += 1
+      require(attempt < MaxCommitAttempts,
+        s"delete commit '$commitId' lost the manifest CAS $MaxCommitAttempts times")
+    }
+    -1 // unreachable
   }
 
   /** SCHEMA EVOLUTION merge (additive, the Iceberg model): columns match
@@ -531,42 +590,66 @@ final class SnapshotTable(
     StructType(kept ++ added)
   }
 
+  /** Bound on CAS retries — a writer losing the manifest race this many
+    * times in a row is pathological contention the caller should see.
+    */
+  val MaxCommitAttempts = 10
+
   private def publish(df: DataFrame, commitId: String, deleteKeyCols: Seq[String]): Int = {
     val spark = df.sparkSession
-    val prev = latest()
-    val newVersion = prev.map(_.version + 1).getOrElse(1)
+    // the data dir is commit-private (keyed by commitId) and written ONCE;
+    // only the manifest derivation below re-runs when the CAS loses
     val outDir = dataDir.resolve(commitId).toString
     df.write.mode("overwrite").parquet(outDir)
     val (rows, stats) = statsOf(spark, outDir)
-    val entries0 = prev.map(_.entries).getOrElse(Vector.empty) :+
-      Entry(outDir, newVersion, stats.map(_._1), stats.map(_._2), Some(rows))
-    val deletes0 = {
-      val base = prev.map(_.deletes).getOrElse(Vector.empty)
-      // a delete is pointless when nothing older exists to delete from
-      if (deleteKeyCols.isEmpty || prev.forall(_.entries.isEmpty)) base
-      else {
-        val dd = delDir.resolve(commitId).toString
-        spark.read.parquet(outDir).select(deleteKeyCols.map(col): _*)
-          .dropDuplicates().write.mode("overwrite").parquet(dd)
-        base :+ Del(dd, newVersion)
-      }
-    }
-    // unified schema for the new snapshot: the just-written dir's on-disk
-    // schema merged into the previous one (legacy tables without a
-    // recorded schema derive theirs from footers once, here at write time)
     val written = spark.read.parquet(outDir).schema
-    val unified = prev match {
-      case Some(s) if s.entries.nonEmpty =>
-        val prevSchema = s.schema.getOrElse(spark.read.parquet(s.dataDirs: _*).schema)
-        mergeSchemas(prevSchema, written)
-      case _ => written
+    var attempt = 0
+    while (true) {
+      // OPTIMISTIC CONCURRENCY (Iceberg's commit model): derive the new
+      // snapshot against the CURRENT latest, then publish with an atomic
+      // create-if-absent of the versioned manifest. A concurrent writer
+      // that took our version makes the publish fail cleanly; we re-read
+      // the winner's snapshot and re-derive — including re-merging the
+      // schema (a conflicting type change surfaces as mergeSchemas'
+      // loud rejection, never a silent overwrite) and re-running due
+      // compactions against the winner's entry list.
+      val prev = latest()
+      val newVersion = prev.map(_.version + 1).getOrElse(1)
+      val entries0 = prev.map(_.entries).getOrElse(Vector.empty) :+
+        Entry(outDir, newVersion, stats.map(_._1), stats.map(_._2), Some(rows))
+      val deletes0 = {
+        val base = prev.map(_.deletes).getOrElse(Vector.empty)
+        // a delete is pointless when nothing older exists to delete from
+        if (deleteKeyCols.isEmpty || prev.forall(_.entries.isEmpty)) base
+        else {
+          val dd = delDir.resolve(commitId).toString
+          spark.read.parquet(outDir).select(deleteKeyCols.map(col): _*)
+            .dropDuplicates().write.mode("overwrite").parquet(dd)
+          base :+ Del(dd, newVersion)
+        }
+      }
+      // unified schema for the new snapshot: the just-written dir's on-disk
+      // schema merged into the previous one (legacy tables without a
+      // recorded schema derive theirs from footers once, here at write time)
+      val unified = prev match {
+        case Some(s) if s.entries.nonEmpty =>
+          val prevSchema = s.schema.getOrElse(spark.read.parquet(s.dataDirs: _*).schema)
+          mergeSchemas(prevSchema, written)
+        case _ => written
+      }
+      val schemaJson = Some(unified.json)
+      val (entries, deletes) = compact(spark, entries0, deletes0, newVersion, commitId, schemaJson)
+      if (tryCommit(newVersion, entries, deletes,
+          prev.map(_.rowCount).getOrElse(0L) + rows,
+          prev.map(_.commitIds).getOrElse(Vector.empty) :+ commitId,
+          schemaJson))
+        return newVersion
+      attempt += 1
+      require(attempt < MaxCommitAttempts,
+        s"commit '$commitId' lost the manifest CAS $MaxCommitAttempts times — " +
+          "writer contention is pathological; retry with backoff at the caller")
     }
-    val schemaJson = Some(unified.json)
-    val (entries, deletes) = compact(spark, entries0, deletes0, newVersion, schemaJson)
-    commit(newVersion, entries, deletes,
-      prev.map(_.rowCount).getOrElse(0L) + rows,
-      prev.map(_.commitIds).getOrElse(Vector.empty) :+ commitId,
-      schemaJson)
+    -1 // unreachable
   }
 
   /** Dir-name prefix for merged generations. NOT underscore-prefixed:
@@ -596,7 +679,8 @@ final class SnapshotTable(
     */
   private def compact(
       spark: SparkSession, entries0: Vector[Entry], deletes0: Vector[Del],
-      newVersion: Int, schemaJson: Option[String]): (Vector[Entry], Vector[Del]) = {
+      newVersion: Int, commitId: String,
+      schemaJson: Option[String]): (Vector[Entry], Vector[Del]) = {
     var entries = entries0
     var seq = 0
     var more = true
@@ -608,7 +692,12 @@ final class SnapshotTable(
       else {
         val l = over.min
         val (group, rest) = entries.partition(e => levelOf(e.dir) == l)
-        val target = dataDir.resolve(s"$CompactPrefix${l + 1}-$newVersion-$seq").toString
+        // the commitId suffix keeps concurrent writers' merge targets
+        // disjoint: two writers racing the same version would otherwise
+        // both write compacted-<L>-<v>-0 and the CAS loser could clobber
+        // the winner's published bytes (levelOf only parses the level
+        // between the first two dashes, so the suffix is inert)
+        val target = dataDir.resolve(s"$CompactPrefix${l + 1}-$newVersion-$seq-$commitId").toString
         seq += 1
         // rewriting under the unified schema also MATERIALIZES evolution:
         // the merged dir physically carries every column, nulls filled
@@ -621,10 +710,20 @@ final class SnapshotTable(
     (entries, deletes)
   }
 
-  private def commit(
+  /** Publish the manifest for `newVersion` iff nobody else has: the CAS
+    * primitive of the optimistic-concurrency loop. `Files.createLink`
+    * (hard link) is the POSIX atomic create-if-absent — unlike
+    * `ATOMIC_MOVE`, which REPLACES an existing target and was exactly the
+    * round-3 race: two concurrent appenders both derived version v+1 and
+    * the second rename silently clobbered the first writer's manifest
+    * (its rows stayed on disk but left history — a durably lost commit).
+    * Returns false when the version already exists (a concurrent writer
+    * won); the caller re-derives against the winner and retries.
+    */
+  private def tryCommit(
       newVersion: Int, entries: Vector[Entry], deletes: Vector[Del],
       totalRows: Long, commitIds: Vector[String],
-      schemaJson: Option[String]): Int = {
+      schemaJson: Option[String]): Boolean = {
     Files.createDirectories(snapDir)
     val entryLines = entries.map { e =>
       val rowsSuffix = e.rows.map(r => s"\t$r").getOrElse("")
@@ -638,10 +737,16 @@ final class SnapshotTable(
       (Vector(newVersion.toString, totalRows.toString, IdsMarker + commitIds.mkString(",")) ++
         schemaJson.map(j => SchemaMarker + b64(j)).toVector ++
         entryLines ++ delLines).mkString("\n")
-    val tmp = snapDir.resolve(s".tmp-$newVersion-$totalRows")
+    // tmp name carries the last commit id (writer-unique), so two racers'
+    // tmp files never collide either
+    val tmp = snapDir.resolve(s".tmp-$newVersion-${commitIds.lastOption.getOrElse("0")}")
     Files.write(tmp, body.getBytes(UTF_8))
-    Files.move(tmp, manifestPath(newVersion), StandardCopyOption.ATOMIC_MOVE)
-    newVersion
+    try {
+      Files.createLink(manifestPath(newVersion), tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally Files.deleteIfExists(tmp)
   }
 
   /** Simulate a crash AFTER data write but BEFORE manifest publish (test hook):

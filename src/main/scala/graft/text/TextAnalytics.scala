@@ -88,6 +88,38 @@ object TextAnalytics {
   def normalized(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
+  /** NATIVE single-pass per-document stats struct
+    * `(chars, words, punct, upper, digits, distinct_tokens, top_bigram)` —
+    * the codegen'd [[graft.functions.TextStatsExpression]]
+    * (`graft_text_stats`), value-exact with the regex formulations above
+    * (NativeSignalsSpec asserts field-by-field parity; the `t_quality` /
+    * `t_repetition` oracles gate it end-to-end). One byte scan replaces
+    * ~6 regex passes + two array materializations per document. Registers
+    * the function on the df's session (idempotent).
+    */
+  def textStatsNative(df: DataFrame)(c: Column): Column = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    call_function(graft.functions.GraftFunctions.TextStatsName, c)
+  }
+
+  /** NATIVE language-signal struct `(m_en, m_es, m_de, m_fr, stop)` —
+    * the codegen'd [[graft.functions.LangSignalsExpression]]
+    * (`graft_lang_signals`): per-language [[markerMass]] plus
+    * [[stopTokenCount]] in two byte scans instead of 17 regex passes.
+    * Value-exact with the portable formulations (NativeSignalsSpec;
+    * `t_lang_id` / `t_stopword` oracles).
+    */
+  def langSignalsNative(df: DataFrame)(c: Column): Column = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    call_function(graft.functions.GraftFunctions.LangSignalsName, c)
+  }
+
+  /** Language-ID argmax over a precomputed signal struct (native or
+    * portable masses) — same precedence/tie rules as [[langId]].
+    */
+  def langIdFromSignals(ls: Column): Column =
+    argmaxLabel(LangMarkers.map { case (l, _) => l -> ls.getField(s"m_$l") }, "und")
+
   /** Document fingerprint: md5 of the normalized text — the near-trivial
     * but shuffle-cheap dedup key (32 hex chars instead of the document).
     */
@@ -168,20 +200,42 @@ object TextAnalytics {
   }
 
   /** Per-document repetition signals (the Gopher repetition-filter family:
-    * duplicate-token mass and most-repeated adjacent bigram). HOF-free by
-    * construction — higher-order functions run interpreted in Spark, so
-    * bigrams come from `slice` + `arrays_zip` + `explode` (all codegen'd
-    * collection expressions) and are counted with hash aggregations.
-    *
-    * Scale shape: tokens shuffle once as slim (id, w1, w2) rows with
-    * map-side partial counts; the per-document max is a second tiny
-    * doc-keyed aggregation; documents themselves never shuffle (the final
-    * join carries only (id, n_tokens, n_distinct) against (id, top)).
+    * duplicate-token mass and most-repeated adjacent bigram), computed
+    * MAP-ONLY by the native [[graft.functions.TextStatsExpression]]: every
+    * signal is document-local, so nothing about it needs a shuffle — the
+    * previous formulation exploded slim (id, w1, w2) rows into a corpus
+    * exchange plus two aggregations; the native kernel counts bigrams in
+    * the same tokenizing pass that counts tokens (per-doc memory
+    * ∝ distinct bigrams, bounded by document length). Zero exchanges at
+    * any corpus size. [[repetitionStatsRelational]] keeps the portable
+    * aggregation formulation as the parity twin (NativeSignalsSpec
+    * asserts row-for-row equality; the `t_repetition` DuckDB oracle
+    * replays the relational form against the native output).
     *
     * `is_repetitive` gates on integer cross-multiplication only:
     * duplicate tokens > 75% of tokens, or one bigram > 20% of bigrams.
     */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ts = textStatsNative(docs)(col(textCol))
+    val nt = col("_ts").getField("words")
+    val nd = col("_ts").getField("distinct_tokens")
+    val top = col("_ts").getField("top_bigram")
+    docs
+      .select(col(idCol), ts.as("_ts"))
+      .select(col(idCol), nt.as("n_tokens"), nd.as("n_distinct"),
+        (nt - nd).as("dup_tokens"), top.as("top_bigram_n"),
+        ((nt - nd) * lit(100) > nt * lit(75) ||
+          top * lit(100) > greatest(nt - 1, lit(1L)) * lit(20)).as("is_repetitive"))
+  }
+
+  /** The relational (explode + aggregate) formulation of
+    * [[repetitionStats]] — HOF-free `slice`/`arrays_zip`/`explode`
+    * collection expressions with hash aggregations; tokens shuffle once
+    * as slim (id, w1, w2) rows. Kept as the engine-portable parity twin
+    * the native kernel is spec-checked against (it is also the shape the
+    * DuckDB oracle replays).
+    */
+  def repetitionStatsRelational(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = when(length(trim(col(textCol))) === 0, array().cast("array<string>"))
       .otherwise(split(trim(col(textCol)), "\\s+"))
     val base = docs
@@ -256,50 +310,48 @@ object TextAnalytics {
       !((nt - nd) * lit(100) > nt * lit(75))
   }
 
-  /** Apply [[isClean]] with the plan shape that stays COMPILED. Each
-    * expensive signal (per-language marker mass, token counts, stopword
-    * count, quality flag) is computed ONCE as its own projected column;
-    * the gate then combines cheap attribute references. Two things keep
-    * Catalyst from undoing the staging: (a) the filter carries an
-    * always-true `spark_partition_id() >= 0` conjunct — a predicate with
-    * a nondeterministic conjunct is never pushed through the projection
-    * (a bare barrier COLUMN doesn't work: column pruning deletes the
-    * unreferenced alias first, then the push proceeds — measured); and
-    * (b) `CollapseProject` refuses to merge multi-referenced non-cheap
-    * aliases, so the signal projection survives as its own codegen-CSE'd
-    * stage. Helper columns drop on the way out.
+  /** Apply [[isClean]] with the plan shape that stays COMPILED and
+    * evaluates each signal kernel ONCE per row. The signals come from the
+    * two native single-pass expressions ([[textStatsNative]] /
+    * [[langSignalsNative]] — the round-4 fix for the measured regex cost:
+    * the composed gate previously spent ~20 java.util.regex passes per
+    * document and dominated `q_clean_corpus`/`q_training_export`), each
+    * projected once as a struct column; the gates then combine cheap
+    * field references. Two things keep Catalyst from undoing the staging
+    * (filter codegen performs NO subexpression elimination, so a pushed
+    * predicate would re-evaluate the kernel once per field reference):
+    * (a) each filter carries an always-true `spark_partition_id() >= 0`
+    * conjunct — a predicate with a nondeterministic conjunct is never
+    * pushed through the projection (a bare barrier COLUMN doesn't work:
+    * column pruning deletes the unreferenced alias first, then the push
+    * proceeds — measured); and (b) `CollapseProject` refuses to merge
+    * multi-referenced non-cheap aliases. CHEAP gates (quality +
+    * repetition, one stats scan) run first so failing rows never pay the
+    * language-signal scans. Helper columns drop on the way out.
     */
   def filterClean(df: org.apache.spark.sql.DataFrame, textCol: String): org.apache.spark.sql.DataFrame = {
     val c = col(textCol)
-    val toks = when(length(trim(c)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(c), "\\s+"))
-    val nt = size(toks).cast("long")
-    val nd = size(array_distinct(toks)).cast("long")
-    // CHEAP gates first, as a plain pushable predicate (compiles fine on
-    // its own): rows failing quality/repetition never pay the 16-regex
-    // language stage below — the short-circuit the staged formulation
-    // would otherwise lose (measured: staging everything cost ~50% on a
-    // mostly-clean corpus)
-    val cheap = df.filter(isQuality(c) && !((nt - nd) * lit(100) > nt * lit(75)))
-    val massCols = LangMarkers.map { case (lang, ms) => s"_m_$lang" -> markerMass(c, ms) }
-    val staged = massCols.foldLeft(
-      cheap.withColumn("_stop", stopTokenCount(c))
-        // the barrier must be a REFERENCED nondeterministic FIELD of the
-        // projection: PushPredicateThroughNonJoin substitutes aliases into
-        // any (even nondeterministic) predicate as long as the project's
-        // fields are all deterministic, and column pruning deletes an
-        // UNreferenced barrier before the push — both measured here
-        .withColumn("_stage_barrier", spark_partition_id())) {
-      case (d, (n, e)) => d.withColumn(n, e)
-    }
-    val lg = argmaxLabel(LangMarkers.map { case (l, _) => l -> col(s"_m_$l") }, "und")
-    staged
+    val ts = col("_ts"); val ls = col("_ls")
+    val chars = ts.getField("chars"); val words = ts.getField("words")
+    val quality = (words >= lit(5)) &&
+      (ts.getField("punct") * lit(100) <= chars * lit(20)) &&
+      (ts.getField("upper") * lit(100) <= chars * lit(30)) &&
+      (chars <= words * lit(20))
+    val repetitive =
+      (words - ts.getField("distinct_tokens")) * lit(100) > words * lit(75)
+    val cheap = df
+      .withColumn("_ts", textStatsNative(df)(c))
+      .withColumn("_stage_barrier", spark_partition_id())
+      .filter(col("_stage_barrier") >= 0 && quality && !repetitive)
+    val lg = langIdFromSignals(ls)
+    cheap
+      .withColumn("_ls", langSignalsNative(df)(c))
       .withColumn("_lg", lg)
-      .filter(col("_stage_barrier") >= 0 &&
+      .withColumn("_lang_barrier", spark_partition_id())
+      .filter(col("_lang_barrier") >= 0 &&
         col("_lg") =!= "und" &&
-        (col("_lg") =!= "en" || col("_stop") >= 2))
-      .drop("_stop", "_lg", "_stage_barrier")
-      .drop(massCols.map(_._1): _*)
+        (col("_lg") =!= "en" || ls.getField("stop") >= 2))
+      .drop("_ts", "_ls", "_lg", "_stage_barrier", "_lang_barrier")
   }
 
   /** Quality gate: word-count floor, punctuation ratio cap, uppercase ratio

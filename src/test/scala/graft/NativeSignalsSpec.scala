@@ -1,0 +1,193 @@
+package graft
+
+import graft.text.TextAnalytics
+import graft.text.TextAnalytics._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Field-by-field parity of the native single-pass signal kernels
+  * ([[graft.functions.TextStatsExpression]] /
+  * [[graft.functions.LangSignalsExpression]]) against the portable regex
+  * `Column` formulations they replace — the SimHash discipline: the fast
+  * path must be provably bit-equal to the engine-portable form the DuckDB
+  * oracles replay, on adversarial literals, the real fixture corpus, AND
+  * property-random strings.
+  */
+class NativeSignalsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  import spark.implicits._
+
+  /** Both formulations of every stats field over one text column. */
+  private def statsBoth(df: DataFrame): DataFrame = {
+    val c = col("text")
+    val toks = when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+    val ts = textStatsNative(df)(c)
+    df.select(
+      c.as("text"),
+      ts.getField("chars").as("n_chars"),
+      length(c).cast("long").as("o_chars"),
+      ts.getField("words").as("n_words"),
+      tokenCount(c).cast("long").as("o_words"),
+      ts.getField("punct").as("n_punct"),
+      punctChars(c).cast("long").as("o_punct"),
+      ts.getField("upper").as("n_upper"),
+      upperChars(c).cast("long").as("o_upper"),
+      ts.getField("digits").as("n_digits"),
+      digitChars(c).cast("long").as("o_digits"),
+      ts.getField("distinct_tokens").as("n_distinct"),
+      size(array_distinct(toks)).cast("long").as("o_distinct"))
+  }
+
+  private def langBoth(df: DataFrame): DataFrame = {
+    val c = col("text")
+    val ls = langSignalsNative(df)(c)
+    val portable = LangMarkers.map { case (lang, ms) =>
+      markerMass(c, ms).cast("long").as(s"o_m_$lang") }
+    df.select(
+      Seq(c.as("text"),
+        ls.getField("stop").as("n_stop"),
+        stopTokenCount(c).as("o_stop"),
+        langIdFromSignals(ls).as("n_lang"),
+        langId(c).as("o_lang")) ++
+        LangMarkers.map { case (lang, _) => ls.getField(s"m_$lang").as(s"n_m_$lang") } ++
+        portable: _*)
+  }
+
+  private def assertStatsParity(df: DataFrame): Unit =
+    statsBoth(df).collect().foreach { r =>
+      for (f <- Seq("chars", "words", "punct", "upper", "digits", "distinct"))
+        assert(r.getLong(r.fieldIndex(s"n_$f")) == r.getLong(r.fieldIndex(s"o_$f")),
+          s"field $f diverges on text=${r.getString(0).take(120).replace("\n", "\\n")}")
+    }
+
+  private def assertLangParity(df: DataFrame): Unit =
+    langBoth(df).collect().foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_stop")) == r.getLong(r.fieldIndex("o_stop")),
+        s"stop diverges on ${r.getString(0).take(120)}")
+      assert(r.getString(r.fieldIndex("n_lang")) == r.getString(r.fieldIndex("o_lang")),
+        s"lang diverges on ${r.getString(0).take(120)}")
+      LangMarkers.foreach { case (lang, _) =>
+        assert(r.getLong(r.fieldIndex(s"n_m_$lang")) == r.getLong(r.fieldIndex(s"o_m_$lang")),
+          s"m_$lang diverges on ${r.getString(0).take(120)}")
+      }
+    }
+
+  private val adversarial = Seq(
+    "",
+    " ",
+    "     ",
+    "\t",                              // non-space ws survives trim → leading empty token
+    "\tleading tab",
+    "trailing tab\t",
+    "ab\fc\rd\ne",               // every Java \s char as a separator
+    "the the the",                     // adjacent markers: non-overlapping undercount
+    "of the in a and the of",
+    "the. the, the! the?",             // \b across punctuation vs space-padded markers
+    "theme other bathe athe the1 the_x", // substrings/word-char neighbors never match
+    "THE AND OF IS",                   // case folding
+    "el la los es el la",              // es markers
+    "der die und das",                 // de markers
+    "le les des et",                   // fr markers
+    "x. y, z; w: v! u?",
+    "UPPER Case MiXeD 0123456789",
+    "word " * 400,                     // long repetitive doc
+    "unique" + (1 to 200).map(i => s" tok$i").mkString,
+    "é café naïve 中文 漢字 привет مرحبا",
+    "mixed 😀 emoji café the and",
+    "a  b   c    d",
+    " the ",                           // markers at trimmed boundaries
+    "the",                             // marker without padding
+    "dup dup dup dup unique",
+    "a-a a-a b_b b_b the-ory"
+  )
+
+  test("native text stats == portable regex formulations (adversarial literals)") {
+    assertStatsParity(adversarial.toDF("text"))
+  }
+
+  test("native lang signals == portable regex formulations (adversarial literals)") {
+    assertLangParity(adversarial.toDF("text"))
+  }
+
+  test("native signals == portable on the fixture corpus (sf0.001 documents)") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+    assertStatsParity(d)
+    assertLangParity(d)
+  }
+
+  test("native signals == portable on seeded-random word soup") {
+    // alphabet biased toward the interesting classes: ws variants, markers,
+    // punctuation, digits, unicode -- 300 random docs checked in one pass
+    val rnd = new Random(20260819)
+    val atoms = Vector(
+      "the", "and", "of", "is", "el", "la", "und", "das", "les", "et",
+      "a", "in", "that", "have", "theme", "athe", "the1",
+      " ", "  ", "\t", "\n", "\r", "", "\f",
+      ".", ",", ";", ":", "!", "?", "_", "-",
+      "Word", "UPPER", "x9", "42", "q",
+      "\u00e9", "\u4e2d", "\u043f", "\u0645", "\ud83d\ude00")
+    def doc(): String =
+      Vector.fill(rnd.nextInt(60))(atoms(rnd.nextInt(atoms.size))).mkString
+    val df = Vector.fill(300)(doc()).toDF("text")
+    assertStatsParity(df)
+    assertLangParity(df)
+  }
+
+  test("repetitionStats (native, map-only) == repetitionStatsRelational row-for-row") {
+    val edge = Seq(
+      1L -> "",
+      2L -> "   ",
+      3L -> "one",
+      4L -> "go go go go go",
+      5L -> "a b a b a b a b c",
+      6L -> "all tokens unique here now",
+      7L -> ("spam ham " * 50).trim,
+      8L -> "\ttab separated\ttokens\t"
+    ).toDF("doc_id", "text")
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    for (df <- Seq(edge, corpus)) {
+      val a = TextAnalytics.repetitionStats(df, "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq
+      val b = TextAnalytics.repetitionStatsRelational(df, "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq
+      assert(a.size == b.size)
+      a.zip(b).foreach { case (x, y) => assert(x == y, s"row diverges: $x vs $y") }
+    }
+  }
+
+  test("repetitionStats native path carries no Exchange — the signal is map-only") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = TextAnalytics.repetitionStats(d, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"repetition signal must not shuffle:\n$plan")
+  }
+
+  test("null text propagates as null through both native kernels") {
+    val df = Seq[Option[String]](None, Some("the and of")).toDF("text")
+    val out = df.select(
+      textStatsNative(df)(col("text")).as("ts"),
+      langSignalsNative(df)(col("text")).as("ls")).collect()
+    assert(out(0).isNullAt(0) && out(0).isNullAt(1))
+    assert(!out(1).isNullAt(0) && !out(1).isNullAt(1))
+    val r = out(1).getStruct(1)
+    assert(r.getLong(r.fieldIndex("stop")) == 3L) // the, and, of
+  }
+
+  test("interpreted eval == codegen eval for both kernels") {
+    val df = adversarial.toDF("text")
+    val cols = Seq(textStatsNative(df)(col("text")).as("ts"),
+      langSignalsNative(df)(col("text")).as("ls"))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val interpreted = try df.select(cols: _*).collect().toSeq
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    val codegen = df.select(cols: _*).collect().toSeq
+    assert(interpreted == codegen)
+  }
+}

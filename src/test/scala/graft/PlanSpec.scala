@@ -99,14 +99,17 @@ class PlanSpec extends AnyFunSuite {
       s"the corpus must never shuffle for a rates lookup:\n$plan")
   }
 
-  test("repetition stats: bigrams via codegen'd collection exprs, no interpreted HOFs") {
+  test("repetition stats: native single-pass signal, map-only — no shuffle, no HOFs") {
     val df = SparkEntry.queries("t_repetition")(spark, sfDir)
-    val plan = finalPlan(df)
-    // slice/arrays_zip/explode, never transform/aggregate lambdas
+    val plan = df.queryExecution.executedPlan.toString
+    // every signal (dup mass AND top bigram) is document-local via
+    // graft_text_stats — the round-4 shape: zero exchanges at any scale
+    // (the r3 shape exploded (id, w1, w2) rows into a corpus shuffle)
+    assert(!plan.contains("Exchange"), s"repetition signals must not shuffle:\n$plan")
+    assert(plan.contains("graft_text_stats"), s"native kernel must drive the stage:\n$plan")
     assert(!plan.toLowerCase.contains("lambdavariable"),
-      s"bigram construction must not use interpreted HOFs:\n$plan")
-    // map-side partial counts before the (id, w1, w2) shuffle
-    assert(plan.contains("HashAggregate"), s"bigram counts must partial-aggregate:\n$plan")
+      s"no interpreted HOFs:\n$plan")
+    assert(plan.contains("*(1)"), s"stage must stay in whole-stage codegen:\n$plan")
   }
 
   test("url canonicalization, redaction, and chunking are map-only (no Exchange)") {

@@ -316,6 +316,43 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(rows(t) == Map("u1" -> 1, "u2" -> 2))
   }
 
+  test("optimistic concurrency: two interleaved appenders, all 20 commits land, history is linear") {
+    // The round-3 race: commits were ATOMIC_MOVE-published, which REPLACES
+    // an existing target — two appenders deriving the same version meant
+    // the second rename silently clobbered the first manifest (a durably
+    // lost commit). The CAS publish (hard-link create-if-absent) + the
+    // re-derive-and-retry loop must make every commit land exactly once.
+    val t = new SnapshotTable(tmp(), compactFanIn = 4) // low fan-in: compactions race too
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 2).map { w =>
+      new Thread(() => {
+        try {
+          for (i <- 0 until 10)
+            t.append(Seq((s"w$w-c$i", w * 100 + i)).toDF("url", "gen"), s"w$w-c$i")
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"no appender may fail: ${errs.asScala.map(_.getMessage)}")
+    // linear version history: exactly 20 versions, 1..20, no gaps
+    assert(t.versions() == (1 to 20).toVector, s"versions: ${t.versions()}")
+    // every commit visible in the history AND every row readable
+    val latest = t.latest().get
+    val expectedIds = (for (w <- 0 until 2; i <- 0 until 10) yield s"w$w-c$i").toSet
+    assert(latest.commitIds.toSet == expectedIds, "all 20 commit ids recorded")
+    assert(latest.commitIds.size == 20, "no duplicate commit ids")
+    assert(rows(t).size == 20, "all 20 rows live")
+    assert(t.fastCount.contains(20L), "metadata row count exact after racing compactions")
+    // commit-id order embeds version order: each manifest's id list is a
+    // strict prefix of its successor's (linear history, no forks)
+    val histories = t.versions().map(v => t.snapshotAt(v).get.commitIds)
+    histories.sliding(2).foreach {
+      case Vector(a, b) => assert(b.startsWith(a) && b.size == a.size + 1,
+        s"history must grow linearly: $a -> $b")
+      case _ =>
+    }
+  }
+
   test("legacy manifest without a schema line still reads and can evolve") {
     val root = tmp()
     val t = new SnapshotTable(root)
