@@ -393,10 +393,12 @@ object Bench {
     val annRecall = graft.sim.Similarity.annRecallAtK(
       embs, embs.filter(col("vec_id") < 10), 5,
       numPlanes = annPlanes, probeHamming = 2, numTables = 4)
-    // IVF twin of the same measurement (gated config: √n cells, 4 probes)
+    // IVF twin of the same measurement (gated config: √n cells, 4 probes,
+    // one Lloyd refinement round)
     val ivfCells = graft.sim.Similarity.cellsFor(embs.count())
     val ivfRecall = graft.sim.Similarity.ivfRecallAtK(
-      embs, embs.filter(col("vec_id") < 10), 5, numCells = ivfCells, nProbe = 4)
+      embs, embs.filter(col("vec_id") < 10), 5, numCells = ivfCells, nProbe = 4,
+      lloydRounds = 1)
     val ndCorpus = embs.filter(col("vec_id") < 1000)
     val ndExact = graft.sim.Similarity.nearDupPairs(ndCorpus, 400000L).count()
     val ndLsh = graft.sim.Similarity.nearDupPairsLsh(ndCorpus, 400000L).count()

@@ -726,11 +726,21 @@ object SparkEntry {
       val u = docs(s, dir).select(col("doc_id"), synthUrl.as("url"))
       val hosts = u.select(UrlOps.host(col("url")).as("host")).distinct()
         .filter(!col("host").endsWith(".net"))
+      // the synthesis exercises every decision path ON the gated corpus:
+      // the OtherBot decoy (group selection), Allow-beats-shorter-Disallow
+      // (/Docs/Page12 over /Docs/Page1), the `$` end anchor on an ODD page
+      // (/Docs/Page7$ — cdn hosts are odd ids, so it genuinely fires, and
+      // id≡207 (mod 300) carries a fragment the gate must strip before the
+      // anchor can match), path+query matching (/*?id= fires on the %4==2
+      // urls), and a DUPLICATE graftbot group later in the file whose
+      // rules must merge per RFC 9309 §2.2.1
       val robots = hosts.withColumn("body", concat(
         lit("User-agent: OtherBot\nDisallow: /\n\n# crawler group\n" +
           "User-agent: graftbot\nDisallow: /Docs/Page1\nAllow: /Docs/Page12\n"),
-        when(col("host").startsWith("cdn."), lit("Disallow: /Docs/Page4$\n"))
-          .otherwise(lit(""))))
+        when(col("host").startsWith("cdn."), lit("Disallow: /Docs/Page7$\n"))
+          .otherwise(lit("")),
+        lit("\n# hand-edited later addition: same agent, separate group\n" +
+          "User-agent: graftbot\nDisallow: /*?id=\n")))
       graft.web.RobotsTxt.gate(u, "url", robots, "host", "body", "graftbot/1.0")
     }),
     // crawl-frontier politeness scheduling: hosts pinned to one worker
@@ -1040,12 +1050,14 @@ object SparkEntry {
           floor(col("score") * lit(1e9)).cast("long").as("score_q"), col("rn").cast("long").as("rn"))
     }),
     // IVF variant of the same ANN op: coarse-quantizer cells instead of
-    // hyperplane buckets — cells derived √n from the footer count, probe
-    // the 4 best cells per query, exact re-rank inside them
+    // hyperplane buckets — cells derived √n from the footer count, ONE
+    // Lloyd refinement round (integer per-cell means, slim triples —
+    // proving the "refinement is the same shapes" claim value-exactly),
+    // probe the 4 best cells per query, exact re-rank inside them
     "s_ivf_topk" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), 5,
-        numCells = Similarity.cellsFor(e.count()), nProbe = 4)
+        numCells = Similarity.cellsFor(e.count()), nProbe = 4, lloydRounds = 1)
         .select(col("qid"), col("vid"),
           floor(col("score") * lit(1e9)).cast("long").as("score_q"), col("rn").cast("long").as("rn"))
     }),
@@ -1230,20 +1242,25 @@ object SparkEntry {
   /** Unrolled fixed-iteration PageRank (twin of
     * [[graft.web.LinkGraph.domainRank]]): chained CTEs r0..rN, all integer
     * arithmetic (`//` in DuckDB = `DIV` in Spark for the non-negative
-    * values here).
+    * values here). Each iteration carries the DANGLING-MASS term: the
+    * sink slice's total rank (NOT EXISTS mirrors Spark's left_anti null
+    * semantics) divided by the node count, added to every node's received
+    * mass before damping.
     */
   private def domainRankSql(iters: Int): String = {
     val head =
       s"""WITH $linkEdgesCte,
          |capped AS (SELECT src, dst, CAST(least(weight, 3) AS BIGINT) AS weight FROM edges),
          |nodes AS (SELECT DISTINCT domain FROM (SELECT src AS domain FROM capped UNION ALL SELECT dst AS domain FROM capped) t),
-         |pr AS (SELECT CAST(${graft.web.LinkGraph.RankScale} // count(*) AS BIGINT) AS init FROM nodes),
+         |pr AS (SELECT CAST(${graft.web.LinkGraph.RankScale} // count(*) AS BIGINT) AS init, count(*) AS n FROM nodes),
          |ow AS (SELECT src, CAST(sum(weight) AS BIGINT) AS out_w FROM capped GROUP BY 1),
          |e2 AS (SELECT e.src, e.dst, e.weight, o.out_w FROM capped e JOIN ow o ON e.src = o.src),
          |r0 AS (SELECT domain, (SELECT init FROM pr) AS rank_mass FROM nodes)""".stripMargin
     val iterCtes = (1 to iters).map { k =>
       s""",
-         |r$k AS (SELECT n.domain, CAST((15 * (SELECT init FROM pr)) // 100 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank_mass
+         |s$k AS (SELECT CAST(COALESCE(sum(r.rank_mass), 0) // (SELECT n FROM pr) AS BIGINT) AS share
+         |  FROM r${k - 1} r WHERE NOT EXISTS (SELECT 1 FROM capped c2 WHERE c2.src = r.domain)),
+         |r$k AS (SELECT n.domain, CAST((15 * (SELECT init FROM pr)) // 100 + (85 * (COALESCE(c.s, 0) + (SELECT share FROM s$k))) // 100 AS BIGINT) AS rank_mass
          |  FROM nodes n LEFT JOIN (SELECT e2.dst AS domain, CAST(sum((r.rank_mass * e2.weight) // e2.out_w) AS BIGINT) AS s
          |    FROM e2 JOIN r${k - 1} r ON r.domain = e2.src GROUP BY 1) c ON n.domain = c.domain)""".stripMargin
     }.mkString
@@ -1507,14 +1524,20 @@ object SparkEntry {
          |  host, domain
          |FROM p5""".stripMargin,
     // robots twin: the fixed rule template replayed as closed-form CASE
-    // logic over the url CTE's host/path columns
+    // logic over the url CTE's host + PATH+QUERY (pathq, fragment already
+    // stripped). Decision order mirrors longest-match: Allow /Docs/Page12
+    // (12) ties-or-beats every Disallow it can co-match with, the
+    // anchored /Docs/Page7$ requires pathq EXACTLY (a query breaks it),
+    // and the merged duplicate group's /*?id= fires on any ?id= query
     "w_robots_txt" ->
       s"""WITH $urlCte
          |SELECT host, doc_id, url,
-         |  NOT (host NOT LIKE '%.net' AND (
-         |    (path LIKE '/Docs/Page1%' AND NOT path LIKE '/Docs/Page12%')
-         |    OR (host LIKE 'cdn.%' AND path = '/Docs/Page4')
-         |  )) AS robots_allowed
+         |  NOT (host NOT LIKE '%.net'
+         |    AND NOT pathq LIKE '/Docs/Page12%'
+         |    AND ((host LIKE 'cdn.%' AND pathq = '/Docs/Page7')
+         |      OR pathq LIKE '/Docs/Page1%'
+         |      OR pathq LIKE '%?id=%')
+         |  ) AS robots_allowed
          |FROM p5""".stripMargin,
     // frontier twin: same disjoint md5 windows (1–8 worker, 9–24 order)
     "w_frontier" ->
@@ -2088,10 +2111,21 @@ object SparkEntry {
          |         QUALIFY row_number() OVER (ORDER BY vec_id) <= c),
          |v AS (SELECT vec_id AS vid, embedding AS ve FROM embeddings),
          |vsc AS (SELECT vid, cid, ${qdotSql("ve", "ce")} AS cs FROM v, cent),
-         |asn AS (SELECT avid, cid AS cell FROM (
+         |asn0 AS (SELECT avid, cid AS cell FROM (
          |  SELECT vid AS avid, cid, row_number() OVER (PARTITION BY vid ORDER BY cs DESC, cid) AS rn FROM vsc) WHERE rn = 1),
+         |-- one Lloyd round: per-cell integer mean of the quantized
+         |-- components (bias-shifted so // == DIV on negative sums),
+         |-- pivoted back to small-integer float centroids
+         |cm AS (SELECT cell, g.i AS dim,
+         |    CAST((sum(CAST(floor(CAST(ve[g.i] AS DOUBLE) * 1000) AS BIGINT)) + count(*) * 1048576) // count(*) - 1048576 AS BIGINT) AS mq
+         |  FROM asn0 JOIN v ON asn0.avid = v.vid, (SELECT unnest(generate_series(1, 64)) AS i) g
+         |  GROUP BY cell, g.i),
+         |cent2 AS (SELECT cell AS cid, list_transform(list(mq ORDER BY dim), x -> CAST(x AS FLOAT)) AS ce FROM cm GROUP BY cell),
+         |vsc2 AS (SELECT vid, cid, ${qdotSql("ve", "ce")} AS cs FROM v, cent2),
+         |asn AS (SELECT avid, cid AS cell FROM (
+         |  SELECT vid AS avid, cid, row_number() OVER (PARTITION BY vid ORDER BY cs DESC, cid) AS rn FROM vsc2) WHERE rn = 1),
          |q0 AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
-         |qsc AS (SELECT qid, qe, cid, ${qdotSql("qe", "ce")} AS cs FROM q0, cent),
+         |qsc AS (SELECT qid, qe, cid, ${qdotSql("qe", "ce")} AS cs FROM q0, cent2),
          |qp AS (SELECT qid, qe, cid AS cell FROM (
          |  SELECT qid, qe, cid, row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cid) AS rn FROM qsc) WHERE rn <= 4),
          |s AS (SELECT qid, vid, ${cosQSql("qe", "ve")} AS score

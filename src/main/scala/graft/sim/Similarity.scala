@@ -216,13 +216,23 @@ object Similarity {
     * exact-rank (quantized cosine) inside the probed cells.
     *
     * The coarse quantizer is DETERMINISTIC: the `numCells` smallest-id
-    * corpus vectors are the centroids (a `TakeOrdered`, never a global
-    * sort), and assignment is argmax of the quantized integer dot with
-    * ties to the smallest centroid id — every step bit-exact across
+    * corpus vectors are the seed centroids (a `TakeOrdered`, never a
+    * global sort), and assignment is argmax of the quantized integer dot
+    * with ties to the smallest centroid id — every step bit-exact across
     * engines, so the whole operator is DuckDB-oracle-checkable.
-    * Production would refine centroids with Lloyd iterations (each one
-    * is the same two shapes as below: slim scored triples → argmax agg);
-    * refinement tightens cells but does not change the plan.
+    * `lloydRounds` runs that many Lloyd refinement rounds, and each IS
+    * the same shapes as the seed pass plus one slim mean: members
+    * posexplode into (cell, dim, component) triples, a map-side-partial
+    * aggregation computes the per-cell INTEGER mean of the quantized
+    * components (bias-shifted before the `DIV` so truncation == floor on
+    * both engines for negative sums), the ≤ numCells × dim result pivots
+    * back into centroid vectors (stored as exact small-integer floats, so
+    * the unchanged quantized dot scores against them as a ×1000-scaled —
+    * argmax-equivalent — integer), and assignment re-runs. Cells that
+    * lose every member simply drop out on both engines. Embeddings still
+    * move exactly once (the final label join); refinement itself touches
+    * only slim triples — the scaladoc claim the gated `s_ivf_topk`
+    * (lloydRounds = 1, value-exact DuckDB oracle) now proves.
     *
     * Scale design (10^9+ vectors): centroids are broadcast (≤ 65536 ×
     * 64 floats ≈ 16 MB); assignment scores are SLIM (vid, cid, score)
@@ -236,20 +246,51 @@ object Similarity {
     * ≈ nProbe/numCells): measured recall@5 0.90–0.98 at nProbe=4 on the
     * test corpora (SimilaritySpec floor 0.6; BENCH reports it per run).
     */
+  /** Bias added before the integer mean's `DIV`: quantized components lie
+    * in ±1000 × max|component|, far under this, so the shifted sum is
+    * non-negative and truncating division equals floor division on BOTH
+    * engines (they disagree on negative operands).
+    */
+  val LloydMeanBias: Long = 1L << 20
+
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
-      numCells: Int, nProbe: Int = 4
+      numCells: Int, nProbe: Int = 4, lloydRounds: Int = 0
   ): DataFrame = {
     val cq = cosineQ(corpus) _
     val qd = qdotNative(corpus) _
-    val cent = broadcast(
+    val v = corpus.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+    def assign(cent: DataFrame): DataFrame =
+      v.crossJoin(cent)
+        .select(col("vid"), col("cid"), qd(col("ve"), col("ce")).as("cs"))
+        .groupBy("vid")
+        .agg(max_by(col("cid"), struct(col("cs"), (-col("cid")).as("nc"))).as("cell"))
+    var cent = broadcast(
       corpus.select(col("vec_id").as("cid"), col("embedding").as("ce"))
         .orderBy(col("cid")).limit(numCells))
-    val v = corpus.select(col("vec_id").as("vid"), col("embedding").as("ve"))
-    val asn = v.crossJoin(cent)
-      .select(col("vid"), col("cid"), qd(col("ve"), col("ce")).as("cs"))
-      .groupBy("vid")
-      .agg(max_by(col("cid"), struct(col("cs"), (-col("cid")).as("nc"))).as("cell"))
+    var asn = assign(cent)
+    for (_ <- 1 to lloydRounds) {
+      // per-cell integer mean of the quantized components: slim
+      // (cell, dim, component) triples with map-side partials; the pivot
+      // back to vectors touches ≤ numCells × dim rows (the HOF there runs
+      // on the centroid side only, never the corpus)
+      val perDim = v.join(asn, "vid")
+        .select(col("cell"), posexplode(col("ve")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum(floor(col("x").cast("double") * 1000).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("cell"), col("dim"),
+          (expr(s"(s + n * ${LloydMeanBias}L) DIV n") - LloydMeanBias).as("q"))
+      cent = broadcast(perDim
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("q")))).as("dq"))
+        .select(col("cell").as("cid"),
+          // small integers stored as exact floats: the unchanged quantized
+          // dot then scores floor(q·1000) = q×1000 — a constant scaling,
+          // argmax- and tie-equivalent to the true integer mean dot
+          expr("transform(dq, p -> CAST(p.q AS FLOAT))").as("ce")))
+      asn = assign(cent)
+    }
     val assigned = v.join(asn, "vid")
     val qw = Window.partitionBy("qid").orderBy(col("cs").desc, col("cid"))
     val qp = broadcast(
@@ -269,12 +310,12 @@ object Similarity {
     */
   def ivfRecallAtK(
       corpus: DataFrame, queries: DataFrame, k: Int,
-      numCells: Int, nProbe: Int = 4
+      numCells: Int, nProbe: Int = 4, lloydRounds: Int = 0
   ): Double = {
     val cq = cosineQ(corpus) _
     val brute = bruteForceTopK(corpus, queries, k, cq)
       .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = ivfTopK(corpus, queries, k, numCells, nProbe)
+    val ivf = ivfTopK(corpus, queries, k, numCells, nProbe, lloydRounds)
       .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     if (brute.isEmpty) 1.0 else (ivf & brute).size.toDouble / brute.size
   }

@@ -55,7 +55,10 @@ final class IncrementalView(
     val cur = source.latest().map(_.version).getOrElse(0)
     val since = coveredVersion
     if (cur <= since) return None
-    val delta = source.readAppendsSince(spark, since) match {
+    // bounded to `cur`: a source append landing between latest() above
+    // and this read must NOT fold into a state committed as upto-<cur> —
+    // the next refresh re-reads (cur, latest] and would double-count it
+    val delta = source.readAppendsSince(spark, since, untilVersion = cur) match {
       // delete-only commits append nothing: the view values are already
       // right, and leaving the watermark put costs nothing on retry
       case None => return None

@@ -331,10 +331,21 @@ final class SnapshotTable(
     * contract Iceberg's incremental read documents); delete-only commits
     * contribute nothing. Commit ids must be unique per table (hasCommit
     * already assumes this). None when nothing was appended since.
+    *
+    * `untilVersion` bounds the read to commits ≤ it — the consumer
+    * protocol for concurrent writers: read `latest().version` FIRST,
+    * pass it here, record it as processed. Without the bound, an append
+    * landing between those two steps would be folded into this read but
+    * not into the recorded watermark, and the next incremental read
+    * would double-count it (additive incremental views corrupt
+    * silently). Schema is pinned to the CURRENT unified schema either
+    * way — evolution is additive, so a bounded read under a newer schema
+    * only gains nullable columns.
     */
-  def readAppendsSince(spark: SparkSession, sinceVersion: Int): Option[DataFrame] =
+  def readAppendsSince(spark: SparkSession, sinceVersion: Int,
+                       untilVersion: Int = Int.MaxValue): Option[DataFrame] =
     latest().flatMap { cur =>
-      val dirs = versions().filter(_ > sinceVersion)
+      val dirs = versions().filter(v => v > sinceVersion && v <= untilVersion)
         .flatMap(v => snapshotAt(v).flatMap(_.commitIds.lastOption))
         .map(cid => dataDir.resolve(cid))
         .filter(Files.isDirectory(_))

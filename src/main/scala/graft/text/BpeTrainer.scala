@@ -23,6 +23,21 @@ import org.apache.spark.sql.functions._
   * `localCheckpoint` every few iterations so the plan does not grow
   * linearly with merges (the PageRank/TrainingExport stage pattern).
   *
+  * HONEST SCALE BOUNDARY: checkpointing bounds plan depth, but each merge
+  * is still one Spark job with a driver round-trip (~0.7 s each here) —
+  * a production tokenizer needs ~32k merges, i.e. ~32k sequential jobs,
+  * which is NOT a sensible corpus-scale op no matter how cheap each
+  * iteration is. That matches practice: real pipelines learn BPE
+  * single-node on a SAMPLED subset (HF tokenizers, SentencePiece), and
+  * the parts that genuinely run at corpus scale are exactly what this
+  * package gates — the one corpus→vocab collapse ([[buildVocab]]), the
+  * per-iteration statistic ([[pairStats]] /
+  * [[graft.stats.CorpusStats.bpePairStats]]), and the map-only
+  * tokenizer APPLY over the full corpus ([[segment]], broadcast merge
+  * table). Use `learnMerges` with numMerges in the tens-to-hundreds
+  * (gated: 20 merges; BpeTrainerSpec bounds a 100-merge run) to learn on
+  * a Spark-resident sample; ship the merge table; `segment` everything.
+  *
   * The per-token merge application is inherently sequential (each merge
   * can create the left symbol of the next occurrence), so it is a typed
   * map over vocab rows rather than a SQL expression — which also means

@@ -71,10 +71,17 @@ object LinkGraph {
   /** Fixed-iteration PageRank over a weighted domain edge list, entirely
     * in scaled-integer arithmetic (damping 0.85 as the integer pair
     * 85/100). Each node starts with `RankScale DIV n` mass; an iteration
-    * routes `(rank × weight) DIV out_w` along each edge and renews the
-    * node at `15% of the initial share + 85% of received mass`. Dangling
-    * nodes (no outlinks) leak their mass — the standard simplification;
-    * ranking order is unaffected for curation use.
+    * routes `(rank × weight) DIV out_w` along each edge, redistributes
+    * DANGLING mass uniformly — sink nodes (no outlinks; ~30 % of a real
+    * web graph) contribute `sink_total DIV n` to every node's received
+    * mass, the standard PageRank dangling-node term, computed as one slim
+    * agg over the sink slice of the rank vector and broadcast back as a
+    * single row — and renews the node at `15% of the initial share + 85%
+    * of (received + dangling share)`. Integer remainders (`sink_total %
+    * n`, plus one sub-unit per edge and per node from the DIVs) still
+    * leak; the conservation bound is quantified and spec-gated
+    * (WebCorpusSpec: total mass within `n + iters × (E + 3n)` units of
+    * RankScale).
     *
     * Overflow, handled exactly: the naive `rank_mass * weight` reaches
     * ~10^19 > Long.MaxValue at the stated design point (a 10^12-doc crawl
@@ -130,6 +137,9 @@ object LinkGraph {
     require(n > 0, "empty edge list")
     val init = RankScale / n
     val base = (15L * init) / 100L
+    // sink set computed once: nodes that never appear as a source (the
+    // left_anti keeps null-domain rows, matching the oracle's NOT EXISTS)
+    val srcs = e.select(col("src")).distinct().localCheckpoint(eager = false)
     var ranks = nodes.select(col("domain"), lit(init).as("rank_mass"))
     for (k <- 1 to iters) {
       val received = e.join(ranks, e("src") === ranks("domain"))
@@ -138,10 +148,22 @@ object LinkGraph {
           expr("(rank_mass DIV out_w) * weight + ((rank_mass % out_w) * weight) DIV out_w")
             .as("c"))
         .groupBy("domain").agg(sum(col("c")).as("s"))
+      // dangling term: one slim agg over the sink slice, one broadcast row
+      val sinkShare = ranks.join(srcs, ranks("domain") === srcs("src"), "left_anti")
+        .agg(coalesce(sum(col("rank_mass")), lit(0L)).as("sink_total"))
+        // integer DIV, never `/`: double division loses exactness past
+        // 2^53 and the oracle replays `//`
+        .select(expr(s"sink_total DIV ${n}L").as("sink_share"))
       ranks = nodes.join(received, Seq("domain"), "left")
+        .crossJoin(broadcast(sinkShare))
         .select(col("domain"),
-          (lit(base) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100")).as("rank_mass"))
-      if (k % 5 == 0 && k < iters) ranks = ranks.localCheckpoint(eager = false)
+          (lit(base) +
+            expr("(85 * (coalesce(s, CAST(0 AS BIGINT)) + sink_share)) DIV 100"))
+            .as("rank_mass"))
+        // every iteration references ranks twice (edge join + sink agg):
+        // the lazy checkpoint persists it once instead of doubling the
+        // plan per round (and bounds lineage depth for large iters)
+        .localCheckpoint(eager = false)
     }
     ranks
   }

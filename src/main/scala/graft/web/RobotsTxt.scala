@@ -71,7 +71,12 @@ object RobotsTxt {
       }
     }
     flush()
-    // longest matching agent token wins; '*' is the 0-length fallback
+    // longest matching agent token wins; '*' is the 0-length fallback.
+    // RFC 9309 §2.2.1: groups are combinable — duplicate `User-agent: x`
+    // groups split across the file are COMMON (hand-edited robots), and
+    // every group whose matched token ties the winner contributes its
+    // rules (taking only one group silently dropped the later ones'
+    // Disallows — permissive over-crawling).
     val candidates = groups.flatMap { g =>
       g.agents.flatMap {
         case "*" => Some(0 -> g)
@@ -80,7 +85,10 @@ object RobotsTxt {
       }
     }
     if (candidates.isEmpty) Seq.empty
-    else candidates.maxBy(_._1)._2.rules
+    else {
+      val win = candidates.map(_._1).max
+      candidates.collect { case (s, g) if s == win => g.rules }.flatten.toSeq
+    }
   }
 
   /** Compile a robots pattern: literal prefix match with `*` as any-run
@@ -116,7 +124,15 @@ object RobotsTxt {
     * filter — keeping the flag makes the blocked set auditable). Bodies
     * parse once per host into a slim rules relation; evaluation is
     * map-side after the host join with a per-task compiled-rule cache.
-    * The query string never participates (robots paths gate the PATH).
+    *
+    * Rules match PATH + QUERY (the de-facto REP behavior — Google's
+    * reference parser, RFC 9309 lineage — which is what makes the very
+    * common wildcard-query rules, "Disallow: slash-star?sessionid=",
+    * fire); the FRAGMENT never
+    * participates and is stripped BEFORE matching (a `$`-anchored rule
+    * must match a fragment-bearing url, and `*` must never match
+    * fragment text). Scheme-less inputs are treated as having no
+    * authority: the match target starts at their first `/` (or is `/`).
     */
   def gate(urls: DataFrame, urlCol: String,
            robots: DataFrame, hostCol: String, bodyCol: String,
@@ -149,13 +165,21 @@ object RobotsTxt {
             compileRules(row.getSeq[org.apache.spark.sql.Row](rulesIdx)
               .map(r => Rule(r.getBoolean(0), r.getString(1)))))
           val u = row.getString(urlIdx)
-          val rest = u.substring(u.indexOf("://") + 3)
-          val slash = rest.indexOf('/')
-          val path = if (slash < 0) "/" else {
-            val p = rest.substring(slash)
-            val q = p.indexOf('?'); if (q < 0) p else p.substring(0, q)
-          }
-          isAllowedCompiled(rules, path)
+          val schemeAt = u.indexOf("://")
+          val rest = if (schemeAt < 0) u else u.substring(schemeAt + 3)
+          // fragment first: '#' may precede '/' (http://host#f/x) and a
+          // '/' inside the fragment must not be mistaken for the path
+          val hash = rest.indexOf('#')
+          val noFrag = if (hash < 0) rest else rest.substring(0, hash)
+          val slash = noFrag.indexOf('/')
+          val qm = noFrag.indexOf('?')
+          // match target = path + query; a path-less query (http://h?x)
+          // matches as "/?x", a bare authority as "/"
+          val target =
+            if (slash < 0 && qm < 0) "/"
+            else if (qm >= 0 && (slash < 0 || qm < slash)) "/" + noFrag.substring(qm)
+            else noFrag.substring(slash)
+          isAllowedCompiled(rules, target)
         }
         val vals = (0 until row.length).filter(_ != rulesIdx).map(row.get) :+ allowed
         org.apache.spark.sql.Row.fromSeq(vals)

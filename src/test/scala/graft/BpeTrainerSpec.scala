@@ -71,6 +71,30 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"segmentation must be map-only:\n$plan")
   }
 
+  test("a 100-merge sampled-learn run stays bounded and well-formed") {
+    // the scale boundary BpeTrainer documents: learnMerges is for
+    // sampled, tens-to-hundreds-of-merges training runs — this pins that
+    // a 100-merge run over a small sample completes promptly, emits
+    // strictly increasing ranks, and never repeats a merged pair
+    import spark.implicits._
+    val sample = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(200)
+    val t0 = System.nanoTime()
+    val merges = graft.text.BpeTrainer.learnMerges(sample, "text", numMerges = 100)
+      .orderBy("rank").collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    info(f"100 merges learned in $sec%.1f s")
+    assert(merges.length <= 100 && merges.length > 50, s"got ${merges.length} merges")
+    assert(merges.map(_.getInt(0)).toSeq == (1 to merges.length), "ranks gapless (1-based)")
+    val pairs = merges.map(r => (r.getString(1), r.getString(2)))
+    assert(pairs.distinct.length == pairs.length, "no pair learned twice")
+    assert(merges.map(_.getLong(3)).forall(_ >= 1), "every merge has positive mass")
+    // generous wall bound: the point is "minutes, not hours" — a CI-safe
+    // ceiling that still fails if per-iteration cost regresses to corpus
+    // scale
+    assert(sec < 180, f"100 merges took $sec%.0f s — per-iteration cost regressed")
+  }
+
   test("mergePair is left-to-right non-overlapping (canonical odd-run split)") {
     assert(BpeTrainer.mergePair(Vector("a", "a", "a", "a", "a"), "a", "a") ==
       Vector("aa", "aa", "a"))

@@ -203,6 +203,12 @@ class SimilaritySpec extends AnyFunSuite {
       val recall = Similarity.ivfRecallAtK(e, q, 5, numCells = cells, nProbe = 4)
       info(s"IVF recall@5 at $sf (cells=$cells): $recall")
       assert(recall >= 0.6, s"IVF recall@5 at $sf (cells=$cells) was $recall")
+      // one Lloyd round (the gated s_ivf_topk config) must hold the same
+      // floor — refinement tightens cells, it must never wreck them
+      val refined = Similarity.ivfRecallAtK(e, q, 5, numCells = cells, nProbe = 4,
+        lloydRounds = 1)
+      info(s"IVF recall@5 at $sf with 1 Lloyd round: $refined")
+      assert(refined >= 0.6, s"refined IVF recall@5 at $sf was $refined")
     }
   }
 

@@ -316,6 +316,22 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(rows(t) == Map("u1" -> 1, "u2" -> 2))
   }
 
+  test("incremental read honors untilVersion: appends past the bound stay out") {
+    // the consumer protocol for concurrent writers: read latest() first,
+    // bound the incremental scan to it, record it — a commit landing in
+    // between must not be folded into state watermarked below it
+    val t = new SnapshotTable(tmp())
+    t.append(Seq(("u1", 1)).toDF("url", "gen"), "c1")
+    t.append(Seq(("u2", 2)).toDF("url", "gen"), "c2")
+    t.append(Seq(("u3", 3)).toDF("url", "gen"), "c3") // the "racing" append
+    val bounded = t.readAppendsSince(spark, 1, untilVersion = 2).get
+      .as[(String, Int)].collect().toSet
+    assert(bounded == Set(("u2", 2)), s"got $bounded")
+    assert(t.readAppendsSince(spark, 2, untilVersion = 2).isEmpty, "empty window → None")
+    val unbounded = t.readAppendsSince(spark, 1).get.as[(String, Int)].collect().toSet
+    assert(unbounded == Set(("u2", 2), ("u3", 3)))
+  }
+
   test("optimistic concurrency: two interleaved appenders, all 20 commits land, history is linear") {
     // The round-3 race: commits were ATOMIC_MOVE-published, which REPLACES
     // an existing target — two appenders deriving the same version meant

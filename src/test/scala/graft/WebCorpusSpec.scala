@@ -329,7 +329,33 @@ class WebCorpusSpec extends AnyFunSuite {
     val hub = ranks("hub.org")
     assert((1 to 6).forall(i => ranks(s"leaf$i.com") < hub), s"hub must dominate: $ranks")
     assert(ranks.values.forall(_ > 0) && ranks.values.sum <= graft.web.LinkGraph.RankScale,
-      s"integerized mass is conservative (dangling hub leaks): $ranks")
+      s"integerized mass never exceeds the scale: $ranks")
+  }
+
+  test("domainRank: dangling mass redistributes — total conserved within the integer-remainder bound") {
+    import spark.implicits._
+    // hub.org is a pure sink (no outlinks): before the dangling term its
+    // entire 85% share leaked every iteration (star-graph totals decayed
+    // toward 15% of scale); with redistribution the only losses are the
+    // documented integer remainders — one sub-unit per edge, per node
+    // (init + two damping DIVs + sink share) per iteration
+    val star = (1 to 6).map(i => (s"leaf$i.com", "hub.org", 1L)).toDF("src", "dst", "weight")
+    val iters = 5
+    val ranks = graft.web.LinkGraph.domainRank(star, iters = iters)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = 7L; val e = 6L
+    val total = ranks.values.sum
+    val scale = graft.web.LinkGraph.RankScale
+    val bound = n + iters * (e + 3 * n + 2)
+    assert(total <= scale, s"mass must never exceed the scale: $total")
+    assert(total >= scale - bound,
+      s"dangling mass must be redistributed, not leaked: total=$total scale=$scale " +
+        s"(missing ${scale - total}, documented remainder bound $bound)")
+    // sanity: without redistribution 5 iterations lose >50% of the mass
+    // on this graph, so the bound above is a real behavioral gate
+    assert(scale - total < scale / 2)
+    val hub = ranks("hub.org")
+    assert((1 to 6).forall(i => ranks(s"leaf$i.com") < hub), "hub still dominates")
   }
 
   test("capPerDomain: keeps exactly the k smallest md5(id) per domain; prefilter changes nothing") {
@@ -468,17 +494,58 @@ class WebCorpusSpec extends AnyFunSuite {
     assert(RobotsTxt.parse(body, "randombot").isEmpty)
   }
 
-  test("robots.txt gate: host join, default-allow without robots, query string ignored") {
+  test("robots.txt gate: host join, default-allow, path+query matching, fragment stripped") {
     import spark.implicits._
     val u = Seq(
       (1L, "https://a.com/private/x"),
-      (2L, "https://a.com/open/x?path=/private/"), // query must not gate
-      (3L, "https://norobots.com/private/x")
+      // a PREFIX rule anchors at the path start — a query merely
+      // CONTAINING the pattern text must not gate
+      (2L, "https://a.com/open/x?path=/private/"),
+      (3L, "https://norobots.com/private/x"),
+      // path+query matching: the de-facto REP '/*?sess=' idiom fires
+      (4L, "https://a.com/open/x?sess=123"),
+      // the fragment is NOT part of the match target: the $ anchor must
+      // still fire on a fragment-bearing url...
+      (5L, "https://a.com/exact#frag"),
+      // ...and '*' must never match fragment text
+      (6L, "https://a.com/open/y#?sess=1"),
+      // a query breaks the $ anchor (the query IS part of the target)
+      (7L, "https://a.com/exact?x=1"),
+      // scheme-less input: no authority mis-slice (the old indexOf+3
+      // sliced garbage); treated as path-less → "/"
+      (8L, "a.com-relative-garbage")
     ).toDF("id", "url")
-    val robots = Seq(("a.com", "User-agent: *\nDisallow: /private/\n")).toDF("host", "body")
+    val robots = Seq(("a.com",
+      "User-agent: *\nDisallow: /private/\nDisallow: /*?sess=\nDisallow: /exact$\n"))
+      .toDF("host", "body")
     val got = graft.web.RobotsTxt.gate(u, "url", robots, "host", "body", "graftbot")
       .select($"id", $"robots_allowed").as[(Long, Boolean)].collect().toMap
-    assert(got == Map(1L -> false, 2L -> true, 3L -> true), got.toString)
+    assert(got == Map(1L -> false, 2L -> true, 3L -> true, 4L -> false,
+      5L -> false, 6L -> true, 7L -> true, 8L -> true), got.toString)
+  }
+
+  test("robots.txt: duplicate user-agent groups merge (RFC 9309 2.2.1)") {
+    import graft.web.RobotsTxt
+    val body =
+      """User-agent: graftbot
+        |Disallow: /a/
+        |
+        |User-agent: other
+        |Disallow: /
+        |
+        |# hand-edited later addition for the same agent
+        |User-agent: graftbot
+        |Disallow: /b/
+        |""".stripMargin
+    val rules = RobotsTxt.parse(body, "graftbot/1.0")
+    assert(rules.map(_.pattern) == Seq("/a/", "/b/"),
+      s"both graftbot groups' rules must combine: $rules")
+    assert(!RobotsTxt.isAllowed(rules, "/a/x") && !RobotsTxt.isAllowed(rules, "/b/x"))
+    assert(RobotsTxt.isAllowed(rules, "/c/x"))
+    // a LONGER-token group still wins alone: the tie-merge only applies
+    // at the winning specificity
+    val rules2 = RobotsTxt.parse(body + "\nUser-agent: graftbot/1.0\nDisallow: /c/\n", "graftbot/1.0")
+    assert(rules2.map(_.pattern) == Seq("/c/"), s"longest token owns the decision: $rules2")
   }
 
   test("frontier: hosts pin to one worker; per-host slots are gapless and delay-spaced") {
