@@ -573,6 +573,45 @@ object SparkEntry {
       val model = LangModel.bigramModel(d.where(col("lang") === "en"), "doc_id", "text", minCount = 2)
       LangModel.lmScore(d, model, "doc_id", "text")
     }),
+    // CCNet-style quality tiers over the LM fluency score: exact discrete
+    // tertile boundaries from a bounded score histogram (one slim agg +
+    // a histogram-sized window), then a broadcast map-only assignment —
+    // documents never shuffle, ties land low by score value
+    "t_quality_tiers" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = LangModel.bigramModel(d.where(col("lang") === "en"), "doc_id", "text", minCount = 2)
+      val scored = LangModel.lmScore(d, model, "doc_id", "text")
+        .select(col("doc_id"), col("avg_ppm"))
+      graft.sample.Tiering.assignTiers(scored, "avg_ppm", numTiers = 3)
+        .select(col("doc_id"), col("avg_ppm"),
+          when(col("tier") === 2, lit("head")).when(col("tier") === 1, lit("middle"))
+            .otherwise(lit("tail")).as("tier"))
+    }),
+    // tier mixture card: per-tier doc + token mass — the number a training
+    // recipe consumes ("how many head tokens exist"); slim (id, tokens)
+    // join against the tier assignment, documents still never shuffle
+    "q_tier_mix" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = LangModel.bigramModel(d.where(col("lang") === "en"), "doc_id", "text", minCount = 2)
+      val scored = LangModel.lmScore(d, model, "doc_id", "text")
+        .select(col("doc_id"), col("avg_ppm"))
+      val toks = d.select(col("doc_id"), TextAnalytics.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.sample.Tiering.assignTiers(scored, "avg_ppm", numTiers = 3)
+        .join(toks, "doc_id")
+        .groupBy(when(col("tier") === 2, lit("head")).when(col("tier") === 1, lit("middle"))
+          .otherwise(lit("tail")).as("tier"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    }),
+    // leakage-safe holdout split keyed by REGISTERED DOMAIN (near-dups
+    // and templated pages concentrate within a domain; an id-hash split
+    // would leak train content into val through its near-copies) —
+    // map-only md5-bucket decision, zero shuffle
+    "q_split_holdout" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), synthUrl.as("url"))
+        .withColumn("domain", UrlOps.registeredDomain(UrlOps.host(col("url"))))
+      graft.sample.Sampler.holdoutSplit(d, "domain", valBp = 1000)
+        .select(col("doc_id"), col("domain"), col("split"))
+    }),
     // deterministic stratified downsampling: md5-bucket filter under
     // broadcast per-(source,lang) rates — map-only over the corpus
     "q_sample_stratified" -> ((s, dir) => {
@@ -1210,6 +1249,35 @@ object SparkEntry {
       |p5 AS (SELECT *,
       |  regexp_replace(regexp_replace('&' || q || '&', '&(utm_[^&]*|gclid=[^&]*|fbclid=[^&]*)', '', 'g'), '^&+|&+$', '', 'g') AS q2,
       |  regexp_extract(regexp_replace(host, ':[0-9]+$', ''), '([^.]+\.[^.]+)$', 1) AS domain FROM p4)""".stripMargin
+
+  /** LM-fluency CTE chain (twin of [[LangModel.bigramModel]] +
+    * [[LangModel.lmScore]]): ends in
+    * `sc(doc_id, n_bigrams, seen_bigrams, sum_ppm, avg_ppm)` — one row
+    * per document. Shared by `t_lm_score` and the tier oracles so the
+    * tier twins provably cut the SAME score distribution.
+    */
+  private val lmScoreCte =
+    """t AS (SELECT doc_id, lang,
+      |  CASE WHEN length(trim(text)) = 0 THEN []
+      |       ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS l
+      |FROM documents),
+      |b AS (SELECT doc_id, lang, z[1] AS w1, z[2] AS w2
+      |  FROM (SELECT doc_id, lang, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+      |        FROM t WHERE len(l) >= 2)),
+      |c12 AS (SELECT w1, w2, count(*) AS c12 FROM b WHERE lang = 'en' GROUP BY 1, 2),
+      |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+      |m AS (SELECT c12.w1, c12.w2, (c12.c12 * 1000000) // c1.c1 AS p_ppm
+      |  FROM c12 JOIN c1 USING (w1) WHERE c12.c12 >= 2),
+      |s AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(count(m.p_ppm) AS BIGINT) AS seen_bigrams,
+      |  CAST(coalesce(sum(m.p_ppm), 0) AS BIGINT) AS sum_ppm
+      |  FROM b LEFT JOIN m ON b.w1 = m.w1 AND b.w2 = m.w2 GROUP BY 1),
+      |sc AS (SELECT d.doc_id,
+      |  CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |  CAST(coalesce(s.seen_bigrams, 0) AS BIGINT) AS seen_bigrams,
+      |  CAST(coalesce(s.sum_ppm, 0) AS BIGINT) AS sum_ppm,
+      |  CAST(coalesce(s.sum_ppm, 0) // greatest(coalesce(s.n_bigrams, 0), 1) AS BIGINT) AS avg_ppm
+      |FROM documents d LEFT JOIN s USING (doc_id))""".stripMargin
 
   /** The synthetic-outlink text expression (twin of [[outlinkText]]).
     * Single line for the same stripMargin reason as [[piiSqlExpr]].
@@ -1849,27 +1917,36 @@ object SparkEntry {
     // LM fluency twin: same lowercased-token bigrams, same en-slice
     // training, integer `//` division end to end (= Spark DIV)
     "t_lm_score" ->
-      """WITH t AS (SELECT doc_id, lang,
-        |  CASE WHEN length(trim(text)) = 0 THEN []
-        |       ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS l
-        |FROM documents),
-        |b AS (SELECT doc_id, lang, z[1] AS w1, z[2] AS w2
-        |  FROM (SELECT doc_id, lang, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
-        |        FROM t WHERE len(l) >= 2)),
-        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM b WHERE lang = 'en' GROUP BY 1, 2),
-        |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
-        |m AS (SELECT c12.w1, c12.w2, (c12.c12 * 1000000) // c1.c1 AS p_ppm
-        |  FROM c12 JOIN c1 USING (w1) WHERE c12.c12 >= 2),
-        |s AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |  CAST(count(m.p_ppm) AS BIGINT) AS seen_bigrams,
-        |  CAST(coalesce(sum(m.p_ppm), 0) AS BIGINT) AS sum_ppm
-        |  FROM b LEFT JOIN m ON b.w1 = m.w1 AND b.w2 = m.w2 GROUP BY 1)
-        |SELECT d.doc_id,
-        |  CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-        |  CAST(coalesce(s.seen_bigrams, 0) AS BIGINT) AS seen_bigrams,
-        |  CAST(coalesce(s.sum_ppm, 0) AS BIGINT) AS sum_ppm,
-        |  CAST(coalesce(s.sum_ppm, 0) // greatest(coalesce(s.n_bigrams, 0), 1) AS BIGINT) AS avg_ppm
-        |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
+      s"""WITH $lmScoreCte
+        |SELECT doc_id, n_bigrams, seen_bigrams, sum_ppm, avg_ppm FROM sc""".stripMargin,
+    // CCNet-style tier twin: exact discrete tertiles of avg_ppm via the
+    // same histogram-cumulative product comparison (cum·3 >= k·n) as
+    // Tiering.tierBoundaries — no division anywhere, ties land low
+    "t_quality_tiers" ->
+      s"""WITH $lmScoreCte,
+        |h AS (SELECT avg_ppm AS s, count(*) AS c FROM sc GROUP BY 1),
+        |cm AS (SELECT s, sum(c) OVER (ORDER BY s) AS cum, sum(c) OVER () AS n FROM h),
+        |bnd AS (SELECT min(CASE WHEN cum * 3 >= n THEN s END) AS b1,
+        |               min(CASE WHEN cum * 3 >= n * 2 THEN s END) AS b2 FROM cm)
+        |SELECT sc.doc_id, sc.avg_ppm,
+        |  CASE WHEN sc.avg_ppm > bnd.b2 THEN 'head'
+        |       WHEN sc.avg_ppm > bnd.b1 THEN 'middle' ELSE 'tail' END AS tier
+        |FROM sc, bnd""".stripMargin,
+    // tier mixture card: docs + whitespace tokens per tier — the number a
+    // training recipe actually consumes ("how many head tokens do I have")
+    "q_tier_mix" ->
+      s"""WITH $lmScoreCte,
+        |h AS (SELECT avg_ppm AS s, count(*) AS c FROM sc GROUP BY 1),
+        |cm AS (SELECT s, sum(c) OVER (ORDER BY s) AS cum, sum(c) OVER () AS n FROM h),
+        |bnd AS (SELECT min(CASE WHEN cum * 3 >= n THEN s END) AS b1,
+        |               min(CASE WHEN cum * 3 >= n * 2 THEN s END) AS b2 FROM cm),
+        |tk AS (SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens FROM documents)
+        |SELECT CASE WHEN sc.avg_ppm > bnd.b2 THEN 'head'
+        |            WHEN sc.avg_ppm > bnd.b1 THEN 'middle' ELSE 'tail' END AS tier,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tk.n_tokens) AS BIGINT) AS n_tokens
+        |FROM sc JOIN tk USING (doc_id), bnd GROUP BY 1""".stripMargin,
     "q_sample_dsir" ->
       """WITH w AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
         |g AS (SELECT doc_id, lang,
@@ -1891,6 +1968,15 @@ object SparkEntry {
         |  CAST(coalesce(s.sum_w, 0) AS BIGINT) AS sum_w,
         |  CAST(coalesce(s.sum_w, 0) // greatest(coalesce(s.n_grams, 0), 1) AS BIGINT) AS avg_w
         |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
+    // domain-keyed holdout twin: same messy-url synthesis + canonical
+    // host/domain extraction as the w_* oracles, same md5-bucket window
+    // as the stratified sampler (chars 1-8 of md5 of the KEY)
+    "q_split_holdout" ->
+      s"""WITH $urlCte
+         |SELECT doc_id, domain,
+         |  CASE WHEN ('0x' || substr(md5(domain), 1, 8))::BIGINT % 10000 < 1000
+         |       THEN 'val' ELSE 'train' END AS split
+         |FROM p5""".stripMargin,
     "q_sample_stratified" ->
       """WITH rates AS (SELECT DISTINCT source, lang,
         |  CASE WHEN lang = 'en' THEN 7000 ELSE 3000 END AS rate_bp FROM documents)

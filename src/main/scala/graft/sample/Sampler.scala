@@ -108,6 +108,27 @@ object Sampler {
       .drop("graft_sub", "graft_cum", "graft_share", "budget")
   }
 
+  /** Leakage-safe holdout split: adds `splitCol` = "val" iff the KEY's
+    * md5 bucket falls under `valBp` basis points, else "train". Splitting
+    * by a GROUPING key (registered domain, canonical url, cluster id)
+    * rather than the document id is the point: near-duplicates and
+    * templated pages concentrate within a domain, so an id-hash split
+    * leaks train content into validation through its near-copies — a
+    * domain-keyed split puts every page of a domain on the same side.
+    * The decision reuses [[bucket10k]] (md5 chars 1–8), so it is
+    * engine-portable and reproducible run-over-run; re-crawling a domain
+    * never migrates it across the split.
+    *
+    * Scale shape: map-only — a hash of a column already on the row; zero
+    * shuffle, zero state, composes with every downstream filter.
+    */
+  def holdoutSplit(docs: DataFrame, keyCol: String, valBp: Int,
+      splitCol: String = "split"): DataFrame = {
+    require(valBp >= 0 && valBp <= 10000, s"valBp must be in [0, 10000], got $valBp")
+    docs.withColumn(splitCol,
+      when(bucket10k(col(keyCol)) < valBp, lit("val")).otherwise(lit("train")))
+  }
+
   /** Up-sample strata by FRACTIONAL epoch counts — the other half of
     * mixture construction (training recipes repeat high-quality sources:
     * "2.5 epochs of wiki, 0.5 of crawl"). Each document appears
