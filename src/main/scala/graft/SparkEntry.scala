@@ -715,6 +715,14 @@ object SparkEntry {
       UrlOps.domainStats(
         docs(s, dir).select(synthUrl.as("url"), TextAnalytics.isQuality(col("text")).as("q")),
         "url", "q")),
+    // recrawl consolidation: canonical-url revision stats (fetch count,
+    // distinct content versions, latest-wins id + fingerprint) — one slim
+    // (canon_url, id, fp) exchange, payloads never move
+    "w_url_revisions" -> ((s, dir) =>
+      UrlOps.urlRevisions(
+        docs(s, dir).select(col("doc_id"), synthUrl.as("url"),
+          TextAnalytics.fingerprint(col("text")).as("fp")),
+        "url", "doc_id", "fp")),
     // blocklist pruning as a broadcast anti-join (never isin literals):
     // the corpus side stays map-only
     "w_blocklist_keep" -> ((s, dir) => {
@@ -1623,6 +1631,19 @@ object SparkEntry {
          |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
          |  CAST(count(*) FILTER (WHERE $qualityPredSql) AS BIGINT) AS n_quality
          |FROM p5 GROUP BY 1""".stripMargin,
+    // revision twin: same canonical assembly as w_url_canon, same
+    // normalized-md5 fingerprint as t_fingerprint; latest-wins = max_by
+    // on the unique doc_id (fetch order)
+    "w_url_revisions" ->
+      s"""WITH $urlCte,
+         |c AS (SELECT doc_id,
+         |  scheme || '://' || host || path || (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END) AS canon_url,
+         |  $fpSql AS fp FROM p5)
+         |SELECT canon_url, CAST(count(*) AS BIGINT) AS n_fetches,
+         |  CAST(count(DISTINCT fp) AS BIGINT) AS n_versions,
+         |  CAST(max(doc_id) AS BIGINT) AS latest_id,
+         |  max_by(fp, doc_id) AS latest_fp
+         |FROM c GROUP BY 1""".stripMargin,
     "w_blocklist_keep" ->
       s"""WITH $urlCte
          |SELECT doc_id, domain FROM p5

@@ -172,6 +172,30 @@ object UrlOps {
     withDomain.join(broadcast(blocked.select(col("domain"))), Seq("domain"), "left_anti")
   }
 
+  /** Canonical-url revision statistics — the recrawl-consolidation step:
+    * a crawl fetches the same page across dumps under varying spellings
+    * (tracking params, fragments, case), so consolidation groups by the
+    * CANONICAL url and reports, per page: how many times it was fetched
+    * (`n_fetches`), how many distinct content versions those fetches saw
+    * (`n_versions` — content drift), and the latest fetch's id and
+    * fingerprint (`latest_id`/`latest_fp`, latest-wins by `idCol` —
+    * crawl ids are fetch-ordered). Downstream dedup keeps `latest_fp`;
+    * `n_versions > 1` feeds recrawl scheduling (volatile pages get
+    * shorter revisit intervals).
+    *
+    * Scale shape: one exchange of slim (canon_url, id, fp) triples with
+    * map-side partial aggregation; payloads never move. The distinct
+    * count is per-group two-phase, never a global distinct.
+    */
+  def urlRevisions(df: DataFrame, urlCol: String, idCol: String, fpCol: String): DataFrame =
+    df.select(canonicalize(col(urlCol)).as("canon_url"), col(idCol), col(fpCol))
+      .groupBy(col("canon_url"))
+      .agg(
+        count(lit(1)).as("n_fetches"),
+        countDistinct(col(fpCol)).as("n_versions"),
+        max(col(idCol)).as("latest_id"),
+        max_by(col(fpCol), col(idCol)).as("latest_fp"))
+
   /** True iff the page's markup carries `<meta name="robots">` with the
     * given directive (`noindex` / `nofollow` / `noarchive` …) — the
     * publisher opt-out a compliant training-data crawl honors before

@@ -73,6 +73,23 @@ class WebCorpusSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L))
   }
 
+  test("urlRevisions: spelling variants consolidate; latest fetch wins; drift counted") {
+    import spark.implicits._
+    // three spellings of ONE canonical page (tracking param, fragment,
+    // case), two content versions; plus an untouched singleton page
+    val df = Seq(
+      (1L, "https://a.com/p?utm_source=x", "v1"),
+      (2L, "HTTPS://A.com/p#frag", "v1"),
+      (3L, "https://a.com/p", "v2"),
+      (4L, "https://b.com/q", "v9")
+    ).toDF("doc_id", "url", "fp")
+    val got = UrlOps.urlRevisions(df, "url", "doc_id", "fp")
+      .as[(String, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("https://a.com/p", 3L, 2L, 3L, "v2"),
+      ("https://b.com/q", 1L, 1L, 4L, "v9")))
+  }
+
   test("redact: all three PII shapes replaced, counts exact, order-safe") {
     import spark.implicits._
     val t = "Mail a.user+tag@sub.domain-x.co, host 10.0.255.7, call +4915512345678 or +1234567."
