@@ -602,6 +602,24 @@ object SparkEntry {
           .otherwise(lit("tail")).as("tier"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
     }),
+    // the tier-extraction recipe end-to-end (CCNet downstream): score ->
+    // tier -> per-tier keep rates (head 100%, middle 50%, tail 10%) —
+    // tiering's broadcast bounds compose with the sampler's broadcast
+    // rates; the corpus still never shuffles after the score agg
+    "q_tier_sample" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val model = LangModel.bigramModel(d.where(col("lang") === "en"), "doc_id", "text", minCount = 2)
+      val scored = LangModel.lmScore(d, model, "doc_id", "text")
+        .select(col("doc_id"), col("avg_ppm"))
+      val tiers = graft.sample.Tiering.assignTiers(scored, "avg_ppm", numTiers = 3)
+        .withColumn("tier",
+          when(col("tier") === 2, lit("head")).when(col("tier") === 1, lit("middle"))
+            .otherwise(lit("tail")))
+      val rates = Seq(("head", 10000), ("middle", 5000), ("tail", 1000)).toDF("tier", "rate_bp")
+      graft.sample.Sampler.sampleStratified(tiers, rates, "doc_id", Seq("tier"))
+        .select(col("doc_id"), col("avg_ppm"), col("tier"))
+    }),
     // leakage-safe holdout split keyed by REGISTERED DOMAIN (near-dups
     // and templated pages concentrate within a domain; an id-hash split
     // would leak train content into val through its near-copies) —
@@ -1989,6 +2007,21 @@ object SparkEntry {
         |  CAST(coalesce(s.sum_w, 0) AS BIGINT) AS sum_w,
         |  CAST(coalesce(s.sum_w, 0) // greatest(coalesce(s.n_grams, 0), 1) AS BIGINT) AS avg_w
         |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
+    // tier-sample twin: the tier CASE composes with the stratified
+    // sampler's md5-bucket window under per-tier rates
+    "q_tier_sample" ->
+      s"""WITH $lmScoreCte,
+        |h AS (SELECT avg_ppm AS s, count(*) AS c FROM sc GROUP BY 1),
+        |cm AS (SELECT s, sum(c) OVER (ORDER BY s) AS cum, sum(c) OVER () AS n FROM h),
+        |bnd AS (SELECT min(CASE WHEN cum * 3 >= n THEN s END) AS b1,
+        |               min(CASE WHEN cum * 3 >= n * 2 THEN s END) AS b2 FROM cm),
+        |a AS (SELECT sc.doc_id, sc.avg_ppm,
+        |  CASE WHEN sc.avg_ppm > bnd.b2 THEN 'head'
+        |       WHEN sc.avg_ppm > bnd.b1 THEN 'middle' ELSE 'tail' END AS tier
+        |FROM sc, bnd)
+        |SELECT doc_id, avg_ppm, tier FROM a
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 <
+        |  CASE tier WHEN 'head' THEN 10000 WHEN 'middle' THEN 5000 ELSE 1000 END""".stripMargin,
     // domain-keyed holdout twin: same messy-url synthesis + canonical
     // host/domain extraction as the w_* oracles, same md5-bucket window
     // as the stratified sampler (chars 1-8 of md5 of the KEY)

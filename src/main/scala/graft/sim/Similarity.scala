@@ -245,6 +245,21 @@ object Similarity {
     * luck. `nProbe` is the recall/cost knob (fraction of corpus scanned
     * ≈ nProbe/numCells): measured recall@5 0.90–0.98 at nProbe=4 on the
     * test corpora (SimilaritySpec floor 0.6; BENCH reports it per run).
+    *
+    * Measured refinement behavior ([[graft.tools.IvfRecallProbe]], sf0.1
+    * synthetic embeddings): recall@5 at nProbe=4 is 0.98 / 0.94 / 0.86 at
+    * 0 / 1 / 2 Lloyd rounds, while cell balance is IDENTICAL across
+    * rounds (top-4-cell mass 0.112/0.111/0.110) and probing by float
+    * cosine instead of the quantized dot reproduces the exact same
+    * numbers — so neither skew nor probe-metric bias explains it. What
+    * changes is the PARTITION: on an unclustered corpus, seed centroids
+    * (actual data points) anchor cosine neighborhoods better than cell
+    * means, which drift toward the global mean and scatter neighbor
+    * pairs across cell boundaries. On genuinely clustered embeddings the
+    * refinement helps; on near-uniform ones `lloydRounds = 0` is the
+    * better default and `nProbe` buys the recall back (0.98 at nProbe=8,
+    * rounds=1). The gated `s_ivf_topk` runs 1 round to keep the
+    * refinement machinery value-exact under oracle.
     */
   /** Bias added before the integer mean's `DIV`: quantized components lie
     * in ±1000 × max|component|, far under this, so the shifted sum is
@@ -253,11 +268,16 @@ object Similarity {
     */
   val LloydMeanBias: Long = 1L << 20
 
-  def ivfTopK(
-      corpus: DataFrame, queries: DataFrame, k: Int,
-      numCells: Int, nProbe: Int = 4, lloydRounds: Int = 0
-  ): DataFrame = {
-    val cq = cosineQ(corpus) _
+  /** The IVF index-build step on its own: seed centroids (smallest-id
+    * vectors), `lloydRounds` refinement rounds, and the final per-vector
+    * cell assignment. Returns (centroids `(cid, ce)` — broadcast-tagged,
+    * assignments `(vid, cell)`). [[ivfTopK]] composes this with the
+    * probe; exposing it separately lets a pipeline BUILD the index once
+    * (persist the assignments next to the corpus) and probe many times,
+    * and makes cell-balance diagnostics first-class.
+    */
+  def ivfAssign(corpus: DataFrame, numCells: Int,
+      lloydRounds: Int = 0): (DataFrame, DataFrame) = {
     val qd = qdotNative(corpus) _
     val v = corpus.select(col("vec_id").as("vid"), col("embedding").as("ve"))
     def assign(cent: DataFrame): DataFrame =
@@ -291,6 +311,17 @@ object Similarity {
           expr("transform(dq, p -> CAST(p.q AS FLOAT))").as("ce")))
       asn = assign(cent)
     }
+    (cent, asn)
+  }
+
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      numCells: Int, nProbe: Int = 4, lloydRounds: Int = 0
+  ): DataFrame = {
+    val cq = cosineQ(corpus) _
+    val qd = qdotNative(corpus) _
+    val v = corpus.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+    val (cent, asn) = ivfAssign(corpus, numCells, lloydRounds)
     val assigned = v.join(asn, "vid")
     val qw = Window.partitionBy("qid").orderBy(col("cs").desc, col("cid"))
     val qp = broadcast(

@@ -444,4 +444,48 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(plan).size == 1,
       s"exactly one exchange (the slim fp group-by):\n$plan")
   }
+
+  test("holdout split: map-only — zero exchanges, decision stays in one codegen span") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang").as("key"))
+    val df = graft.sample.Sampler.holdoutSplit(d, "key", valBp = 1000)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"split must not shuffle:\n$plan")
+    assert(plan.contains("*(1) Project"), s"split must codegen:\n$plan")
+  }
+
+  test("tier assignment: corpus never shuffles — shuffles touch only the score histogram") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), length(col("text")).cast("long").as("s"))
+    val plan = finalPlan(graft.sample.Tiering.assignTiers(d, "s"))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"1-row bounds must broadcast under the corpus:\n$plan")
+    // every shuffle in the plan belongs to the bounded-histogram side:
+    // keyed by the score (graft_s) or the single-partition window/agg —
+    // never by a corpus column
+    val shuffles = plan.linesIterator.filter(_.contains("Exchange"))
+      .filterNot(_.contains("BroadcastExchange")).toVector
+    assert(shuffles.nonEmpty, s"histogram agg must exist:\n$plan")
+    // the histogram exchange keys on the score attribute (pre-alias name
+    // `s` here), the window/bounds agg on SinglePartition — never doc_id
+    assert(shuffles.forall(l =>
+      l.contains("(s#") || l.contains("graft_s") || l.contains("SinglePartition")),
+      s"corpus rows must never shuffle:\n${shuffles.mkString("\n")}")
+    assert(!plan.contains("Exchange hashpartitioning(doc_id"),
+      s"corpus rows must never shuffle:\n$plan")
+  }
+
+  test("url revisions: shuffles carry only the slim (canon_url, id, fp) triple, with map-side partials") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val slim = d.select(col("doc_id"), concat(lit("https://x.com/p"), col("doc_id") % 7).as("url"),
+      md5(col("text")).as("fp"))
+    val plan = finalPlan(graft.web.UrlOps.urlRevisions(slim, "url", "doc_id", "fp"))
+    val shuffles = plan.linesIterator.filter(_.contains("Exchange"))
+      .filterNot(_.contains("BroadcastExchange")).toVector
+    assert(shuffles.nonEmpty && shuffles.forall(l => !l.contains("text#")),
+      s"the text payload must never shuffle:\n${shuffles.mkString("\n")}")
+    assert(plan.contains("partial_count") || plan.contains("partial_merge") ||
+      "HashAggregate".r.findAllIn(plan).size >= 2,
+      s"group-by must have a map-side partial:\n$plan")
+  }
 }
