@@ -23,7 +23,9 @@ import org.apache.spark.sql.functions._
   * never of a sort position), so tier masses are exact thirds only up to
   * tie mass — the honest discrete-quantile semantics. A degenerate
   * corpus where one score carries most of the mass collapses the upper
-  * tiers to empty rather than splitting a tie arbitrarily.
+  * tiers to empty rather than splitting a tie arbitrarily. NULL scores
+  * (none in the gated pipelines — the LM score is total) compare null
+  * against every boundary and deterministically land in tier 0.
   *
   * Scale shape: one slim aggregation builds the histogram (distinct
   * integer scores — for ppm-style scores at most ~1e6 rows however large
