@@ -1024,6 +1024,13 @@ object SparkEntry {
     "d_drop_freq_lines" -> ((s, dir) =>
       graft.dedup.LineDedup.dropFrequentLines(
         docs(s, dir).withColumn("text", multilineText), "doc_id", "text", minDf = 30L)),
+    // cross-document paragraph dedup, first occurrence wins (RefinedWeb
+    // rule): slim (fp, id, pos) reduce, per-doc drop arrays, map-only
+    // positional cleanse — the exact complement of the frequency-
+    // threshold catalog above
+    "d_drop_dup_paras" -> ((s, dir) =>
+      graft.dedup.LineDedup.dropDupParagraphs(
+        docs(s, dir).withColumn("text", multilineText), "doc_id", "text")),
     "d_exact_groups" -> ((s, dir) =>
       Dedup.exactGroups(docs(s, dir), "doc_id", "text")),
     // incremental (delta) dedup: the new-crawl batch (doc_id % 10 ∈ {8,9})
@@ -2114,6 +2121,32 @@ object SparkEntry {
          |  FROM documents),
          |$lineCleanseCtes
          |$lineCleanseSelect""".stripMargin,
+    // paragraph-dedup twin: row_number over (doc_id, pos) picks the same
+    // first occurrence as Spark's lexicographic struct-min; 0-based
+    // positions; string_agg ORDER BY pos rebuilds the kept text
+    "d_drop_dup_paras" ->
+      s"""WITH lt AS (SELECT doc_id, ${multilineSql("text")} AS t
+         |  FROM documents),
+         |w AS (SELECT doc_id, string_split(t, chr(10)) AS ps FROM lt),
+         |px AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ps[i] AS para
+         |  FROM (SELECT doc_id, ps, unnest(generate_series(1, len(ps))) AS i FROM w)),
+         |o AS (SELECT doc_id, pos, md5(para) AS fp FROM px),
+         |f AS (SELECT fp, doc_id AS fd, pos AS fpos FROM (
+         |  SELECT fp, doc_id, pos,
+         |    row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn FROM o)
+         |  WHERE rn = 1),
+         |dr AS (SELECT o.doc_id, o.pos FROM o JOIN f USING (fp)
+         |  WHERE NOT (o.doc_id = f.fd AND o.pos = f.fpos)),
+         |k AS (SELECT px.doc_id, px.pos, px.para FROM px
+         |  LEFT JOIN dr ON px.doc_id = dr.doc_id AND px.pos = dr.pos
+         |  WHERE dr.pos IS NULL),
+         |c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |  string_agg(para, chr(10) ORDER BY pos) AS clean_text FROM k GROUP BY 1)
+         |SELECT w.doc_id,
+         |  CAST(len(w.ps) AS BIGINT) AS n_paras,
+         |  CAST(coalesce(c.n_kept, 0) AS BIGINT) AS n_kept,
+         |  coalesce(c.clean_text, '') AS clean_text
+         |FROM w LEFT JOIN c USING (doc_id)""".stripMargin,
     // the composed web-ingest chain: robots opt-out gate → NFC
     // normalization → corpus line cleanse, in crawl order (the catalog is
     // computed over the POST-gate, POST-normalization corpus — exactly

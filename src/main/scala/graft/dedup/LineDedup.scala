@@ -54,6 +54,63 @@ object LineDedup {
       .orderBy(col("df").desc, col("line_md5"))
       .limit(maxCatalog)
 
+  /** Cross-document paragraph dedup, FIRST OCCURRENCE WINS (the
+    * RefinedWeb rule): a paragraph occurrence `(doc, pos)` survives iff
+    * it is the corpus-wide first occurrence of its content hash in
+    * `(id, pos)` order — later copies are removed IN PLACE while the
+    * documents stay. This is the other half of line-level cleansing:
+    * [[dropFrequentLines]] removes lines that are boilerplate BY
+    * FREQUENCY (df ≥ threshold, bounded catalog); this removes EVERY
+    * later copy of ANY duplicated paragraph, including a 2-document
+    * near-syndication the frequency threshold deliberately ignores — and
+    * a document repeating its own paragraph keeps only the earliest.
+    * Emits (idCol, n_paras, n_kept, clean_text), order preserved.
+    *
+    * Scale shape (10^12 documents):
+    *  1. occurrences explode to slim (fp, id, pos) triples — md5 hex +
+    *     two longs, never the text; the first-occurrence reduce is a
+    *     map-side-partial `min(struct(id, pos))` per fp (hash-keyed
+    *     exchange of slim rows).
+    *  2. the DROP set (non-first occurrences) collapses per document
+    *     into one (id, sorted drop-positions array) row — bounded by the
+    *     document's own paragraph count, tiny for the overwhelmingly
+    *     non-duplicated majority (absent row = keep everything).
+    *  3. cleanse is a doc-keyed LEFT join of that slim drop relation
+    *     followed by a map-only positional `filter` + rejoin. Unlike the
+    *     frequent-line catalog the drop relation is NOT globally bounded
+    *     (it lists every duplicated occurrence), so this is a keyed join
+    *     (AQE broadcasts it when small), not a 1-row broadcast — the
+    *     honest cost of exact first-wins semantics; document text still
+    *     moves at most once and never through an exchange keyed by
+    *     anything but its own id.
+    *
+    * Engine-portable: md5 hex of the raw paragraph, lexicographic
+    * struct-min for "first", 0-based positions — the DuckDB oracle
+    * replays all three exactly.
+    */
+  def dropDupParagraphs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val occ = df
+      .select(col(idCol).as("_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "para")))
+      .select(col("_id"), col("pos").cast("long").as("pos"),
+        md5(col("para").cast("binary")).as("fp"))
+    val first = occ.groupBy(col("fp"))
+      .agg(min(struct(col("_id").as("d"), col("pos").as("p"))).as("f"))
+    val drops = occ.join(first, "fp")
+      .where(col("_id") =!= col("f.d") || col("pos") =!= col("f.p"))
+      .groupBy(col("_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("drop_pos"))
+    val paras = split(col(textCol), "\n")
+    val kept = filter(paras, (x, i) =>
+      !coalesce(array_contains(col("drop_pos"), i.cast("long")), lit(false)))
+    df.join(drops, col(idCol) === col("_id"), "left")
+      .select(
+        col(idCol),
+        size(paras).cast("long").as("n_paras"),
+        size(kept).cast("long").as("n_kept"),
+        array_join(kept, "\n").as("clean_text"))
+  }
+
   /** Per-document cleanse against the frequent-line catalog. Emits
     * (idCol, n_lines, n_kept, clean_text) with the surviving lines
     * re-joined by newline in original order.

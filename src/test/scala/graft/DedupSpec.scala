@@ -17,6 +17,30 @@ class DedupSpec extends AnyFunSuite {
   private val longB = "the quick brown fox jumps over the lazy dog near the quiet river bank tonight" // 1-word diff
   private val longC = "completely different content about spark catalyst optimizer rules and physical plans here"
 
+  test("paragraph dedup: first occurrence wins across docs; within-doc repeats keep the earliest") {
+    val d = df(
+      1L -> "shared para\nown one\nself\nself",
+      2L -> "own two\nshared para\nother",
+      3L -> "shared para\nown three")
+    val out = graft.dedup.LineDedup.dropDupParagraphs(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    // doc 1 owns the first "shared para" and the first "self"
+    assert(out(0) == ((1L, 4L, 3L, "shared para\nown one\nself")))
+    // doc 2's copy (pos 1) loses to doc 1's (doc 1 < doc 2)
+    assert(out(1) == ((2L, 3L, 2L, "own two\nother")))
+    assert(out(2) == ((3L, 2L, 1L, "own three")))
+  }
+
+  test("paragraph dedup: duplicate-free corpus is untouched; all-dup doc empties") {
+    val d = df(1L -> "a\nb", 2L -> "c\nd", 3L -> "a\nb")
+    val out = graft.dedup.LineDedup.dropDupParagraphs(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).sortBy(_._1)
+    assert(out(0) == ((1L, 2L, "a\nb")))
+    assert(out(1) == ((2L, 2L, "c\nd")))
+    assert(out(2) == ((3L, 0L, "")))
+  }
+
   test("line dedup: corpus-frequent lines dropped, unique prose kept in order") {
     val nav = "NAV: home about"
     val foot = "(c) 2024 portal"
