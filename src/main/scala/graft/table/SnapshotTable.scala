@@ -546,6 +546,44 @@ final class SnapshotTable(
     publish(df, commitId, keyCols)
   }
 
+  /** ROLLBACK (Iceberg `rollback_to_snapshot` analog): publish a NEW
+    * version whose visible content is exactly `toVersion`'s — entries,
+    * deletes, row count, and schema copied verbatim. Nothing is deleted:
+    * every intermediate version stays time-travel-readable (`readAt`),
+    * and a concurrent reader never loses a manifest mid-scan. The
+    * publish rides the same hard-link CAS as every commit, so a racing
+    * appender either lands before the rollback (and is rolled back with
+    * everything else) or re-derives against the rollback as the new
+    * latest.
+    *
+    * Semantics pinned deliberately: rollback undoes VISIBILITY, not
+    * commit history — the full commit-id list is retained (plus a
+    * `rollback-to-<V>:<id>` marker), so an exactly-once producer
+    * replaying an already-committed id after the rollback stays a no-op
+    * (`hasCommit` true); re-ingesting rolled-back data is an explicit
+    * new commit id. And because a rollback adds no data dirs,
+    * `readAppendsSince` yields an EMPTY delta for it — restoring removed
+    * visibility is a table-level event, not an append-stream event.
+    */
+  def rollbackTo(toVersion: Int, commitId: String): Int = {
+    var attempt = 0
+    while (true) {
+      val target = snapshotAt(toVersion).getOrElse(throw new IllegalArgumentException(
+        s"rollback target version $toVersion does not exist"))
+      val prev = latest().getOrElse(throw new IllegalStateException(
+        "rollback on an empty table"))
+      require(toVersion <= prev.version,
+        s"rollback target $toVersion is ahead of latest ${prev.version}")
+      if (tryCommit(prev.version + 1, target.entries, target.deletes, target.rowCount,
+          prev.commitIds :+ s"rollback-to-$toVersion:$commitId", target.schemaJson))
+        return prev.version + 1
+      attempt += 1
+      require(attempt < MaxCommitAttempts,
+        s"rollback '$commitId' lost the manifest CAS $MaxCommitAttempts times")
+    }
+    -1 // unreachable
+  }
+
   /** Delete-only commit: every live row whose key appears in `keys`
     * (parquet of exactly the key columns) stops being visible — the
     * takedown/GDPR path. No data is rewritten until the next compaction.

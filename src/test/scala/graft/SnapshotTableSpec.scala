@@ -32,6 +32,28 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(rows(t) == Map("u1" -> 3, "u2" -> 3))
   }
 
+  test("rollback: visibility restored to the target; history, replay, and time travel intact") {
+    val t = new SnapshotTable(tmp())
+    val v1 = t.append(Seq(("u1", 1), ("u2", 1)).toDF("url", "gen"), "c1")
+    t.upsert(Seq(("u2", 2), ("u3", 2)).toDF("url", "gen"), "c2", Seq("url"))
+    val v3 = t.rollbackTo(v1, "rb1")
+    assert(v3 == 3, "rollback must be a NEW version, not a deletion")
+    assert(rows(t) == Map("u1" -> 1, "u2" -> 1), "latest reads the rollback target")
+    // every version still time-travels, including the rolled-back one
+    assert(t.readAt(spark, 2).get.as[(String, Int)].collect().toMap ==
+      Map("u1" -> 1, "u2" -> 2, "u3" -> 2))
+    // exactly-once replay: the rolled-back commit id is still recognized
+    assert(t.hasCommit("c2"), "rollback undoes visibility, not commit history")
+    // the rollback publishes NO data dirs: incremental readers see an empty delta
+    assert(t.readAppendsSince(spark, sinceVersion = 2).isEmpty ||
+      t.readAppendsSince(spark, sinceVersion = 2).get.isEmpty)
+    // building forward from the rollback works
+    t.append(Seq(("u5", 5)).toDF("url", "gen"), "c3")
+    assert(rows(t) == Map("u1" -> 1, "u2" -> 1, "u5" -> 5))
+    // guardrails
+    intercept[IllegalArgumentException](t.rollbackTo(99, "rbx"))
+  }
+
   test("composite upsert keys: only the full key matches") {
     val t = new SnapshotTable(tmp())
     t.append(Seq(("u1", "en", 1), ("u1", "de", 1)).toDF("url", "lang", "gen"), "c1")
