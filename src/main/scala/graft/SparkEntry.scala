@@ -675,6 +675,29 @@ object SparkEntry {
     }),
     "t_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextAnalytics.fingerprint(col("text")).as("fp"))),
+    // Gopher quality rules (Rae et al. 2021): bullet/ellipsis line
+    // fractions, symbol-to-word ratio, mean word length, alpha-word
+    // share — map-only integer arithmetic, thresholds cross-multiplied;
+    // the corpus text is enriched with deterministic bullet / ellipsis /
+    // symbol lines (mirrored in the oracle) so every rule fires both ways
+    "t_gopher" -> ((s, dir) => {
+      val id = col("doc_id")
+      val gt = concat_ws("\n", multilineText,
+        when(id % 3 === 0, lit("- bullet one")),
+        when(id % 3 === 0, lit("* bullet two")),
+        when(id % 6 === 0, lit("to be continued...")),
+        when(id % 11 === 0, lit("# # # # # # # # # #")))
+      docs(s, dir).select(id.as("doc_id"), gt.as("gt"))
+        .select(col("doc_id"),
+          TextAnalytics.tokenCount(col("gt")).cast("long").as("n_words"),
+          TextAnalytics.tokenChars(col("gt")).cast("long").as("token_chars"),
+          size(split(col("gt"), "\n")).cast("long").as("n_lines"),
+          TextAnalytics.bulletLineCount(col("gt")).cast("long").as("bullet_lines"),
+          TextAnalytics.ellipsisLineCount(col("gt")).cast("long").as("ellipsis_lines"),
+          TextAnalytics.gopherSymbolCount(col("gt")).cast("long").as("symbols"),
+          TextAnalytics.alphaWordCount(col("gt")).cast("long").as("alpha_words"),
+          TextAnalytics.isGopherQuality(col("gt"), minWords = 10).as("gopher_ok"))
+    }),
     "t_quality" -> ((s, dir) => {
       // native single-pass stats kernel; the quality flag recombines its
       // integer fields exactly like TextAnalytics.isQuality (oracle-gated)
@@ -2073,6 +2096,36 @@ object SparkEntry {
         |FROM s, LATERAL UNNEST(generate_series(0, CAST(s.n_copies - 1 AS BIGINT))) AS u(copy)""".stripMargin,
     "t_fingerprint" ->
       s"SELECT doc_id, $fpSql AS fp FROM documents",
+    // Gopher twin: same enriched text, same cross-multiplied thresholds;
+    // note regexp_replace needs the 'g' flag in DuckDB (Spark replaces
+    // all matches by default) and '...'-replace is literal on both
+    "t_gopher" ->
+      s"""WITH g AS (SELECT doc_id, concat_ws(chr(10), ${multilineSql("text")},
+         |    CASE WHEN doc_id % 3 = 0 THEN '- bullet one' END,
+         |    CASE WHEN doc_id % 3 = 0 THEN '* bullet two' END,
+         |    CASE WHEN doc_id % 6 = 0 THEN 'to be continued...' END,
+         |    CASE WHEN doc_id % 11 = 0 THEN '# # # # # # # # # #' END) AS gt
+         |  FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(CASE WHEN length(trim(gt)) = 0 THEN 0
+         |       ELSE len(regexp_split_to_array(trim(gt), '\\s+')) END AS BIGINT) AS n_words,
+         |  CAST(length(regexp_replace(gt, '\\s', '', 'g')) AS BIGINT) AS token_chars,
+         |  CAST(len(string_split(gt, chr(10))) AS BIGINT) AS n_lines,
+         |  CAST(len(regexp_extract_all(gt, '(?m)^(- |\\* )')) AS BIGINT) AS bullet_lines,
+         |  CAST(len(regexp_extract_all(gt, '(?m)\\.\\.\\.$$')) AS BIGINT) AS ellipsis_lines,
+         |  CAST((length(gt) - length(regexp_replace(gt, '#', '', 'g')))
+         |    + (length(gt) - length(replace(gt, '...', ''))) // 3 AS BIGINT) AS symbols,
+         |  CAST(len(regexp_extract_all(gt, '[^\\s]*[A-Za-z][^\\s]*')) AS BIGINT) AS alpha_words
+         |FROM g)
+         |SELECT doc_id, n_words, token_chars, n_lines, bullet_lines, ellipsis_lines,
+         |  symbols, alpha_words,
+         |  (n_words >= 10 AND n_words <= 100000
+         |   AND token_chars >= n_words * 3 AND token_chars <= n_words * 10
+         |   AND symbols * 10 <= n_words
+         |   AND bullet_lines * 10 <= n_lines * 9
+         |   AND ellipsis_lines * 10 <= n_lines * 3
+         |   AND alpha_words * 10 >= n_words * 8) AS gopher_ok
+         |FROM m""".stripMargin,
     "t_quality" ->
       s"""SELECT doc_id,
          |  CAST(length(text) AS BIGINT) AS chars,

@@ -360,6 +360,66 @@ object TextAnalytics {
     * codegen-trivial. Thresholds follow common web-corpus filters
     * (Gopher/C4-style: enough words, not shouting, not punctuation soup).
     */
+  // ------------------------------------------------- Gopher quality rules
+
+  /** Non-whitespace characters — the numerator of Gopher's mean-word-
+    * length rule, kept as an integer (`mean = token_chars / words` is
+    * never materialized; thresholds compare cross-multiplied).
+    */
+  def tokenChars(c: Column): Column =
+    length(regexp_replace(c, "\\s", ""))
+
+  /** Tokens containing at least one ASCII letter. `[^\s]*[A-Za-z][^\s]*`
+    * matches once per such token (greedy within the token, cannot cross
+    * whitespace, skips letter-free tokens) — lookaround-free, so Java
+    * regex and RE2 walk the same matches.
+    */
+  def alphaWordCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[^\\s]*[A-Za-z][^\\s]*"), lit(0)))
+
+  /** Lines starting with a `- ` or `* ` bullet ((?m) multiline anchor —
+    * supported identically by Java regex and RE2).
+    */
+  def bulletLineCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("(?m)^(- |\\* )"), lit(0)))
+
+  /** Lines ending in a literal `...`. */
+  def ellipsisLineCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("(?m)\\.\\.\\.$"), lit(0)))
+
+  /** Gopher symbol count: `#` characters plus non-overlapping `...`
+    * occurrences (literal replace-and-measure — left-to-right
+    * non-overlapping on both engines).
+    */
+  def gopherSymbolCount(c: Column): Column = {
+    val hashes = (length(c) - length(regexp_replace(c, "#", ""))).cast("long")
+    // removed chars are a multiple of 3 by construction, so the division
+    // is exact (the cast floors an already-integral value)
+    val dots = ((length(c) - length(replace(c, lit("..."), lit("")))).cast("long") / 3L)
+      .cast("long")
+    hashes + dots
+  }
+
+  /** The Gopher quality-rule gate (Rae et al. 2021, table A1 subset) —
+    * every threshold cross-multiplied so the decision is integer-exact
+    * and the oracle replays it bit for bit: word count in [minWords,
+    * maxWords]; mean word length in [3, 10]; symbol-to-word ratio ≤ 0.1;
+    * bullet lines ≤ 90 %; ellipsis lines ≤ 30 %; ≥ 80 % of words contain
+    * a letter. (The repetition family is its own operator —
+    * [[repetitionStats]].)
+    */
+  def isGopherQuality(c: Column, minWords: Int = 50, maxWords: Int = 100000): Column = {
+    val words = tokenCount(c).cast("long")
+    val tch = tokenChars(c).cast("long")
+    val lines = size(split(c, "\n")).cast("long")
+    (words >= minWords) && (words <= maxWords) &&
+      (tch >= words * 3L) && (tch <= words * 10L) &&
+      (gopherSymbolCount(c).cast("long") * 10L <= words) &&
+      (bulletLineCount(c).cast("long") * 10L <= lines * 9L) &&
+      (ellipsisLineCount(c).cast("long") * 10L <= lines * 3L) &&
+      (alphaWordCount(c).cast("long") * 10L >= words * 8L)
+  }
+
   def isQuality(c: Column): Column = {
     val chars = length(c)
     val words = tokenCount(c)

@@ -93,6 +93,30 @@ class TextAnalyticsSpec extends AnyFunSuite {
     assert(a != c)
   }
 
+  test("gopher rules: each threshold fails a crafted doc; a plain one passes") {
+    val good = (1 to 12).map(i => s"word$i").mkString(" ") // 12 words, all alpha
+    assert(one(good, isGopherQuality(col("text"), minWords = 10)) == true)
+    // too few words
+    assert(one("just three words", isGopherQuality(col("text"), minWords = 10)) == false)
+    // symbol-heavy: 10 hashes vs 22 words -> symbols*10 > words
+    assert(one(good + " " + ("# " * 10).trim,
+      isGopherQuality(col("text"), minWords = 10)) == false)
+    // mean word length > 10
+    val longWords = (1 to 12).map(_ => "a" * 15).mkString(" ")
+    assert(one(longWords, isGopherQuality(col("text"), minWords = 10)) == false)
+    // every line a bullet -> bullet fraction 100% > 90%
+    val bullets = (1 to 12).map(i => s"- item$i word word").mkString("\n")
+    assert(one(bullets, isGopherQuality(col("text"), minWords = 10)) == false)
+    // numeric soup: alpha-word share < 80%
+    val numeric = ((1 to 10).map(_.toString) ++ Seq("a", "b")).mkString(" ")
+    assert(one(numeric, isGopherQuality(col("text"), minWords = 10)) == false)
+    // counters themselves
+    assert(one("- a\n* b\nplain\nend...", bulletLineCount(col("text"))) == 2)
+    assert(one("- a\n* b\nplain\nend...", ellipsisLineCount(col("text"))) == 1)
+    assert(one("## x ... y ....", gopherSymbolCount(col("text"))) == 3L + 1L)
+    assert(one("a1 22 _x 3b", alphaWordCount(col("text"))) == 3)
+  }
+
   test("char-class counters") {
     assert(one("a.b,c!?", punctChars(col("text"))) == 4)
     assert(one("AbC dE", upperChars(col("text"))) == 3)
