@@ -110,6 +110,32 @@ object SparkEntry {
       .otherwise(col("text"))
   }
 
+  /** 14-token syndicated passages for the substring-dedup operators
+    * (mirrored in the oracle SQL): passage A rides every doc_id % 5 == 0
+    * document and REPEATS WITHIN the doc_id % 11 == 0 ones (the self-copy
+    * case of first-occurrence-wins); passage B rides doc_id % 7 == 0. The
+    * duplicated content is thus a SUBSTRING of otherwise-distinct
+    * documents — exactly what line/document dedup cannot remove.
+    */
+  private val substrPassageA =
+    "the quick brown fox jumps over the lazy dog near the quiet river bank"
+  private val substrPassageB =
+    "breaking news wire copy syndicated across portals and mirrors every single day verbatim"
+
+  private def substrText: Column = {
+    val id = col("doc_id")
+    concat(col("text"),
+      when(id % 5 === 0, lit(" " + substrPassageA)).otherwise(lit("")),
+      when(id % 11 === 0, lit(" " + substrPassageA)).otherwise(lit("")),
+      when(id % 7 === 0, lit(" " + substrPassageB)).otherwise(lit("")))
+  }
+
+  /** SQL twin of [[substrText]]. */
+  private val substrSqlExpr: String =
+    s"text || (CASE WHEN doc_id % 5 = 0 THEN ' $substrPassageA' ELSE '' END)" +
+      s" || (CASE WHEN doc_id % 11 = 0 THEN ' $substrPassageA' ELSE '' END)" +
+      s" || (CASE WHEN doc_id % 7 = 0 THEN ' $substrPassageB' ELSE '' END)"
+
   /** Text with deterministic synthetic outlinks appended (mirrored in the
     * oracle SQL): 1–3 absolute urls per document into the same
     * site0–12 × {com,org,net} domain space [[synthUrl]] draws page urls
@@ -698,6 +724,15 @@ object SparkEntry {
           TextAnalytics.alphaWordCount(col("gt")).cast("long").as("alpha_words"),
           TextAnalytics.isGopherQuality(col("gt"), minWords = 10).as("gopher_ok"))
     }),
+    // model-based quality gate: hashed unigram+bigram naive-Bayes
+    // classifier trained on the corpus itself (label: lang == 'en'),
+    // <=64-row posterior table broadcast, map-side probe — the
+    // fastText-shaped stage of CCNet-style pipelines. B=64 so every
+    // bucket trains at sf0.01.
+    "t_quality_nb" -> ((s, dir) =>
+      graft.text.QualityClassifier.trainAndScore(
+        docs(s, dir).withColumn("y", col("lang") === "en"),
+        "doc_id", "text", "y", buckets = 64)),
     "t_quality" -> ((s, dir) => {
       // native single-pass stats kernel; the quality flag recombines its
       // integer fields exactly like TextAnalytics.isQuality (oracle-gated)
@@ -1054,6 +1089,20 @@ object SparkEntry {
     "d_drop_dup_paras" -> ((s, dir) =>
       graft.dedup.LineDedup.dropDupParagraphs(
         docs(s, dir).withColumn("text", multilineText), "doc_id", "text")),
+    // exact duplicated-substring spans (Lee et al. 2021 ExactSubstr rule,
+    // first occurrence wins): slim (fp, id, pos) 8-gram reduce, ONE
+    // fp-keyed exchange, gaps-and-islands merge over only the DUPLICATED
+    // positions. Input enriched by [[substrText]] so cross-doc AND
+    // within-doc duplicated passages both fire.
+    "d_substring_spans" -> ((s, dir) =>
+      graft.dedup.SubstringDedup.duplicatedSpans(
+        docs(s, dir).withColumn("text", substrText), "doc_id", "text", k = 8)),
+    // in-place span removal: per-doc bounded span arrays LEFT-join the
+    // corpus (doc-keyed, AQE-broadcast when small), map-only positional
+    // token filter — document text moves at most once
+    "d_drop_substrings" -> ((s, dir) =>
+      graft.dedup.SubstringDedup.dropDuplicatedSpans(
+        docs(s, dir).withColumn("text", substrText), "doc_id", "text", k = 8)),
     "d_exact_groups" -> ((s, dir) =>
       Dedup.exactGroups(docs(s, dir), "doc_id", "text")),
     // incremental (delta) dedup: the new-crawl batch (doc_id % 10 ∈ {8,9})
@@ -2126,6 +2175,30 @@ object SparkEntry {
          |   AND ellipsis_lines * 10 <= n_lines * 3
          |   AND alpha_words * 10 >= n_words * 8) AS gopher_ok
          |FROM m""".stripMargin,
+    // naive-Bayes twin: same md5 bucket hash as the DSIR oracle, unigram
+    // UNION ALL bigram feature stream, smoothed posterior in integer ppm
+    "t_quality_nb" ->
+      s"""WITH w AS (SELECT doc_id, (lang = 'en') AS y, $tok AS ws FROM documents),
+         |feat AS (
+         |  SELECT doc_id, y, unnest(ws) AS gm FROM w
+         |  UNION ALL
+         |  SELECT doc_id, y, unnest(list_transform(generate_series(1, len(ws) - 1),
+         |    i -> ws[i] || ' ' || ws[i+1])) AS gm FROM w),
+         |b AS (SELECT doc_id, y,
+         |  ('0x' || substr(md5(gm), 1, 8))::BIGINT % 64 AS bucket FROM feat),
+         |cnt AS (SELECT bucket,
+         |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+         |  CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS cn FROM b GROUP BY 1),
+         |wt AS (SELECT bucket, ((cp + 1) * 1000000) // (cp + cn + 2) AS w_ppm FROM cnt),
+         |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |  CAST(sum(w_ppm) AS BIGINT) AS score
+         |  FROM b JOIN wt USING (bucket) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(sc.n_feats, 0) AS BIGINT) AS n_feats,
+         |  CAST(coalesce(sc.score, 0) AS BIGINT) AS score,
+         |  CAST(coalesce(sc.score, 0) // greatest(coalesce(sc.n_feats, 0), 1) AS BIGINT) AS post_ppm,
+         |  (coalesce(sc.score, 0) * 2 >= coalesce(sc.n_feats, 0) * 1000000) AS keep
+         |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
     "t_quality" ->
       s"""SELECT doc_id,
          |  CAST(length(text) AS BIGINT) AS chars,
@@ -2197,6 +2270,51 @@ object SparkEntry {
          |  string_agg(para, chr(10) ORDER BY pos) AS clean_text FROM k GROUP BY 1)
          |SELECT w.doc_id,
          |  CAST(len(w.ps) AS BIGINT) AS n_paras,
+         |  CAST(coalesce(c.n_kept, 0) AS BIGINT) AS n_kept,
+         |  coalesce(c.clean_text, '') AS clean_text
+         |FROM w LEFT JOIN c USING (doc_id)""".stripMargin,
+    // ExactSubstr twin: row_number over (doc_id, pos) picks the same first
+    // occurrence as Spark's struct-min; islands via pos - row_number;
+    // spans close at max(pos) + k - 1 with k = 8
+    "d_substring_spans" ->
+      s"""WITH st AS (SELECT doc_id, $substrSqlExpr AS text FROM documents),
+         |w AS (SELECT doc_id, $tok AS ws FROM st),
+         |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, md5($gram8) AS fp
+         |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM w)),
+         |f AS (SELECT fp, doc_id AS fd, pos AS fpos FROM (
+         |  SELECT fp, doc_id, pos,
+         |    row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn FROM g)
+         |  WHERE rn = 1),
+         |dp AS (SELECT g.doc_id, g.pos FROM g JOIN f USING (fp)
+         |  WHERE NOT (g.doc_id = f.fd AND g.pos = f.fpos)),
+         |isl AS (SELECT doc_id, pos,
+         |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM dp)
+         |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+         |  max(pos) + 7 - min(pos) + 1 AS span_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_dup_grams
+         |FROM isl GROUP BY doc_id, grp""".stripMargin,
+    // span-removal twin: covered token positions unnest from the
+    // duplicated starts (pos .. pos + 7), kept tokens re-agg in order
+    "d_drop_substrings" ->
+      s"""WITH st AS (SELECT doc_id, $substrSqlExpr AS text FROM documents),
+         |w AS (SELECT doc_id, $tok AS ws FROM st),
+         |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, md5($gram8) AS fp
+         |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM w)),
+         |f AS (SELECT fp, doc_id AS fd, pos AS fpos FROM (
+         |  SELECT fp, doc_id, pos,
+         |    row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn FROM g)
+         |  WHERE rn = 1),
+         |dp AS (SELECT g.doc_id, g.pos FROM g JOIN f USING (fp)
+         |  WHERE NOT (g.doc_id = f.fd AND g.pos = f.fpos)),
+         |cov AS (SELECT DISTINCT doc_id, CAST(j AS BIGINT) AS tp
+         |  FROM (SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS j FROM dp)),
+         |px AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS tp, ws[i] AS tokn
+         |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM w)),
+         |k AS (SELECT px.doc_id, px.tp, px.tokn FROM px LEFT JOIN cov
+         |  ON px.doc_id = cov.doc_id AND px.tp = cov.tp WHERE cov.tp IS NULL),
+         |c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |  string_agg(tokn, ' ' ORDER BY tp) AS clean_text FROM k GROUP BY 1)
+         |SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens,
          |  CAST(coalesce(c.n_kept, 0) AS BIGINT) AS n_kept,
          |  coalesce(c.clean_text, '') AS clean_text
          |FROM w LEFT JOIN c USING (doc_id)""".stripMargin,
