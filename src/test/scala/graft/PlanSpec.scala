@@ -183,6 +183,21 @@ class PlanSpec extends AnyFunSuite {
       s"fingerprint-keyed exchanges must carry (id, fp) only:\n$plan")
   }
 
+  test("substring spans: two slim exchanges (fp reduce, doc-keyed islands), window never global") {
+    val plan = finalPlan(SparkEntry.queries("d_substring_spans")(spark, sfDir))
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 2,
+      s"exactly the fp-keyed first-occurrence reduce and the doc-keyed island shuffle:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition") && !plan.contains("rangepartitioning"),
+      s"no global funnel:\n$plan")
+    assert(plan.contains("windowspecdefinition(_id"),
+      s"the island window must partition per document, never globally:\n$plan")
+    // the gram text dies at the Generate: doc-keyed exchanges carry only
+    // the duplicated (id, pos) pairs
+    val idExchanges = plan.split("Exchange hashpartitioning\\(_id").toSeq.tail
+    assert(idExchanges.nonEmpty && !idExchanges.head.linesIterator.next().contains("text"),
+      s"doc-keyed exchange must not carry text:\n$plan")
+  }
+
   test("sequence packing: one stream-key exchange shared by both window passes") {
     val plan = finalPlan(SparkEntry.queries("q_seq_pack")(spark, sfDir))
     assert(plan.split("Exchange hashpartitioning").length - 1 == 1,
