@@ -1103,6 +1103,23 @@ object SparkEntry {
     "d_drop_substrings" -> ((s, dir) =>
       graft.dedup.SubstringDedup.dropDuplicatedSpans(
         docs(s, dir).withColumn("text", substrText), "doc_id", "text", k = 8)),
+    // WARC container round trip: documents framed into per-shard
+    // .warc.gz archives (one gzip member per record, ISO 28500 framing)
+    // and exploded back — url, timestamp, content-type, and every payload
+    // byte (md5-gated) must survive the container. ONE shard-keyed
+    // exchange to assemble; parse is map-only.
+    "q_warc_roundtrip" -> ((s, dir) => {
+      val base = docs(s, dir).select(
+        concat(lit("doc://"), col("doc_id").cast("string")).as("url"),
+        (lit(1700000000000L) + col("doc_id") * 1000L).as("ts_ms"),
+        lit("text/plain").as("ct"),
+        col("text").cast("binary").as("payload"))
+      val archives = graft.warc.WarcShards.toArchives(
+        base, "url", "ts_ms", "ct", "payload", shards = 8, gzip = true)
+      graft.warc.WarcShards.parse(archives, "warc")
+        .select(col("url"), col("warc_ts_ms"), col("content_type"),
+          col("content_length"), md5(col("payload")).as("payload_md5"))
+    }),
     "d_exact_groups" -> ((s, dir) =>
       Dedup.exactGroups(docs(s, dir), "doc_id", "text")),
     // incremental (delta) dedup: the new-crawl batch (doc_id % 10 ∈ {8,9})
@@ -2273,6 +2290,17 @@ object SparkEntry {
          |  CAST(coalesce(c.n_kept, 0) AS BIGINT) AS n_kept,
          |  coalesce(c.clean_text, '') AS clean_text
          |FROM w LEFT JOIN c USING (doc_id)""".stripMargin,
+    // WARC round-trip twin: what goes into the container must come out —
+    // the oracle recomputes every gated field from the source rows
+    // directly (md5 of the UTF-8 payload, byte length, synthesized url
+    // and epoch), so any framing bug surfaces as a value mismatch
+    "q_warc_roundtrip" ->
+      """SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+        |  CAST(1700000000000 + doc_id * 1000 AS BIGINT) AS warc_ts_ms,
+        |  'text/plain' AS content_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+        |  md5(text) AS payload_md5
+        |FROM documents""".stripMargin,
     // ExactSubstr twin: row_number over (doc_id, pos) picks the same first
     // occurrence as Spark's struct-min; islands via pos - row_number;
     // spans close at max(pos) + k - 1 with k = 8

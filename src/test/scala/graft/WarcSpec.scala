@@ -1,0 +1,146 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.warc.{Warc, WarcShards}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** WARC framing: byte-exact round trips (plain and per-record-gzip),
+  * length-only payload framing, lenient resync over damaged bytes, and
+  * the Spark shard assembly's byte determinism.
+  */
+class WarcSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def rec(url: String, ts: Long, ct: String, p: String) =
+    (url, ts, ct, p.getBytes(UTF_8))
+
+  test("plain round trip preserves every header field and payload byte") {
+    val in = Seq(
+      rec("https://a.example/1", 1700000000000L, "text/html", "<html>one</html>"),
+      rec("https://a.example/2", 1700000001500L, "application/pdf", "%PDF-1.4 fake"),
+      rec("https://a.example/3", 1700000002000L, "text/plain", ""))
+    val blob = Warc.writeArchive(in.iterator, gzip = false)
+    val out = Warc.parseArchive(blob)
+    assert(out.skippedBytes == 0L)
+    assert(out.records.size == 3)
+    out.records.zip(in).foreach { case (r, (url, ts, ct, p)) =>
+      assert(r.url == url && r.dateMs == ts && r.contentType == ct)
+      assert(r.recordType == "response")
+      assert(java.util.Arrays.equals(r.payload, p))
+    }
+  }
+
+  test("gzip archive: one member per record, multi-member stream parses whole") {
+    val in = Seq(
+      rec("https://b.example/1", 1700000000000L, "text/html", "alpha"),
+      rec("https://b.example/2", 1700000000001L, "text/html", "beta"),
+      rec("https://b.example/3", 1700000000002L, "text/html", "gamma"))
+    val blob = Warc.writeArchive(in.iterator, gzip = true)
+    assert((blob(0) & 0xff) == 0x1f && (blob(1) & 0xff) == 0x8b, "gzip magic")
+    // three independent members: the magic appears at least 3 times
+    val magics = blob.sliding(2).count(w => (w(0) & 0xff) == 0x1f && (w(1) & 0xff) == 0x8b)
+    assert(magics >= 3, s"expected one gzip member per record, saw $magics magics")
+    val out = Warc.parseArchive(blob)
+    assert(out.records.map(_.url) == in.map(_._1).toVector)
+    assert(out.skippedBytes == 0L)
+  }
+
+  test("payload containing literal WARC headers survives (framing is by length only)") {
+    val trap = "WARC/1.0\r\nWARC-Target-URI: https://evil.example/\r\n\r\nfake"
+    val in = Seq(
+      rec("https://c.example/1", 1700000000000L, "text/plain", trap),
+      rec("https://c.example/2", 1700000000001L, "text/plain", "clean"))
+    val out = Warc.parseArchive(Warc.writeArchive(in.iterator, gzip = false))
+    assert(out.records.size == 2)
+    assert(new String(out.records(0).payload, UTF_8) == trap)
+    assert(out.records.map(_.url) ==
+      Vector("https://c.example/1", "https://c.example/2"))
+  }
+
+  test("damaged bytes between records are skipped, counted, and do not kill the parse") {
+    val a = Warc.writeArchive(Iterator(rec("https://d.example/1", 1L, "t", "one")), gzip = false)
+    val b = Warc.writeArchive(Iterator(rec("https://d.example/2", 2L, "t", "two")), gzip = false)
+    val garbage = "!!corrupt bytes!!".getBytes(UTF_8)
+    val blob = new ByteArrayOutputStream()
+    blob.write(a); blob.write(garbage); blob.write(b)
+    val out = Warc.parseArchive(blob.toByteArray)
+    assert(out.records.map(_.url) == Vector("https://d.example/1", "https://d.example/2"))
+    assert(out.skippedBytes == garbage.length.toLong)
+  }
+
+  test("truncated record resyncs to the next magic instead of aborting") {
+    val good = Warc.writeArchive(Iterator(rec("https://e.example/2", 2L, "t", "ok")), gzip = false)
+    val truncated = ("WARC/1.0\r\nWARC-Target-URI: https://e.example/1\r\n" +
+      "WARC-Date: 1970-01-01T00:00:00Z\r\nContent-Length: 999999\r\n\r\nshort").getBytes(UTF_8)
+    val blob = new ByteArrayOutputStream()
+    blob.write(truncated); blob.write(good)
+    val out = Warc.parseArchive(blob.toByteArray)
+    assert(out.records.map(_.url) == Vector("https://e.example/2"))
+    assert(out.skippedBytes > 0L)
+  }
+
+  test("writer is deterministic: same records → byte-identical archive (gzip too)") {
+    val in = Seq(
+      rec("https://f.example/1", 1700000000000L, "text/html", "same"),
+      rec("https://f.example/2", 1700000000001L, "text/html", "bytes"))
+    assert(java.util.Arrays.equals(
+      Warc.writeArchive(in.iterator, gzip = false),
+      Warc.writeArchive(in.iterator, gzip = false)))
+    assert(java.util.Arrays.equals(
+      Warc.writeArchive(in.iterator, gzip = true),
+      Warc.writeArchive(in.iterator, gzip = true)))
+  }
+
+  test("shard assembly + parse round-trips the binary pages payloads byte-exactly") {
+    import spark.implicits._
+    val pages = graft.pages.PagesGen.pages(spark, "/root/testdata/sf0.001").limit(60)
+      .select(col("url"),
+        (unix_timestamp(col("warc_ts")) * 1000L).as("ts_ms"),
+        lit("application/octet-stream").as("ct"), col("html").as("payload"))
+    val archives = WarcShards.toArchives(pages, "url", "ts_ms", "ct", "payload",
+      shards = 4, gzip = true)
+    assert(archives.count() <= 4)
+    val back = WarcShards.parse(archives, "warc")
+      .select(col("url"), md5(col("payload")).as("got"), col("content_length"))
+    val expect = pages.select(col("url"), md5(col("payload")).as("want"),
+      length(col("payload")).cast("long").as("want_len"))
+    val joined = back.join(expect, "url").collect()
+    assert(joined.length == 60)
+    joined.foreach { r =>
+      assert(r.getAs[String]("got") == r.getAs[String]("want"), r.toString)
+      assert(r.getAs[Long]("content_length") == r.getAs[Long]("want_len"))
+    }
+    // archive stats: all records parse, nothing skipped
+    val stats = WarcShards.archiveStats(archives, "warc").collect()
+    assert(stats.map(_.getLong(0)).sum == 60L)
+    assert(stats.forall(_.getLong(1) == 0L))
+  }
+
+  test("shard assembly is byte-deterministic across parallelism") {
+    import spark.implicits._
+    val rows = (0L until 40L).map(i =>
+      (s"https://g.example/$i", 1700000000000L + i, "text/plain", s"payload $i".getBytes(UTF_8)))
+    def archive(parallelism: Int): Map[Long, Seq[Byte]] =
+      WarcShards.toArchives(
+          spark.createDataset(rows).repartition(parallelism)
+            .toDF("url", "ts_ms", "ct", "payload"),
+          "url", "ts_ms", "ct", "payload", shards = 3, gzip = false)
+        .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(archive(1) == archive(7))
+  }
+
+  test("oversized shard fails loudly before materializing") {
+    import spark.implicits._
+    val rows = Seq(("https://h.example/big", 1L, "t", Array.fill[Byte](2048)(7)))
+    val ex = intercept[org.apache.spark.SparkException] {
+      WarcShards.toArchives(rows.toDF("url", "ts_ms", "ct", "payload"),
+        "url", "ts_ms", "ct", "payload", shards = 1, gzip = false,
+        maxShardBytes = 1024L).collect()
+    }
+    assert(ex.getMessage.contains("raise the shard count") ||
+      Option(ex.getCause).exists(_.getMessage.contains("raise the shard count")))
+  }
+}
