@@ -958,6 +958,16 @@ object SparkEntry {
       graft.pipeline.SeqPacker.packSequences(weighted, "doc_id", "n_tokens",
         capacity = 256L, streams = 4)
     }),
+    // GPT-style fixed-block slicing (group_texts): exact 256-token blocks
+    // per stream, documents split across block boundaries — same single
+    // stream-key exchange + prefix-sum window as q_seq_pack, different
+    // trainer-feed contract (zero padding vs whole-doc bins)
+    "q_block_pack" -> ((s, dir) => {
+      val weighted = docs(s, dir).select(col("doc_id"),
+        TextAnalytics.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.pipeline.SeqPacker.sliceBlocks(weighted, "doc_id", "n_tokens",
+        blockTokens = 256L, streams = 4)
+    }),
     // per-registered-domain quota (≤ 5 docs, hash-order subsample): exact
     // two-phase top-k — sub-stream prefilter bounds the mega-domain hot
     // key; the one-phase oracle proves the prefilter changes nothing
@@ -1806,6 +1816,26 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, stream,
          |  CAST(cum // 256 AS BIGINT) AS seq_no,
          |  CAST(cum % 256 AS BIGINT) AS seq_offset FROM s""".stripMargin,
+    // block-slicing twin: same stream/prefix-sum CTE, block ids from the
+    // inclusive token span [cum, cum + n_tokens - 1]; zero-weight docs
+    // occupy no block
+    "q_block_pack" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tok) END AS BIGINT) AS n_tokens
+         |FROM documents),
+         |s AS (SELECT doc_id, n_tokens, CAST(doc_id % 4 AS BIGINT) AS stream,
+         |  COALESCE(SUM(n_tokens) OVER (PARTITION BY doc_id % 4
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR))
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM t)
+         |SELECT doc_id, n_tokens, stream, cum AS start_off,
+         |  CAST(cum // 256 AS BIGINT) AS block_first,
+         |  CAST(CASE WHEN n_tokens > 0 THEN (cum + n_tokens - 1) // 256
+         |            ELSE cum // 256 END AS BIGINT) AS block_last,
+         |  CAST(CASE WHEN n_tokens > 0
+         |            THEN (CASE WHEN n_tokens > 0 THEN (cum + n_tokens - 1) // 256
+         |                       ELSE cum // 256 END) - cum // 256 + 1
+         |            ELSE 0 END AS BIGINT) AS n_blocks
+         |FROM s""".stripMargin,
     "t_script" ->
       """WITH t AS (SELECT doc_id,
         |  text || ' ' || substr('中文漢字中文漢字中文漢字', 1, (doc_id % 4) * 4)

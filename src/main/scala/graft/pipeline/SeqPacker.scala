@@ -68,4 +68,43 @@ object SeqPacker {
   def sequenceStats(packed: DataFrame, weightCol: String): DataFrame =
     packed.groupBy(col("stream"), col("seq_no"))
       .agg(count(lit(1)).as("n_docs"), sum(col(weightCol)).as("total_weight"))
+
+  /** GPT-style fixed-block slicing — the OTHER trainer feed: concatenate
+    * each stream's token stream and cut EXACT `blockTokens` blocks, with
+    * documents SPLIT across block boundaries (HF `group_texts` semantics:
+    * zero padding, every block full; [[packSequences]] is the whole-doc
+    * variant where bins absorb overflow instead). Emits each document's
+    * placement in its stream's block space:
+    * `stream`, `start_off` (global token offset within the stream),
+    * `block_first`/`block_last` (the blocks this document's tokens land
+    * in, inclusive), `n_blocks` (0 for zero-weight documents, which
+    * occupy no tokens). The same ordering contract as [[packSequences]]
+    * applies: (id) unique, or (id, copy) unique for upsampled input.
+    *
+    * Scale shape: identical to [[packSequences]] — ONE Exchange on
+    * `stream`, one in-partition sort, one prefix-sum window; BIGINT
+    * DIV/mod only, so the DuckDB oracle replays it bit for bit.
+    */
+  def sliceBlocks(d: DataFrame, idCol: String, weightCol: String,
+                  blockTokens: Long, streams: Int): DataFrame = {
+    require(blockTokens > 0 && streams > 0,
+      s"blockTokens/streams must be positive, got $blockTokens/$streams")
+    val stream = pmod(col(idCol), lit(streams.toLong))
+    val order = md5(col(idCol).cast("string")) +:
+      (if (d.columns.contains("copy")) Seq(col("copy")) else Nil)
+    val w = Window.partitionBy(col("stream"))
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.withColumn("stream", stream)
+      .withColumn("start_off",
+        coalesce(sum(col(weightCol)).over(w), lit(0L)))
+      .withColumn("block_first", expr(s"start_off DIV ${blockTokens}L"))
+      .withColumn("block_last",
+        when(col(weightCol) > 0,
+          expr(s"(start_off + $weightCol - 1) DIV ${blockTokens}L"))
+          .otherwise(expr(s"start_off DIV ${blockTokens}L")))
+      .withColumn("n_blocks",
+        when(col(weightCol) > 0, col("block_last") - col("block_first") + lit(1L))
+          .otherwise(lit(0L)))
+  }
 }

@@ -89,6 +89,37 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(inside == 0, "bins covered by the giant's span stay empty")
   }
 
+  test("sliceBlocks: exact block coverage — contiguous spans, boundary splits, zero-weight docs") {
+    import spark.implicits._
+    val d = (0L until 400L).map(i =>
+      (i, if (i % 50 == 0) 0L else 1L + (i * 11) % 90)).toDF("doc_id", "w")
+    val cap = 64L
+    val p = graft.pipeline.SeqPacker.sliceBlocks(d, "doc_id", "w", cap, streams = 4)
+      .select($"doc_id", $"w", $"stream", $"start_off", $"block_first", $"block_last", $"n_blocks")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    p.foreach { case (id, w, _, start, bf, bl, nb) =>
+      if (w == 0L) assert(nb == 0L, s"doc $id zero-weight must occupy no block")
+      else {
+        assert(bf == start / cap && bl == (start + w - 1) / cap, s"doc $id block ids")
+        assert(nb == bl - bf + 1, s"doc $id n_blocks")
+      }
+    }
+    // within a stream: token spans are contiguous (zero padding) — each
+    // doc's start is exactly the previous doc's start + weight
+    p.groupBy(_._3).foreach { case (_, rows) =>
+      val byStart = rows.sortBy(_._4)
+      byStart.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 == a._4 + a._2, s"gap between ${a._1} and ${b._1}")
+        case _ =>
+      }
+      assert(byStart.head._4 == 0L, "stream token space starts at 0")
+    }
+    // determinism across parallelism
+    val q = graft.pipeline.SeqPacker.sliceBlocks(d.repartition(16), "doc_id", "w", cap, 4)
+    assert(graft.pipeline.SeqPacker.sliceBlocks(d.repartition(1), "doc_id", "w", cap, 4)
+      .exceptAll(q).isEmpty)
+  }
+
   test("upsampled (duplicate-id) input packs and shards deterministically via the copy tiebreak") {
     import spark.implicits._
     // two copies of every doc — the shape upsampleByEpochs emits; md5(id)
