@@ -1032,6 +1032,13 @@ object SparkEntry {
     // what the oracle replays
     "q_kmv_distinct" -> ((s, dir) =>
       graft.stats.CorpusStats.distinctSketch(docs(s, dir), "source", "text", k = 16)),
+    // per-source length quartiles from the bottom-k-by-hash SAMPLE sketch
+    // (the bounded-state twin of t_len_quartiles; k=16 < group sizes, so
+    // the ESTIMATOR regime is what the oracle replays here — the exact
+    // regime is spec-gated)
+    "q_quantile_sample" -> ((s, dir) =>
+      graft.stats.CorpusStats.quantileSketch(
+        docs(s, dir), "source", "doc_id", "n_chars", k = 16)),
     // ---- event-stream operators (crawl-log shape) ----
     // gap-based sessionization over the events table: one shuffle on the
     // entity key, two in-partition window passes sharing it
@@ -1986,6 +1993,29 @@ object SparkEntry {
         |  CAST(CASE WHEN kk.n_kept < 16 THEN kk.n_kept
         |       ELSE (15 * 1099511627776) // greatest(kth_min, 1) END AS BIGINT) AS est_distinct
         |FROM g JOIN kk USING (source)""".stripMargin,
+    // quantile-sketch twin: bottom-16 by (id-hash, value) via row_number,
+    // then the same ×4 quarter-fraction interpolation over the sorted
+    // sample list
+    "q_quantile_sample" -> {
+      def qx4(p: Int): String =
+        s"4 * s[((ns - 1) * $p) // 4 + 1] + " +
+          s"(s[((ns - 1) * $p) // 4 + (CASE WHEN ((ns - 1) * $p) % 4 > 0 THEN 2 ELSE 1 END)] - " +
+          s"s[((ns - 1) * $p) // 4 + 1]) * (((ns - 1) * $p) % 4)"
+      s"""WITH h AS (SELECT source, CAST(n_chars AS BIGINT) AS v,
+         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT AS hk FROM documents),
+         |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows FROM h GROUP BY 1),
+         |d AS (SELECT DISTINCT source, hk, v FROM h),
+         |r AS (SELECT source, v, row_number() OVER (PARTITION BY source ORDER BY hk, v) AS rn FROM d),
+         |a AS (SELECT source, list(v ORDER BY v) AS s, CAST(count(*) AS BIGINT) AS ns
+         |  FROM r WHERE rn <= 16 GROUP BY 1)
+         |SELECT g.source, g.n_rows, a.ns AS n_sample,
+         |  CAST(s[1] AS BIGINT) AS s_min,
+         |  CAST(${qx4(1)} AS BIGINT) AS p25_x4,
+         |  CAST(${qx4(2)} AS BIGINT) AS p50_x4,
+         |  CAST(${qx4(3)} AS BIGINT) AS p75_x4,
+         |  CAST(s[ns] AS BIGINT) AS s_max
+         |FROM g JOIN a USING (source)""".stripMargin
+    },
     "q_corpus_card" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tok) END) AS BIGINT) AS n_tokens,

@@ -21,8 +21,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * rows per group that second shuffle carries every distinct key, while
   * this sketch carries k longs).
   *
-  * This is the engine's one custom CATALYST AGGREGATE (the scalar
-  * expressions `graft_simhash64`/`graft_qdot`/`graft_lshsig`/`graft_nfc`
+  * One of the engine's two custom CATALYST AGGREGATES (with
+  * [[BottomKSample]], the quantile-sketch state; the scalar expressions
+  * `graft_simhash64`/`graft_qdot`/`graft_lshsig`/`graft_nfc`
   * cover the projection side): a [[TypedImperativeAggregate]] with a real
   * `merge`, so it gets map-side partial aggregation — each input partition
   * reduces to one k-element buffer before the shuffle, the property that

@@ -159,6 +159,16 @@ object GraftFunctions {
     KmvMinK(children.head, k)
   }
 
+  val BottomKName = "graft_bottomk_sample"
+  private val bottomkInfo = new ExpressionInfo(classOf[BottomKSample].getName, BottomKName)
+
+  val bottomkBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 3, s"$BottomKName takes exactly 3 arguments, got ${children.length}")
+    require(children(2).foldable, s"$BottomKName k must be a literal")
+    val k = children(2).eval().asInstanceOf[Number].intValue()
+    BottomKSample(children.head, children(1), k)
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.registerFunction(FunctionIdentifier(SimHashName), simhashInfo, simhashBuilder)
@@ -169,6 +179,7 @@ object GraftFunctions {
     reg.registerFunction(FunctionIdentifier(TextStatsName), textStatsInfo, textStatsBuilder)
     reg.registerFunction(FunctionIdentifier(LangSignalsName), langSignalsInfo, langSignalsBuilder)
     reg.registerFunction(FunctionIdentifier(KmvName), kmvInfo, kmvBuilder)
+    reg.registerFunction(FunctionIdentifier(BottomKName), bottomkInfo, bottomkBuilder)
     // optimizer surface parity with GraftExtensions (idempotent: guard
     // against repeated register() calls appending duplicates)
     if (!spark.experimental.extraOptimizations.contains(CollapseIdempotentNormalization))
@@ -216,6 +227,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier(GraftFunctions.KmvName),
         new ExpressionInfo(classOf[KmvMinK].getName, GraftFunctions.KmvName),
         GraftFunctions.kmvBuilder))
+    ext.injectFunction(
+      (FunctionIdentifier(GraftFunctions.BottomKName),
+        new ExpressionInfo(classOf[BottomKSample].getName, GraftFunctions.BottomKName),
+        GraftFunctions.bottomkBuilder))
     ext.injectOptimizerRule(_ => CollapseIdempotentNormalization)
   }
 }

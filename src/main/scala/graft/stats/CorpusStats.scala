@@ -132,4 +132,57 @@ object CorpusStats {
           .otherwise(expr(s"(${k - 1}L * ${Hash40Domain}L) DIV greatest(element_at(mink, $k), 1L)"))
           .as("est_distinct"))
   }
+
+  /** Interpolated quartile ×4 over a sorted BIGINT array column `s` —
+    * the same quarter-fraction integerization as [[quartilesX4]]
+    * (`4 × (lower + (upper − lower) · frac)` with frac ∈ {0, ¼, ½, ¾} is
+    * integer-exact), expressed over array indices so it applies to a
+    * SAMPLE instead of the full group. `p` counts quarters (1, 2, 3).
+    */
+  private def sampleQx4(p: Int): Column = expr(
+    s"""CASE WHEN size(s) = 0 THEN CAST(0 AS BIGINT) ELSE
+       |  4 * element_at(s, CAST(((size(s) - 1) * $p) DIV 4 + 1 AS INT)) +
+       |  (element_at(s, CAST(((size(s) - 1) * $p) DIV 4 +
+       |     CASE WHEN ((size(s) - 1) * $p) % 4 > 0 THEN 2 ELSE 1 END AS INT)) -
+       |   element_at(s, CAST(((size(s) - 1) * $p) DIV 4 + 1 AS INT))) *
+       |  (((size(s) - 1) * $p) % 4)
+       |END""".stripMargin.replace('\n', ' '))
+
+  /** Per-stratum quantile sketch via the mergeable bottom-k-by-hash
+    * uniform sample ([[graft.functions.BottomKSample]]): one row per
+    * group with (n_rows, n_sample, s_min, p25_x4, p50_x4, p75_x4, s_max),
+    * the quartiles interpolated over the SAMPLE with the same ×4
+    * integerization as [[quartilesX4]]. Under k rows the sample is the
+    * group and the quartiles are EXACT — the estimator regime starts
+    * past k (spec-gated both ways).
+    *
+    * Why not GK/KLL: their compaction depends on merge order, so results
+    * vary with partitioning; bottom-k membership is order-independent,
+    * deterministic at any parallelism, and the DuckDB oracle replays it
+    * value-exactly (`row_number() OVER (ORDER BY hash, value) <= k`).
+    *
+    * Scale shape: ONE hash aggregate with map-side partials carrying k
+    * (hash, value) pairs per (partition, group) — the operator to reach
+    * for when [[quartilesX4]]'s per-group value histogram (bounded by
+    * value cardinality, not row count) outgrows executor memory on an
+    * unbounded value domain.
+    */
+  def quantileSketch(d: DataFrame, groupCol: String, idCol: String,
+                     valueCol: String, k: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(d.sparkSession)
+    require(k >= 1, s"k must be >= 1, got $k")
+    val samp = call_function(graft.functions.GraftFunctions.BottomKName,
+      hash40(col(idCol).cast("string")), col(valueCol).cast("long"), lit(k))
+    d.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"), samp.as("s"))
+      .select(col(groupCol), col("n_rows"),
+        size(col("s")).cast("long").as("n_sample"),
+        when(size(col("s")) > 0, element_at(col("s"), 1))
+          .otherwise(lit(0L)).as("s_min"),
+        sampleQx4(1).as("p25_x4"),
+        sampleQx4(2).as("p50_x4"),
+        sampleQx4(3).as("p75_x4"),
+        when(size(col("s")) > 0, element_at(col("s"), size(col("s"))))
+          .otherwise(lit(0L)).as("s_max"))
+  }
 }

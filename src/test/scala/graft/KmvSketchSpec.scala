@@ -71,4 +71,48 @@ class KmvSketchSpec extends AnyFunSuite {
     assert(err.getMessage.contains("[1, 65536]") || err.getMessage.toLowerCase.contains("k must"),
       s"k=0 must be rejected loudly: ${err.getMessage}")
   }
+
+  // ---- bottom-k quantile sketch ----
+
+  test("quantile sketch: exact regime (group <= k) equals the exact quartiles bit for bit") {
+    import spark.implicits._
+    val d = (0L until 120L).map(i => (s"s${i % 3}", i, 10L + (i * 37) % 500))
+      .toDF("source", "doc_id", "v") // 40 rows per group, k = 64 covers all
+    val sketch = CorpusStats.quantileSketch(d, "source", "doc_id", "v", k = 64)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val exact = CorpusStats.quartilesX4(d, "source", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(sketch == exact, s"sketch $sketch vs exact $exact")
+  }
+
+  test("quantile sketch: estimator regime is partitioning-invariant and brackets the range") {
+    import spark.implicits._
+    val d = (0L until 10000L).map(i => ("g", i, (i * 13) % 1000)).toDF("source", "doc_id", "v")
+    def run(parts: Int) = CorpusStats.quantileSketch(
+        d.repartition(parts), "source", "doc_id", "v", k = 128)
+      .collect()(0)
+    val a = run(1); val b = run(17)
+    assert(a.toSeq == b.toSeq, "bottom-k membership must be order-independent")
+    assert(a.getLong(2) == 128L, "estimator regime: sample capped at k")
+    // uniform values 0..999: sample medians ×4 should land mid-range
+    assert(a.getLong(5) > 4 * 300 && a.getLong(5) < 4 * 700,
+      s"median estimate ${a.getLong(5)} implausible for uniform 0..999")
+    assert(a.getLong(3) >= 0L && a.getLong(7) <= 999L)
+  }
+
+  test("quantile sketch SQL surface validates its arguments") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq((1L, 5L)).toDF("h", "v").createOrReplaceTempView("bk_in")
+    val got = spark.sql("SELECT graft_bottomk_sample(h, v, 4) FROM bk_in")
+      .collect()(0).getSeq[Long](0)
+    assert(got == Seq(5L))
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_bottomk_sample(h, v, 0) FROM bk_in").collect()
+    }
+    assert(err.getMessage.contains("[1, 65536]") || err.getMessage.toLowerCase.contains("k must"),
+      s"k=0 must be rejected loudly: ${err.getMessage}")
+  }
 }

@@ -452,6 +452,16 @@ class PlanSpec extends AnyFunSuite {
       s"the sketch alone must not pay exact-distinct's Expand:\n$plan")
   }
 
+  test("quantile sketch: ObjectHashAggregate partial+final; one group-key exchange, no sort") {
+    val plan = finalPlan(SparkEntry.queries("q_quantile_sample")(spark, sfDir))
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"bottom-k sample must partial-aggregate map-side:\n$plan")
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 1,
+      s"one (source) exchange of k-pair sketch states:\n$plan")
+    assert(!plan.contains("rangepartitioning") && !plan.contains("Exchange SinglePartition"),
+      s"no global sort or funnel for a sketch:\n$plan")
+  }
+
   test("template fingerprint: payload never shuffles — the one exchange carries the 32-hex fp") {
     val plan = finalPlan(SparkEntry.queries("w_template_fp")(spark, sfDir))
     assert(plan.contains("Exchange hashpartitioning(template_fp"),
