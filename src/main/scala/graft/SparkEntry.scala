@@ -437,6 +437,25 @@ object SparkEntry {
       t.deleteKeys(d.where(col("doc_id") % 5 === 0), "takedown-1")
       t.read(s).get.select(col("doc_id"), col("gen"))
     }),
+    // SNAPSHOT DIFF (lineage audit between two pinned corpus versions):
+    // v1 = crawl-1; then an upsert re-generates %3 keys and lands new
+    // shifted %7 keys; a takedown deletes %5 keys. The diff v1 → latest
+    // must classify exactly: added (shifted %7), deleted (%5), updated
+    // (%3 survivors) — unchanged keys OMITTED (delta-sized output)
+    "q_table_diff" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-diff").toString
+      val t = new graft.table.SnapshotTable(root)
+      val d = docs(s, dir).select(col("doc_id"))
+      t.append(d.withColumn("gen", lit(1L)), "crawl-1")
+      val up = d.where(col("doc_id") % 3 === 0)
+        .unionByName(d.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id")))
+        .withColumn("gen", lit(2L))
+      t.upsert(up, "crawl-2", Seq("doc_id"))
+      t.deleteKeys(d.where(col("doc_id") % 5 === 0), "takedown-1")
+      t.diffVersions(s, 1, t.latest().get.version, Seq("doc_id"), Seq("gen"))
+        .get.select(col("doc_id"), col("change"))
+    }),
     // S4++ SCHEMA EVOLUTION: crawl-2 ships a quality column crawl-1
     // predates. The manifest records the merged schema, the read pins the
     // scan to it, pre-evolution rows surface quality = NULL — the oracle
@@ -1647,6 +1666,17 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS gen
         |FROM documents WHERE doc_id % 5 <> 0""".stripMargin,
+    // diff twin: replay the three commits' semantics directly — shifted
+    // %7 keys are new, %5 keys vanish (even when also upserted), %3
+    // survivors changed gen 1 → 2; everything else is unchanged and absent
+    "q_table_diff" ->
+      """SELECT doc_id + 1000000 AS doc_id, 'added' AS change
+        |FROM documents WHERE doc_id % 7 = 0
+        |UNION ALL
+        |SELECT doc_id, 'deleted' FROM documents WHERE doc_id % 5 = 0
+        |UNION ALL
+        |SELECT doc_id, 'updated' FROM documents
+        |WHERE doc_id % 3 = 0 AND doc_id % 5 <> 0""".stripMargin,
     "q_table_evolve" ->
       """SELECT doc_id, lang, CAST(NULL AS BIGINT) AS quality FROM documents
         |UNION ALL

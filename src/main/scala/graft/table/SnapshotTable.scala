@@ -360,6 +360,59 @@ final class SnapshotTable(
       }
     }
 
+  /** SNAPSHOT DIFF (the lineage-audit read: "what changed between the
+    * corpus version training run A pinned and the one run B pinned?"):
+    * classify every key as `added` / `deleted` / `updated` between two
+    * published versions, comparing `valueCols` content via an md5-of-JSON
+    * fingerprint computed map-side. Unchanged keys are OMITTED — on a
+    * 10^12-row table the diff is delta-sized, the full key space is not.
+    * Contract: the table is key-unique under `keyCols` (the same
+    * discipline [[upsert]]/[[deleteKeys]] assume); both versions must
+    * have been published ([[snapshotAt]]); an empty side (all rows
+    * deleted) diffs as all-added / all-deleted.
+    *
+    * Scale shape: each side reduces to slim (key, fp16) rows before the
+    * ONE key-keyed full-outer join — values never move, and the join is
+    * the unavoidable cost of an exact diff (Iceberg's changelog scan
+    * reads per-commit deltas instead; that is [[readAppendsSince]], which
+    * deliberately does NOT apply deletes).
+    */
+  def diffVersions(spark: SparkSession, fromVersion: Int, toVersion: Int,
+                   keyCols: Seq[String], valueCols: Seq[String]): Option[DataFrame] = {
+    require(keyCols.nonEmpty, "diffVersions requires at least one key column")
+    def slim(v: Int, fpName: String): Option[DataFrame] =
+      snapshotAt(v).map { snap =>
+        def project(df: DataFrame): DataFrame =
+          df.select(keyCols.map(col) :+
+            md5(to_json(struct(valueCols.map(col): _*))).as(fpName): _*)
+        readAt(spark, v) match {
+          case Some(df) => project(df)
+          case None => // published but empty (everything deleted/compacted)
+            snap.schema match {
+              case Some(st) => project(spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st))
+              case None => spark.emptyDataFrame // legacy schema-less manifest
+            }
+        }
+      }
+    (slim(fromVersion, "_graft_fp_a"), slim(toVersion, "_graft_fp_b")) match {
+      case (Some(a0), Some(b0)) =>
+        def orEmpty(df: DataFrame, like: DataFrame, fpName: String): DataFrame =
+          if (df.columns.nonEmpty) df
+          else like.limit(0).withColumnRenamed(like.columns.last, fpName)
+        val a = orEmpty(a0, b0, "_graft_fp_a")
+        val b = orEmpty(b0, a0, "_graft_fp_b")
+        Some(a.join(b, keyCols, "full_outer")
+          .withColumn("change",
+            when(col("_graft_fp_a").isNull, lit("added"))
+              .when(col("_graft_fp_b").isNull, lit("deleted"))
+              .when(col("_graft_fp_a") =!= col("_graft_fp_b"), lit("updated")))
+          .where(col("change").isNotNull)
+          .select(keyCols.map(col) :+ col("change"): _*))
+      case _ => None
+    }
+  }
+
   /** SNAPSHOT EXPIRY (Iceberg `expire_snapshots` analog — the maintenance
     * op that stops storage growing with history): drop every manifest
     * with version < `keepFrom`, then delete the data/delete dirs no

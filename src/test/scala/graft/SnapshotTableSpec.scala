@@ -32,6 +32,36 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(rows(t) == Map("u1" -> 3, "u2" -> 3))
   }
 
+  test("diffVersions: added/deleted/updated classified; unchanged keys omitted") {
+    val t = new SnapshotTable(tmp())
+    val v1 = t.append(
+      Seq(("u1", 1), ("u2", 1), ("u3", 1), ("u4", 1)).toDF("url", "gen"), "c1")
+    t.upsert(Seq(("u2", 2), ("u5", 2)).toDF("url", "gen"), "c2", Seq("url"))
+    t.deleteKeys(Seq(Tuple1("u3")).toDF("url"), "c3")
+    val v3 = t.latest().get.version
+    val got = t.diffVersions(spark, v1, v3, Seq("url"), Seq("gen"))
+      .get.as[(String, String)].collect().toMap
+    assert(got == Map("u2" -> "updated", "u3" -> "deleted", "u5" -> "added"),
+      s"u1/u4 unchanged must be omitted; got $got")
+    // reverse diff flips added/deleted and keeps updated
+    val rev = t.diffVersions(spark, v3, v1, Seq("url"), Seq("gen"))
+      .get.as[(String, String)].collect().toMap
+    assert(rev == Map("u2" -> "updated", "u3" -> "added", "u5" -> "deleted"))
+    // identity diff is empty; unknown version is None
+    assert(t.diffVersions(spark, v3, v3, Seq("url"), Seq("gen")).get.count() == 0)
+    assert(t.diffVersions(spark, v1, 99, Seq("url"), Seq("gen")).isEmpty)
+  }
+
+  test("diffVersions: a version emptied by deletes diffs as all-deleted") {
+    val t = new SnapshotTable(tmp())
+    val v1 = t.append(Seq(("u1", 1), ("u2", 1)).toDF("url", "gen"), "c1")
+    t.deleteKeys(Seq(Tuple1("u1"), Tuple1("u2")).toDF("url"), "c2")
+    val v2 = t.latest().get.version
+    val got = t.diffVersions(spark, v1, v2, Seq("url"), Seq("gen"))
+      .get.as[(String, String)].collect().toMap
+    assert(got == Map("u1" -> "deleted", "u2" -> "deleted"))
+  }
+
   test("rollback: visibility restored to the target; history, replay, and time travel intact") {
     val t = new SnapshotTable(tmp())
     val v1 = t.append(Seq(("u1", 1), ("u2", 1)).toDF("url", "gen"), "c1")
