@@ -130,6 +130,20 @@ object SparkEntry {
       when(id % 7 === 0, lit(" " + substrPassageB)).otherwise(lit("")))
   }
 
+  /** Status/doctype profile of the synthesized pages corpus — the oracle
+    * for BOTH the direct extraction path (`q_status_counts`) and the
+    * WARC-framed one (`q_warc_extract`): byte-transparent framing means
+    * the two paths must produce the identical profile.
+    */
+  private val statusCountsSql: String =
+    """SELECT CASE WHEN doc_id % 53 = 0 OR doc_id % 41 = 0 THEN 'error' ELSE 'ok' END AS status,
+      |       CASE WHEN doc_id % 53 = 0 THEN 'unknown'
+      |            WHEN doc_id % 41 = 0 THEN 'pdf'
+      |            WHEN doc_id % 3 = 0 THEN 'pdf'
+      |            ELSE 'html' END AS doctype,
+      |       count(*) AS n
+      |FROM documents GROUP BY 1, 2""".stripMargin
+
   /** SQL twin of [[substrText]]. */
   private val substrSqlExpr: String =
     s"text || (CASE WHEN doc_id % 5 = 0 THEN ' $substrPassageA' ELSE '' END)" +
@@ -356,6 +370,26 @@ object SparkEntry {
       val res = ExtractJob.extractAll(
         PagesGen.pages(s, dir, s.sparkContext.defaultParallelism), ExtractKernel.DefaultRules, "verify")
       res.groupBy($"status", $"doctype").agg(count(lit(1)).as("n"))
+    }),
+    // the flagship path THROUGH the container: pages → per-shard .warc.gz
+    // → parse → PageRow rebuild → the SAME extraction kernel. Grouped
+    // statuses must equal the direct-path q_status_counts exactly — the
+    // oracle is literally the same SQL — proving the WARC layer is
+    // payload-transparent to extraction end to end.
+    "q_warc_extract" -> ((s, dir) => {
+      import s.implicits._
+      val pages = PagesGen.pages(s, dir, s.sparkContext.defaultParallelism)
+      val base = pages.select(col("url"),
+        (unix_timestamp(col("warc_ts")) * 1000L).as("ts_ms"),
+        lit("application/octet-stream").as("ct"), col("html").as("payload"))
+      val archives = graft.warc.WarcShards.toArchives(
+        base, "url", "ts_ms", "ct", "payload", shards = 8, gzip = true)
+      val rebuilt = graft.warc.WarcShards.parse(archives, "warc")
+        .select(col("url"), timestamp_millis(col("warc_ts_ms")).as("warc_ts"),
+          col("payload").as("html"), lit("").as("text"), lit("").as("lang"))
+        .as[graft.model.PageRow]
+      ExtractJob.extractAll(rebuilt, ExtractKernel.DefaultRules, "verify-warc")
+        .groupBy($"status", $"doctype").agg(count(lit(1)).as("n"))
     }),
     // X2 streaming surface, relationally gated: the SAME windowedMetrics
     // used by the streaming ingest, run over the batch Dataset (watermark
@@ -1622,14 +1656,9 @@ object SparkEntry {
         |            ELSE 'html' END AS doctype,
         |       count(*) AS n
         |FROM documents GROUP BY 1""".stripMargin,
-    "q_status_counts" ->
-      """SELECT CASE WHEN doc_id % 53 = 0 OR doc_id % 41 = 0 THEN 'error' ELSE 'ok' END AS status,
-        |       CASE WHEN doc_id % 53 = 0 THEN 'unknown'
-        |            WHEN doc_id % 41 = 0 THEN 'pdf'
-        |            WHEN doc_id % 3 = 0 THEN 'pdf'
-        |            ELSE 'html' END AS doctype,
-        |       count(*) AS n
-        |FROM documents GROUP BY 1, 2""".stripMargin,
+    "q_status_counts" -> statusCountsSql,
+    // the WARC-framed path must land on the identical status profile
+    "q_warc_extract" -> statusCountsSql,
     "p6_layout_zone" ->
       """WITH c AS (SELECT doc_id, text,
         |  CAST(doc_id % 500 AS BIGINT) AS x0,
