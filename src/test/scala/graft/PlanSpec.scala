@@ -206,6 +206,22 @@ class PlanSpec extends AnyFunSuite {
       s"no global funnel:\n$plan")
   }
 
+  test("block slicing: one stream-key exchange, no global funnel (same budget as seq packing)") {
+    val plan = finalPlan(SparkEntry.queries("q_block_pack")(spark, sfDir))
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 1,
+      s"prefix-sum window must ride ONE stream shuffle:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition") && !plan.contains("rangepartitioning"),
+      s"no global funnel:\n$plan")
+  }
+
+  test("warc shard assembly: one shard-key exchange; parse stage adds none") {
+    val plan = finalPlan(SparkEntry.queries("q_warc_roundtrip")(spark, sfDir))
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 1,
+      s"archive assembly is the only shuffle; parse must be map-only:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition") && !plan.contains("rangepartitioning"),
+      s"no global funnel:\n$plan")
+  }
+
   test("token-budget sampling: broadcast budgets; corpus shuffles once on (stratum, sub-stream)") {
     val plan = finalPlan(SparkEntry.queries("q_sample_budget")(spark, sfDir))
     assert(plan.contains("BroadcastExchange"),
