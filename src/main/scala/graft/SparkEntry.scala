@@ -150,6 +150,43 @@ object SparkEntry {
       s" || (CASE WHEN doc_id % 11 = 0 THEN ' $substrPassageA' ELSE '' END)" +
       s" || (CASE WHEN doc_id % 7 = 0 THEN ' $substrPassageB' ELSE '' END)"
 
+  /** Deterministic sitemap XML per document (mirrored in the oracle SQL):
+    * 1–3 `<url>` blocks into the same site0–12 × {com,org,net} domain
+    * space the other web ops use; `<lastmod>` present only on alternating
+    * (doc_id + j) parities so the optional-field path is exercised both
+    * ways.
+    */
+  private def sitemapXml: Column = {
+    val id = col("doc_id")
+    def block(j: Int): Column = {
+      val site = (id * 3 + lit(j * 5 + 1)) % 13
+      val tld = when((id + lit(j)) % 3 === 0, lit(".com"))
+        .when((id + lit(j)) % 3 === 1, lit(".org")).otherwise(lit(".net"))
+      val lastmod = when((id + lit(j)) % 2 === 0,
+        concat(lit("<lastmod>2024-0"), ((id + lit(j)) % 9 + 1).cast("string"),
+          lit("-15</lastmod>"))).otherwise(lit(""))
+      val b = concat(lit("<url><loc>https://site"), site.cast("string"), tld,
+        lit(s"/sm$j</loc>"), lastmod, lit("</url>"))
+      if (j == 0) b else when(id % 3 >= j, b).otherwise(lit(""))
+    }
+    concat(lit("<?xml version=\"1.0\"?><urlset>"),
+      block(0), block(1), block(2), lit("</urlset>"))
+  }
+
+  /** SQL twin of [[sitemapXml]]. */
+  private def sitemapSqlExpr: String = {
+    def blk(j: Int): String = {
+      val site = s"CAST((doc_id * 3 + ${j * 5 + 1}) % 13 AS VARCHAR)"
+      val tld = s"(CASE WHEN (doc_id + $j) % 3 = 0 THEN '.com' " +
+        s"WHEN (doc_id + $j) % 3 = 1 THEN '.org' ELSE '.net' END)"
+      val lastmod = s"(CASE WHEN (doc_id + $j) % 2 = 0 THEN '<lastmod>2024-0' || " +
+        s"CAST((doc_id + $j) % 9 + 1 AS VARCHAR) || '-15</lastmod>' ELSE '' END)"
+      val b = s"'<url><loc>https://site' || $site || $tld || '/sm$j</loc>' || $lastmod || '</url>'"
+      if (j == 0) b else s"(CASE WHEN doc_id % 3 >= $j THEN $b ELSE '' END)"
+    }
+    s"""'<?xml version="1.0"?><urlset>' || ${blk(0)} || ${blk(1)} || ${blk(2)} || '</urlset>'"""
+  }
+
   /** Text with deterministic synthetic outlinks appended (mirrored in the
     * oracle SQL): 1–3 absolute urls per document into the same
     * site0–12 × {com,org,net} domain space [[synthUrl]] draws page urls
@@ -891,6 +928,12 @@ object SparkEntry {
           PagesGen.row(id, Option(t).getOrElse(""), Option(lang).getOrElse("und")) }
       graft.web.LinkGraph.anchorStats(pages.toDF())
     }),
+    // sitemap parse (sitemaps.org): the crawler's owner-declared
+    // discovery input — map-only regex-over-blocks explode, optional
+    // lastmod exercised both ways by the synthesis
+    "w_sitemap" -> ((s, dir) =>
+      graft.web.Sitemap.entries(
+        docs(s, dir).select(col("doc_id"), sitemapXml.as("xml")), "doc_id", "xml")),
     // robots.txt gate (RFC 9309): per-host bodies parsed once into a slim
     // rules relation, urls evaluated map-side after the host join. The
     // synthesis exercises group selection (an OtherBot disallow-all decoy
@@ -1790,6 +1833,17 @@ object SparkEntry {
          |  host, domain
          |FROM p5""".stripMargin,
     // robots twin: the fixed rule template replayed as closed-form CASE
+    // sitemap twin: same block-explode via the 1-indexed generate_series
+    // convention; entries without a <loc> drop per the protocol
+    "w_sitemap" ->
+      s"""WITH x AS (SELECT doc_id, $sitemapSqlExpr AS xml FROM documents),
+         |a AS (SELECT doc_id, regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1) AS bs FROM x),
+         |e AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, bs[i] AS b
+         |  FROM (SELECT doc_id, bs, unnest(generate_series(1, len(bs))) AS i FROM a))
+         |SELECT doc_id, pos,
+         |  regexp_extract(b, '<loc>([^<]*)</loc>', 1) AS loc,
+         |  regexp_extract(b, '<lastmod>([^<]*)</lastmod>', 1) AS lastmod
+         |FROM e WHERE regexp_extract(b, '<loc>([^<]*)</loc>', 1) <> ''""".stripMargin,
     // logic over the url CTE's host + PATH+QUERY (pathq, fragment already
     // stripped). Decision order mirrors longest-match: Allow /Docs/Page12
     // (12) ties-or-beats every Disallow it can co-match with, the
