@@ -610,4 +610,24 @@ class WebCorpusSpec extends AnyFunSuite {
     // counted (comment content), '</b>' and 'cost <' not
     assert(row.getLong(2) == 4L, s"expected html,fake,body,b = 4 tags, got ${row.getLong(2)}")
   }
+
+  test("sitemap: loc-less entries drop, lastmod optional, whitespace/newlines inside blocks, order kept") {
+    import spark.implicits._
+    val xml =
+      """<?xml version="1.0"?><urlset>
+        |<url>
+        |  <loc>https://a.example/1</loc>
+        |  <lastmod>2024-01-15</lastmod>
+        |</url>
+        |<url><lastmod>2024-02-01</lastmod></url>
+        |<url><loc>https://a.example/3</loc></url>
+        |</urlset>""".stripMargin
+    val d = Seq((7L, xml)).toDF("doc_id", "xml")
+    val got = graft.web.Sitemap.entries(d, "doc_id", "xml")
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getString(3))).sortBy(_._1)
+    // block 1 (no loc) drops; positions keep document order of the BLOCKS
+    assert(got.toSeq == Seq(
+      (0L, "https://a.example/1", "2024-01-15"),
+      (2L, "https://a.example/3", "")))
+  }
 }
