@@ -1952,8 +1952,7 @@ object SparkEntry {
          |  CAST(CASE WHEN n_tokens > 0 THEN (cum + n_tokens - 1) // 256
          |            ELSE cum // 256 END AS BIGINT) AS block_last,
          |  CAST(CASE WHEN n_tokens > 0
-         |            THEN (CASE WHEN n_tokens > 0 THEN (cum + n_tokens - 1) // 256
-         |                       ELSE cum // 256 END) - cum // 256 + 1
+         |            THEN (cum + n_tokens - 1) // 256 - cum // 256 + 1
          |            ELSE 0 END AS BIGINT) AS n_blocks
          |FROM s""".stripMargin,
     "t_script" ->

@@ -397,6 +397,9 @@ final class SnapshotTable(
       }
     (slim(fromVersion, "_graft_fp_a"), slim(toVersion, "_graft_fp_b")) match {
       case (Some(a0), Some(b0)) =>
+        require(a0.columns.nonEmpty || b0.columns.nonEmpty,
+          s"diffVersions($fromVersion, $toVersion): both versions are legacy " +
+            "schema-less empty snapshots — no column types to diff under")
         def orEmpty(df: DataFrame, like: DataFrame, fpName: String): DataFrame =
           if (df.columns.nonEmpty) df
           else like.limit(0).withColumnRenamed(like.columns.last, fpName)

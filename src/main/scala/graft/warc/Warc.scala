@@ -72,17 +72,28 @@ object Warc {
     s"<urn:graft:${hex}>"
   }
 
+  /** CR/LF can never reach a header line: a crawled url is hostile input,
+    * and an embedded "\r\nContent-Length: 0" would hijack the framing of
+    * its own record (the parser's first-match header lookup would read
+    * the injected length). Urls percent-encode the two bytes (legal URI
+    * encoding, information-preserving); other header values drop them.
+    */
+  private def headerSafeUrl(s: String): String =
+    s.replace("\r", "%0D").replace("\n", "%0A")
+  private def headerSafe(s: String): String =
+    s.filterNot(c => c == '\r' || c == '\n')
+
   /** Serialize one record (uncompressed framing). */
   def writeRecord(out: ByteArrayOutputStream, url: String, dateMs: Long,
                   contentType: String, payload: Array[Byte],
                   recordType: String = "response"): Unit = {
     val header = new StringBuilder()
       .append("WARC/1.0").append(Crlf)
-      .append("WARC-Type: ").append(recordType).append(Crlf)
-      .append("WARC-Target-URI: ").append(url).append(Crlf)
+      .append("WARC-Type: ").append(headerSafe(recordType)).append(Crlf)
+      .append("WARC-Target-URI: ").append(headerSafeUrl(url)).append(Crlf)
       .append("WARC-Date: ").append(fmtDate(dateMs)).append(Crlf)
       .append("WARC-Record-ID: ").append(recordId(url)).append(Crlf)
-      .append("Content-Type: ").append(contentType).append(Crlf)
+      .append("Content-Type: ").append(headerSafe(contentType)).append(Crlf)
       .append("Content-Length: ").append(payload.length).append(Crlf)
       .append(Crlf)
     out.write(header.toString.getBytes(UTF_8))
@@ -112,7 +123,9 @@ object Warc {
 
   private def gunzipAll(bytes: Array[Byte], maxBytes: Int): Array[Byte] = {
     val in = new GZIPInputStream(new ByteArrayInputStream(bytes), 1 << 16)
-    val out = new ByteArrayOutputStream(math.min(bytes.length * 4, maxBytes))
+    // long math: bytes.length * 4 overflows Int past ~512 MiB archives
+    val out = new ByteArrayOutputStream(
+      math.min(bytes.length.toLong * 4, maxBytes.toLong).toInt)
     val buf = new Array[Byte](1 << 16)
     var n = in.read(buf)
     var total = 0L

@@ -25,11 +25,12 @@ import org.apache.spark.sql.functions._
   */
 object WarcShards {
 
-  /** md5-bucket shard of a url column — the same engine-portable bucket
-    * convention as [[graft.sample.Importance.gramBucket]].
+  /** md5-bucket shard of a url column — literally
+    * [[graft.sample.Importance.gramBucket]], the engine-portable bucket
+    * convention (one implementation, so the hash window can never drift).
     */
   def shardOf(url: Column, shards: Int): Column =
-    pmod(conv(substring(md5(url), 1, 8), 16, 10).cast("long"), lit(shards.toLong))
+    graft.sample.Importance.gramBucket(url, shards)
 
   /** Assemble (shard, warc) archive blobs. Input columns: url string,
     * epoch-ms long, content-type string, payload binary.
@@ -50,7 +51,20 @@ object WarcShards {
       .as[(Long, String, Long, String, Array[Byte])]
       .groupByKey(_._1)
       .mapGroups { (shard, it) =>
-        val rows = it.toArray.sortBy(_._2)
+        // order by the FULL record, payload bytes included: a url crawled
+        // twice (same url, two timestamps — normal crawl data) must land
+        // in the same order on a retried/speculative task attempt, or the
+        // byte-determinism contract below is false exactly when it matters
+        val rows = it.toArray.sortWith { (x, y) =>
+          val c1 = x._2.compareTo(y._2)
+          if (c1 != 0) c1 < 0
+          else if (x._3 != y._3) x._3 < y._3
+          else {
+            val c3 = x._4.compareTo(y._4)
+            if (c3 != 0) c3 < 0
+            else java.util.Arrays.compareUnsigned(x._5, y._5) < 0
+          }
+        }
         val payloadBytes = rows.iterator.map(_._5.length.toLong).sum
         require(payloadBytes <= maxShardBytes,
           s"shard $shard carries $payloadBytes payload bytes > $maxShardBytes; raise the shard count")

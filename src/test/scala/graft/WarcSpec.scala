@@ -82,6 +82,20 @@ class WarcSpec extends AnyFunSuite {
     assert(out.skippedBytes > 0L)
   }
 
+  test("CRLF in a hostile url cannot hijack record framing (header injection)") {
+    val evil = "https://x.example/a\r\nContent-Length: 0\r\nX-Inject: 1"
+    val in = Seq(
+      rec(evil, 1700000000000L, "text/plain", "the real payload bytes"),
+      rec("https://x.example/clean", 1700000000001L, "text/plain", "after"))
+    val out = Warc.parseArchive(Warc.writeArchive(in.iterator, gzip = false))
+    assert(out.records.size == 2 && out.skippedBytes == 0L)
+    // the injected Content-Length must NOT win: payload intact
+    assert(new String(out.records(0).payload, UTF_8) == "the real payload bytes")
+    // CR/LF percent-encoded in the url, information preserved
+    assert(out.records(0).url == "https://x.example/a%0D%0AContent-Length: 0%0D%0AX-Inject: 1")
+    assert(out.records(1).url == "https://x.example/clean")
+  }
+
   test("writer is deterministic: same records → byte-identical archive (gzip too)") {
     val in = Seq(
       rec("https://f.example/1", 1700000000000L, "text/html", "same"),
@@ -119,10 +133,14 @@ class WarcSpec extends AnyFunSuite {
     assert(stats.forall(_.getLong(1) == 0L))
   }
 
-  test("shard assembly is byte-deterministic across parallelism") {
+  test("shard assembly is byte-deterministic across parallelism — duplicate urls included") {
     import spark.implicits._
-    val rows = (0L until 40L).map(i =>
-      (s"https://g.example/$i", 1700000000000L + i, "text/plain", s"payload $i".getBytes(UTF_8)))
+    // every url appears TWICE with different timestamps/payloads (a
+    // recrawl): a url-only sort would leave the copies' order to shuffle
+    // arrival, breaking retry/speculation byte-identity
+    val rows = (0L until 40L).flatMap(i => Seq(
+      (s"https://g.example/${i % 10}", 1700000000000L + i, "text/plain", s"payload $i".getBytes(UTF_8)),
+      (s"https://g.example/${i % 10}", 1700000000000L - i, "text/plain", s"recrawl $i".getBytes(UTF_8))))
     def archive(parallelism: Int): Map[Long, Seq[Byte]] =
       WarcShards.toArchives(
           spark.createDataset(rows).repartition(parallelism)
