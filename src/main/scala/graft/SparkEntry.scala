@@ -1233,6 +1233,49 @@ object SparkEntry {
         .select(col("url"), col("warc_ts_ms"), col("content_type"),
           col("content_length"), md5(col("payload")).as("payload_md5"))
     }),
+    // CDX index over assembled .warc.gz archives: the index is built in
+    // the SAME serialization pass as the blobs (offsets can never drift),
+    // then flattened map-only into (surt, url, ts_ms, digest) rows. The
+    // gate proves framing + indexing lose nothing: every synthesized
+    // messy url (mixed case, ports, fragments) must surface exactly once
+    // with its SURT key and payload md5 — the oracle recomputes all three
+    // straight from the documents table, never touching a WARC byte.
+    "w_cdx_index" -> ((s, dir) => {
+      val base = docs(s, dir).select(
+        synthUrl.as("url"),
+        (lit(1700000000000L) + col("doc_id") * 1000L).as("ts_ms"),
+        lit("text/html").as("ct"),
+        col("text").cast("binary").as("payload"))
+      val archives = graft.warc.WarcShards.toArchivesIndexed(
+        base, "url", "ts_ms", "ct", "payload", shards = 8, gzip = true)
+      graft.warc.WarcShards.cdxIndex(archives)
+        .select(col("surt"), col("url"), col("ts_ms"), col("digest"))
+    }),
+    // CDX point fetch: probe rows (digest first hex in 0–3, ~1/4 of the
+    // corpus) are answered by slicing ONLY their (offset, length) spans
+    // out of the archive blobs — Warc.readRecordAt parses one gzip member
+    // per pick, the ranged-GET read path of a 100 TB archive store. The
+    // archive table is localCheckpoint'd once (it is a committed table in
+    // production, read by both the indexer and the fetcher); picks
+    // broadcast, archives never shuffle. The oracle selects the same
+    // subset straight from documents: url, timestamp, and payload md5
+    // must survive assembly → index → random access.
+    "q_warc_fetch" -> ((s, dir) => {
+      val base = docs(s, dir).select(
+        synthUrl.as("url"),
+        (lit(1700000000000L) + col("doc_id") * 1000L).as("ts_ms"),
+        lit("text/html").as("ct"),
+        col("text").cast("binary").as("payload"))
+      val archives = graft.warc.WarcShards.toArchivesIndexed(
+        base, "url", "ts_ms", "ct", "payload", shards = 8, gzip = true)
+        .localCheckpoint()
+      val picks = graft.warc.WarcShards.cdxIndex(archives)
+        .where(substring(col("digest"), 1, 1).isin("0", "1", "2", "3"))
+        .select(col("shard"), col("offset"), col("length"))
+      graft.warc.WarcShards.fetchBySpans(archives.drop("idx"), picks)
+        .select(col("url"), col("warc_ts_ms"),
+          md5(col("payload")).as("payload_md5"))
+    }),
     "d_exact_groups" -> ((s, dir) =>
       Dedup.exactGroups(docs(s, dir), "doc_id", "text")),
     // incremental (delta) dedup: the new-crawl batch (doc_id % 10 ∈ {8,9})
@@ -2473,6 +2516,27 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
         |  md5(text) AS payload_md5
         |FROM documents""".stripMargin,
+    // CDX twin: surt key (reversed host labels + ')' + path?query, '/'
+    // when the url has neither) and payload digest recomputed from the
+    // documents table — the Spark side must surface identical rows out
+    // of the assembled archives' write-time index
+    "w_cdx_index" ->
+      s"""WITH $urlCte
+         |SELECT array_to_string(list_reverse(string_split(host, '.')), ',')
+         |    || ')' || (CASE WHEN pathq = '' THEN '/' ELSE pathq END) AS surt,
+         |  url,
+         |  CAST(1700000000000 + doc_id * 1000 AS BIGINT) AS ts_ms,
+         |  md5(text) AS digest
+         |FROM p5""".stripMargin,
+    // CDX point-fetch twin: the same digest-prefix subset selected
+    // straight from documents; the Spark side must reproduce it through
+    // assembly -> index -> per-span random access
+    "q_warc_fetch" ->
+      s"""WITH $urlCte
+         |SELECT url,
+         |  CAST(1700000000000 + doc_id * 1000 AS BIGINT) AS warc_ts_ms,
+         |  md5(text) AS payload_md5
+         |FROM p5 WHERE substr(md5(text), 1, 1) IN ('0', '1', '2', '3')""".stripMargin,
     // ExactSubstr twin: row_number over (doc_id, pos) picks the same first
     // occurrence as Spark's struct-min; islands via pos - row_number;
     // spans close at max(pos) + k - 1 with k = 8

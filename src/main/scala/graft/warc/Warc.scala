@@ -105,9 +105,29 @@ object Warc {
     * record its own gzip member (the `.warc.gz` layout).
     */
   def writeArchive(records: Iterator[(String, Long, String, Array[Byte])],
-                   gzip: Boolean): Array[Byte] = {
+                   gzip: Boolean): Array[Byte] =
+    writeArchiveIndexed(records, gzip)._1
+
+  /** One index entry of [[writeArchiveIndexed]]: the byte span inside the
+    * archive blob that [[readRecordAt]] retrieves without touching any
+    * other byte. For gzip archives the span is the record's own gzip
+    * MEMBER (compressed bytes — what real CDX `offset`/`length` columns
+    * point at in a `.warc.gz`); for plain archives it is the framed
+    * record including its trailing separators.
+    */
+  final case class RecordSpan(url: String, dateMs: Long, offset: Long, length: Long)
+
+  /** [[writeArchive]] plus the per-record byte spans — the raw material
+    * of a CDX index. Byte-for-byte identical blob to [[writeArchive]]
+    * (the non-indexed form delegates here), so indexing an archive never
+    * changes the archive.
+    */
+  def writeArchiveIndexed(records: Iterator[(String, Long, String, Array[Byte])],
+                          gzip: Boolean): (Array[Byte], Vector[RecordSpan]) = {
     val out = new ByteArrayOutputStream(1 << 16)
+    val spans = Vector.newBuilder[RecordSpan]
     records.foreach { case (url, dateMs, contentType, payload) =>
+      val start = out.size.toLong
       if (gzip) {
         val member = new ByteArrayOutputStream(payload.length + 256)
         writeRecord(member, url, dateMs, contentType, payload)
@@ -117,8 +137,29 @@ object Warc {
         gz.close() // full close releases the Deflater; sink is ours
         compressed.writeTo(out)
       } else writeRecord(out, url, dateMs, contentType, payload)
+      spans += RecordSpan(url, dateMs, start, out.size.toLong - start)
     }
-    out.toByteArray
+    (out.toByteArray, spans.result())
+  }
+
+  /** Random access: parse exactly the record whose span a CDX row points
+    * at, touching `length` bytes of the blob and nothing else — the read
+    * path that makes a 100 TB archive store usable for point lookups
+    * (fetch one url's payload without inflating the enclosing ~1 GB
+    * archive). Fails loudly on a span that does not frame exactly one
+    * clean record: a CDX row disagreeing with its archive is corruption,
+    * not something to resync over.
+    */
+  def readRecordAt(archive: Array[Byte], offset: Long, length: Long): WarcRecord = {
+    require(offset >= 0 && length > 0 && offset + length <= archive.length,
+      s"span [$offset, +$length) outside archive of ${archive.length} bytes")
+    val slice = java.util.Arrays.copyOfRange(
+      archive, offset.toInt, (offset + length).toInt)
+    val r = parseArchive(slice)
+    require(r.records.size == 1 && r.skippedBytes == 0L,
+      s"span [$offset, +$length) framed ${r.records.size} records with " +
+        s"${r.skippedBytes} skipped bytes; expected exactly one clean record")
+    r.records.head
   }
 
   private def gunzipAll(bytes: Array[Byte], maxBytes: Int): Array[Byte] = {

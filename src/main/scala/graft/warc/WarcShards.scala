@@ -32,10 +32,33 @@ object WarcShards {
   def shardOf(url: Column, shards: Int): Column =
     graft.sample.Importance.gramBucket(url, shards)
 
+  /** One CDX entry inside an assembled archive: where [[Warc.readRecordAt]]
+    * finds the record (`offset`/`length` — the gzip MEMBER span for
+    * `.warc.gz`) plus the payload's md5 hex, the integrity column a CDX
+    * row carries so a fetched record can be verified without re-reading
+    * the source.
+    */
+  final case class CdxEntry(url: String, ts_ms: Long, offset: Long,
+                            length: Long, digest: String)
+
   /** Assemble (shard, warc) archive blobs. Input columns: url string,
     * epoch-ms long, content-type string, payload binary.
     */
   def toArchives(df: DataFrame, urlCol: String, tsMsCol: String,
+                 contentTypeCol: String, payloadCol: String,
+                 shards: Int, gzip: Boolean,
+                 maxShardBytes: Long = 1L << 30): DataFrame =
+    toArchivesIndexed(df, urlCol, tsMsCol, contentTypeCol, payloadCol,
+      shards, gzip, maxShardBytes).drop("idx")
+
+  /** [[toArchives]] plus a per-shard `idx: array<struct>` of [[CdxEntry]]
+    * rows — the archive and its index built in the SAME task from the
+    * same serialization pass, so offsets can never drift from the blob
+    * they describe (indexing after the fact would re-parse every byte;
+    * indexing during the write is free). Blob bytes are identical to
+    * [[toArchives]] — the non-indexed form delegates here.
+    */
+  def toArchivesIndexed(df: DataFrame, urlCol: String, tsMsCol: String,
                  contentTypeCol: String, payloadCol: String,
                  shards: Int, gzip: Boolean,
                  maxShardBytes: Long = 1L << 30): DataFrame = {
@@ -68,10 +91,78 @@ object WarcShards {
         val payloadBytes = rows.iterator.map(_._5.length.toLong).sum
         require(payloadBytes <= maxShardBytes,
           s"shard $shard carries $payloadBytes payload bytes > $maxShardBytes; raise the shard count")
-        (shard, Warc.writeArchive(
-          rows.iterator.map(r => (r._2, r._3, r._4, r._5)), gzip))
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val digests = rows.map { r =>
+          md.reset(); md.digest(r._5).map(b => f"$b%02x").mkString
+        }
+        val (blob, spans) = Warc.writeArchiveIndexed(
+          rows.iterator.map(r => (r._2, r._3, r._4, r._5)), gzip)
+        val idx = spans.iterator.zip(digests.iterator).map { case (s, d) =>
+          CdxEntry(s.url, s.dateMs, s.offset, s.length, d)
+        }.toSeq
+        (shard, blob, idx)
       }
-      .toDF("shard", "warc")
+      .toDF("shard", "warc", "idx")
+  }
+
+  /** Flatten an indexed archive table into CDX rows
+    * (surt, url, ts_ms, shard, offset, length, digest) — the archive
+    * store's lookup table. Map-only over the archive table (one Generate,
+    * zero exchanges); the SURT key is [[graft.web.UrlOps.surt]] so a
+    * domain's records are one contiguous key range.
+    */
+  def cdxIndex(archives: DataFrame): DataFrame =
+    archives.select(col("shard"), explode(col("idx")).as("e"))
+      .select(
+        graft.web.UrlOps.surt(col("e.url")).as("surt"),
+        col("e.url").as("url"),
+        col("e.ts_ms").as("ts_ms"),
+        col("shard"),
+        col("e.offset").as("offset"),
+        col("e.length").as("length"),
+        col("e.digest").as("digest"))
+
+  /** The on-disk CDX layout: range-partitioned and sorted by
+    * (surt, ts_ms) — exactly ONE RangePartitioning exchange, then an
+    * in-partition sort. Written as parquet with per-file min/max stats,
+    * a point lookup or a domain prefix scan prunes to the one file whose
+    * surt range covers the probe (the `cluster.idx` + sorted-shard layout
+    * Common Crawl publishes, re-expressed as parquet range partitioning).
+    */
+  def cdxSorted(index: DataFrame, partitions: Int): DataFrame = {
+    require(partitions >= 1, s"partitions must be >= 1, got $partitions")
+    index.repartitionByRange(partitions, col("surt"), col("ts_ms"))
+      .sortWithinPartitions(col("surt"), col("ts_ms"))
+  }
+
+  /** Point-fetch records through CDX spans: `picks` carries
+    * (shard, offset, length) rows — the output of a CDX probe, driver-
+    * small by definition (point lookups, not a scan). The pick list is
+    * grouped per shard and BROADCAST; the archive table — the 100 TB
+    * side — never shuffles a byte, and each matched task slices only the
+    * picked spans out of its local blob via [[Warc.readRecordAt]]
+    * (ranged-GET semantics against an object store, expressed over the
+    * archive table). Output: (shard, url, warc_ts_ms, content_type,
+    * payload).
+    */
+  def fetchBySpans(archives: DataFrame, picks: DataFrame): DataFrame = {
+    val spark = archives.sparkSession
+    import spark.implicits._
+    val spans = picks
+      .select(col("shard").cast("long"), col("offset").cast("long"),
+        col("length").cast("long"))
+      .groupBy(col("shard"))
+      .agg(collect_list(struct(col("offset"), col("length"))).as("spans"))
+    archives.join(broadcast(spans), "shard")
+      .select(col("shard"), col("warc"), col("spans"))
+      .as[(Long, Array[Byte], Seq[(Long, Long)])]
+      .flatMap { case (shard, blob, spans) =>
+        spans.sorted.iterator.map { case (off, len) =>
+          val r = Warc.readRecordAt(blob, off, len)
+          (shard, r.url, r.dateMs, r.contentType, r.payload)
+        }
+      }
+      .toDF("shard", "url", "warc_ts_ms", "content_type", "payload")
   }
 
   /** Explode archive blobs into records:

@@ -111,6 +111,25 @@ object UrlOps {
       .otherwise(h)
   }
 
+  /** SURT key (Sort-friendly URI Reordering Transform) — the sort key
+    * CDX archive indexes use (Wayback/Common Crawl convention): the
+    * canonical host's dot-labels REVERSED and comma-joined, then `)` and
+    * the path+query, so every url of a domain — and of its subdomains —
+    * sorts adjacently and a prefix range scan answers "everything under
+    * example.com". `https://news.example.com/a?q=1` →
+    * `com,example,news)/a?q=1`. Scheme and fragment are dropped per the
+    * convention; the canonical host (lowercase, default port stripped)
+    * feeds the key; path/query case is preserved (content-significant).
+    * Pure string expressions, replayed exactly by the SQL oracle.
+    */
+  def surt(u: Column): Column = {
+    val pathq = regexp_replace(afterScheme(stripFragment(u)), "^[^/?]*", "")
+    concat(
+      array_join(reverse(split(host(u), "\\.")), ","),
+      lit(")"),
+      when(pathq === "", lit("/")).otherwise(pathq))
+  }
+
   /** Registered domain: the last two dot-labels of the host, with any
     * port stripped first (the canonical host deliberately KEEPS
     * non-default ports, but a blocklist keyed by domain must not let

@@ -529,4 +529,44 @@ class PlanSpec extends AnyFunSuite {
       "HashAggregate".r.findAllIn(plan).size >= 2,
       s"group-by must have a map-side partial:\n$plan")
   }
+
+  test("cdx fetch: picks broadcast under the archive table — archive blobs never shuffle") {
+    import spark.implicits._
+    val rows = (0L until 30L).map(i =>
+      (s"https://c${i % 3}.example.com/p$i", 1700000000000L + i,
+        "text/plain", s"b$i".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    val archives = graft.warc.WarcShards.toArchivesIndexed(
+      spark.createDataset(rows).toDF("url", "ts_ms", "ct", "payload"),
+      "url", "ts_ms", "ct", "payload", shards = 3, gzip = true).localCheckpoint()
+    val picks = graft.warc.WarcShards.cdxIndex(archives)
+      .where(col("ts_ms") % 7 === 0)
+      .select(col("shard"), col("offset"), col("length"))
+    val plan = finalPlan(
+      graft.warc.WarcShards.fetchBySpans(archives.drop("idx"), picks))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"pick spans must broadcast to the archives:\n$plan")
+    // the only non-broadcast exchange is the slim per-shard span group-by;
+    // the blob column (warc) must never appear in a shuffle
+    val shuffles = plan.linesIterator.filter(_.contains("Exchange"))
+      .filterNot(_.contains("BroadcastExchange")).toVector
+    assert(shuffles.forall(l => !l.contains("warc#")),
+      s"archive blobs must never shuffle:\n${shuffles.mkString("\n")}")
+  }
+
+  test("cdx sorted layout: exactly one RangePartitioning exchange, then in-partition sort") {
+    import spark.implicits._
+    val rows = (0L until 30L).map(i =>
+      (s"https://d${i % 5}.example.org/q$i", 1700000000000L + i,
+        "text/plain", Array[Byte](i.toByte)))
+    val archives = graft.warc.WarcShards.toArchivesIndexed(
+      spark.createDataset(rows).toDF("url", "ts_ms", "ct", "payload"),
+      "url", "ts_ms", "ct", "payload", shards = 2, gzip = false).localCheckpoint()
+    val plan = finalPlan(graft.warc.WarcShards.cdxSorted(
+      graft.warc.WarcShards.cdxIndex(archives), partitions = 4))
+    assert(plan.contains("Exchange rangepartitioning(surt"),
+      s"cdx layout must range-partition on the surt key:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"exactly one exchange (the range partitioning):\n$plan")
+    assert(plan.contains("Sort [surt"), s"in-partition sort on (surt, ts_ms):\n$plan")
+  }
 }

@@ -161,4 +161,96 @@ class WarcSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("raise the shard count") ||
       Option(ex.getCause).exists(_.getMessage.contains("raise the shard count")))
   }
+
+  test("indexed writer: blob identical to plain writer; every span fetches its exact record") {
+    for (gzip <- Seq(false, true)) {
+      val in = Seq(
+        rec("https://i.example/1", 1700000000000L, "text/html", "<html>alpha</html>"),
+        rec("https://i.example/2", 1700000000001L, "application/pdf", "%PDF-1.4 beta"),
+        rec("https://i.example/3", 1700000000002L, "text/plain", ""),
+        rec("https://i.example/4", 1700000000003L, "text/plain",
+          "WARC/1.0\r\nContent-Length: 0\r\n\r\ntrap"))
+      val (blob, spans) = Warc.writeArchiveIndexed(in.iterator, gzip)
+      assert(java.util.Arrays.equals(blob, Warc.writeArchive(in.iterator, gzip)),
+        s"indexing must not change the archive (gzip=$gzip)")
+      assert(spans.size == in.size)
+      // spans tile the blob exactly: contiguous, in order, covering every byte
+      assert(spans.head.offset == 0L)
+      spans.sliding(2).foreach {
+        case Vector(a, b) => assert(a.offset + a.length == b.offset)
+        case _ =>
+      }
+      assert(spans.last.offset + spans.last.length == blob.length.toLong)
+      spans.zip(in).foreach { case (s, (url, ts, ct, p)) =>
+        val r = Warc.readRecordAt(blob, s.offset, s.length)
+        assert(r.url == url && r.dateMs == ts && r.contentType == ct)
+        assert(java.util.Arrays.equals(r.payload, p), s"payload (gzip=$gzip) $url")
+      }
+    }
+  }
+
+  test("readRecordAt rejects spans that do not frame exactly one clean record") {
+    val in = Seq(
+      rec("https://j.example/1", 1700000000000L, "text/plain", "one"),
+      rec("https://j.example/2", 1700000000001L, "text/plain", "two"))
+    val (blob, spans) = Warc.writeArchiveIndexed(in.iterator, gzip = false)
+    // two records in one span
+    intercept[IllegalArgumentException] {
+      Warc.readRecordAt(blob, 0L, spans(0).length + spans(1).length)
+    }
+    // span outside the blob
+    intercept[IllegalArgumentException] {
+      Warc.readRecordAt(blob, spans(1).offset, spans(1).length + 1)
+    }
+    // misaligned span (starts mid-record)
+    intercept[IllegalArgumentException] {
+      Warc.readRecordAt(blob, spans(0).offset + 4, spans(0).length - 4)
+    }
+  }
+
+  test("cdx index + fetchBySpans: point reads return byte-exact payloads; archives never reparse") {
+    import spark.implicits._
+    val rows = (0L until 50L).map(i => (
+      s"https://K${i % 5}.Example.com:443/Path/p$i?x=$i#frag",
+      1700000000000L + i, "text/html", s"payload body $i".getBytes(UTF_8)))
+    val df = spark.createDataset(rows).toDF("url", "ts_ms", "ct", "payload")
+    val archives = WarcShards.toArchivesIndexed(
+      df, "url", "ts_ms", "ct", "payload", shards = 3, gzip = true).localCheckpoint()
+    val index = WarcShards.cdxIndex(archives)
+    assert(index.count() == 50)
+    // surt: host lowercased, :443 stripped (https), labels reversed, fragment dropped
+    val one = index.where(col("url").contains("/Path/p7?")).collect().head
+    assert(one.getAs[String]("surt") == "com,example,k2)/Path/p7?x=7")
+    // digest column is the payload md5
+    assert(one.getAs[String]("digest") ==
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("payload body 7".getBytes(UTF_8)).map(b => f"$b%02x").mkString)
+    // fetch a deterministic subset through the spans and verify bytes
+    val picks = index.where(col("url").rlike("p(3|17|29|41)\\?"))
+      .select(col("shard"), col("offset"), col("length"))
+    val fetched = WarcShards.fetchBySpans(archives.drop("idx"), picks)
+      .select(col("url"), col("warc_ts_ms"),
+        col("payload").cast("string").as("body")).collect()
+    assert(fetched.length == 4)
+    fetched.foreach { r =>
+      val i = r.getAs[String]("url").split("/p")(1).split("\\?")(0).toLong
+      assert(r.getAs[String]("body") == s"payload body $i")
+      assert(r.getAs[Long]("warc_ts_ms") == 1700000000000L + i)
+    }
+  }
+
+  test("cdxSorted: rows globally ordered by (surt, ts_ms) across range partitions") {
+    import spark.implicits._
+    val rows = (0L until 40L).map(i => (
+      s"https://s${i % 7}.example.org/p${i % 11}", 1700000000000L + i,
+      "text/plain", s"b$i".getBytes(UTF_8)))
+    val archives = WarcShards.toArchivesIndexed(
+      spark.createDataset(rows).toDF("url", "ts_ms", "ct", "payload"),
+      "url", "ts_ms", "ct", "payload", shards = 2, gzip = false)
+    val sorted = WarcShards.cdxSorted(WarcShards.cdxIndex(archives), partitions = 4)
+    val keys = sorted.select(col("surt"), col("ts_ms"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(keys == keys.sorted, "range partitioning + in-partition sort must yield global order")
+    assert(keys.size == 40)
+  }
 }

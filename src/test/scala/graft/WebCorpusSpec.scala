@@ -63,6 +63,19 @@ class WebCorpusSpec extends AnyFunSuite {
     assert(r.getString(1) == "site7.org")
   }
 
+  test("surt: reversed host labels, canonical host, path+query kept, fragment dropped") {
+    def surtOf(u: String): String =
+      urls(u).select(UrlOps.surt(col("url"))).collect()(0).getString(0)
+    // subdomain ordering: deepest label last, so example.com/* is one prefix range
+    assert(surtOf("https://news.Example.COM/a/b?q=1#frag") == "com,example,news)/a/b?q=1")
+    // default port stripped by the canonical host; path case preserved
+    assert(surtOf("HTTPS://WWW.Site7.ORG:443/Docs/Page12") == "org,site7,www)/Docs/Page12")
+    // no path and no query → ')/' so the bare host sorts before its pages
+    assert(surtOf("http://a.b.c") == "c,b,a)/")
+    // query with no path keeps the query (deterministic engine convention)
+    assert(surtOf("http://x.y?id=2") == "y,x)?id=2")
+  }
+
   test("dropBlockedDomains removes exactly the blocked registered domains") {
     import spark.implicits._
     val df = urls(
