@@ -187,6 +187,48 @@ object SparkEntry {
     s"""'<?xml version="1.0"?><urlset>' || ${blk(0)} || ${blk(1)} || ${blk(2)} || '</urlset>'"""
   }
 
+  /** Synthetic page head for the metadata-extraction gate: every field
+    * varies by doc_id moduli so the oracle recomputes EXPECTED values from
+    * the moduli alone — the Spark side must actually parse the html to
+    * agree. Exercises: missing title (%5==4), messy title whitespace +
+    * `&amp;` entity, meta description in BOTH attribute orders and quote
+    * styles (%3), OpenGraph title (%4==0), canonical link in both orders
+    * (%2), charset as `<meta charset>` and as `http-equiv` content (%6),
+    * plus keyword/og:image/stylesheet DECOYS that anchored patterns must
+    * skip.
+    */
+  private def metaHtml: Column = {
+    val id = col("doc_id")
+    val title = when(id % 5 === 4, lit(""))
+      .otherwise(concat(lit("<TITLE>\n  Doc "), (id % 100).cast("string"),
+        lit("   &amp; co </TITLE>")))
+    val desc = when(id % 3 === 0,
+        concat(lit("<meta name=\"description\" content=\"Summary "),
+          (id % 17).cast("string"), lit(" &amp; more\">")))
+      .when(id % 3 === 1,
+        concat(lit("<meta content='Alt summary "), (id % 17).cast("string"),
+          lit("' name='description'>")))
+      .otherwise(lit(""))
+    val og = when(id % 4 === 0,
+        concat(lit("<meta property=\"og:title\" content=\"OG "),
+          (id % 13).cast("string"), lit("\">")))
+      .otherwise(lit(""))
+    val canon = when(id % 2 === 0,
+        concat(lit("<link rel=\"canonical\" href=\"https://site"),
+          (id % 13).cast("string"), lit(".com/c"), (id % 50).cast("string"), lit("\">")))
+      .otherwise(concat(lit("<LINK HREF='https://alt"), (id % 13).cast("string"),
+        lit(".org/c' REL='canonical'>")))
+    val cs = when(id % 6 === 0, lit("<meta charset=\"UTF-8\">"))
+      .when(id % 6 === 3,
+        lit("<meta http-equiv=\"Content-Type\" content=\"text/html; charset=ISO-8859-1\">"))
+      .otherwise(lit(""))
+    val decoys = lit("<meta name=\"keywords\" content=\"k1, k2\">" +
+      "<meta property=\"og:image\" content=\"https://img.example/i.png\">" +
+      "<link rel=\"stylesheet\" href=\"/s.css\">")
+    concat(lit("<html><head>"), cs, title, decoys, desc, og, canon,
+      lit("</head><body><p>body</p></body></html>"))
+  }
+
   /** Text with deterministic synthetic outlinks appended (mirrored in the
     * oracle SQL): 1–3 absolute urls per document into the same
     * site0–12 × {com,org,net} domain space [[synthUrl]] draws page urls
@@ -621,6 +663,20 @@ object SparkEntry {
       d.select(col("doc_id"),
         UrlOps.metaRobots(col("html"), "noindex").as("noindex"),
         UrlOps.metaRobots(col("html"), "nofollow").as("nofollow"))
+    }),
+    // WAT-analog page metadata: the Spark side PARSES the synthesized
+    // head (both attribute orders, both quote styles, decoy tags, messy
+    // whitespace, entities); the oracle recomputes expected values from
+    // the synthesis moduli alone — agreement proves the parse, not the
+    // synthesis. Map-only codegen regexps; zero exchanges.
+    "w_meta_extract" -> ((s, dir) => {
+      val h = docs(s, dir).select(col("doc_id"), metaHtml.as("html"))
+      h.select(col("doc_id"),
+        graft.html.MetaExtract.title(col("html")).as("title"),
+        graft.html.MetaExtract.metaContent(col("html"), "description").as("description"),
+        graft.html.MetaExtract.ogContent(col("html"), "og:title").as("og_title"),
+        graft.html.MetaExtract.canonical(col("html")).as("canonical"),
+        graft.html.MetaExtract.charset(col("html")).as("charset"))
     }),
     // composed web-ingest chain: robots opt-out gate → NFC normalization
     // → corpus line cleanse — the crawl-order composition of the three
@@ -1832,6 +1888,23 @@ object SparkEntry {
     "w_robots_gate" ->
       """SELECT doc_id, (doc_id % 7 = 0) AS noindex,
         |  (doc_id % 7 = 0 OR doc_id % 11 = 0) AS nofollow
+        |FROM documents""".stripMargin,
+    // metadata twin: expected values recomputed from the metaHtml moduli
+    // (never from the html), so the Spark side must genuinely parse
+    "w_meta_extract" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 4 THEN ''
+        |       ELSE 'Doc ' || CAST(doc_id % 100 AS VARCHAR) || ' & co' END AS title,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'Summary ' || CAST(doc_id % 17 AS VARCHAR) || ' & more'
+        |       WHEN doc_id % 3 = 1 THEN 'Alt summary ' || CAST(doc_id % 17 AS VARCHAR)
+        |       ELSE '' END AS description,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'OG ' || CAST(doc_id % 13 AS VARCHAR) ELSE '' END AS og_title,
+        |  CASE WHEN doc_id % 2 = 0
+        |       THEN 'https://site' || CAST(doc_id % 13 AS VARCHAR) || '.com/c' || CAST(doc_id % 50 AS VARCHAR)
+        |       ELSE 'https://alt' || CAST(doc_id % 13 AS VARCHAR) || '.org/c' END AS canonical,
+        |  CASE WHEN doc_id % 6 = 0 THEN 'utf-8'
+        |       WHEN doc_id % 6 = 3 THEN 'iso-8859-1'
+        |       ELSE '' END AS charset
         |FROM documents""".stripMargin,
     "t_stopword" -> {
       val stopRe = "\\b(?:" + graft.text.TextAnalytics.EnStopwords.mkString("|") + ")\\b"

@@ -530,6 +530,15 @@ class PlanSpec extends AnyFunSuite {
       s"group-by must have a map-side partial:\n$plan")
   }
 
+  test("meta extraction is map-only codegen over the scan (no Exchange)") {
+    val df = SparkEntry.queries("w_meta_extract")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"metadata extraction must not shuffle:\n$plan")
+    assert(plan.contains("*(1) Project"), s"regexp projections must codegen:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"scan must prune to doc_id (the html is synthesized):\n$plan")
+  }
+
   test("cdx fetch: picks broadcast under the archive table — archive blobs never shuffle") {
     import spark.implicits._
     val rows = (0L until 30L).map(i =>

@@ -63,6 +63,48 @@ class WebCorpusSpec extends AnyFunSuite {
     assert(r.getString(1) == "site7.org")
   }
 
+  test("meta extraction: attribute orders, quote styles, decoys, entity decode, first-match-wins") {
+    import graft.html.MetaExtract
+    def row(html: String): org.apache.spark.sql.Row = {
+      import spark.implicits._
+      Seq(html).toDF("h").select(
+        MetaExtract.title(col("h")).as("t"),
+        MetaExtract.metaContent(col("h"), "description").as("d"),
+        MetaExtract.ogContent(col("h"), "og:title").as("o"),
+        MetaExtract.canonical(col("h")).as("c"),
+        MetaExtract.charset(col("h")).as("cs")).collect()(0)
+    }
+    // messy whitespace + entities in title; attributes on the title tag
+    val r1 = row("""<title id="x">  A &amp;
+                   |  B </title><meta content='D1' name='description'>
+                   |<link href='/c1' rel='canonical'>""".stripMargin)
+    assert(r1.getString(0) == "A & B")
+    assert(r1.getString(1) == "D1")   // reversed order, single quotes
+    assert(r1.getString(3) == "/c1")  // reversed order
+    // decoys must not satisfy anchored patterns; og:title found behind og:image
+    val r2 = row("<meta name=\"keywords\" content=\"nope\">" +
+      "<link rel=\"stylesheet\" href=\"/s.css\">" +
+      "<meta property=\"og:image\" content=\"/i.png\">" +
+      "<meta property=\"og:title\" content=\"OG!\">")
+    assert(r2.getString(0) == "" && r2.getString(1) == "" && r2.getString(3) == "")
+    assert(r2.getString(2) == "OG!")
+    // first match wins on repeated tags (browser behavior for <title>)
+    val r3 = row("<title>first</title><title>second</title>" +
+      "<meta name=\"description\" content=\"one\">" +
+      "<meta name=\"description\" content=\"two\">")
+    assert(r3.getString(0) == "first" && r3.getString(1) == "one")
+    // charset: unquoted, spaced, and http-equiv forms all normalize
+    assert(row("<meta charset=utf-8>").getString(4) == "utf-8")
+    assert(row("<meta charset = 'Windows-1252'>").getString(4) == "windows-1252")
+    assert(row("<meta http-equiv=\"Content-Type\" content=\"text/html; charset=ISO-8859-1\">")
+      .getString(4) == "iso-8859-1")
+    // entity decode order: &amp;lt; is the literal text "&lt;", not "<"
+    assert(row("<title>x &amp;lt; y</title>").getString(0) == "x &lt; y")
+    // absent everything → empty strings, never nulls (stable hashing)
+    val r4 = row("<html><body>no head</body></html>")
+    (0 to 4).foreach(i => assert(r4.getString(i) == ""))
+  }
+
   test("surt: reversed host labels, canonical host, path+query kept, fragment dropped") {
     def surtOf(u: String): String =
       urls(u).select(UrlOps.surt(col("url"))).collect()(0).getString(0)
