@@ -804,6 +804,15 @@ object SparkEntry {
     }),
     // deterministic stratified downsampling: md5-bucket filter under
     // broadcast per-(source,lang) rates — map-only over the corpus
+    // temperature sampling (τ=2): expected keep per language ∝ √n_lang,
+    // overall target 90% of the corpus — high enough that small strata
+    // CAP at keep-everything (rate 10000), exercising the cap branch,
+    // while the head language genuinely down-samples. All-BIGINT isqrt
+    // math, replayed exactly by the oracle (float-sqrt + Newton fix).
+    "q_sample_temperature" -> ((s, dir) =>
+      graft.sample.Sampler.sampleTemperature(
+          docs(s, dir), "doc_id", "lang", targetBp = 9000)
+        .select(col("doc_id"), col("lang"), col("rate_bp"))),
     "q_sample_stratified" -> ((s, dir) => {
       val d = docs(s, dir)
       val rates = d.select(col("source"), col("lang")).distinct()
@@ -2415,6 +2424,21 @@ object SparkEntry {
          |  CASE WHEN ('0x' || substr(md5(domain), 1, 8))::BIGINT % 10000 < 1000
          |       THEN 'val' ELSE 'train' END AS split
          |FROM p5""".stripMargin,
+    // temperature twin: the same integer pipeline — corrected isqrt,
+    // T = (Σn · 9000) // 10000, k = (T·s) // S, rate = min(10000,
+    // k·10000 // n) — then the shared md5 bucket decision
+    "q_sample_temperature" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+        |r0 AS (SELECT lang, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS s0 FROM c),
+        |r1 AS (SELECT lang, n, CASE WHEN (s0 + 1) * (s0 + 1) <= n THEN s0 + 1 ELSE s0 END AS s1 FROM r0),
+        |r AS (SELECT lang, n, CASE WHEN s1 * s1 > n THEN s1 - 1 ELSE s1 END AS s FROM r1),
+        |t AS (SELECT SUM(s) AS tot, SUM(n) AS total FROM r),
+        |rates AS (SELECT lang,
+        |  CAST(LEAST(10000, (((((total * 9000) // 10000) * s) // tot) * 10000) // n) AS BIGINT) AS rate_bp
+        |  FROM r, t)
+        |SELECT d.doc_id, d.lang, rates.rate_bp
+        |FROM documents d JOIN rates USING (lang)
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < rate_bp""".stripMargin,
     "q_sample_stratified" ->
       """WITH rates AS (SELECT DISTINCT source, lang,
         |  CASE WHEN lang = 'en' THEN 7000 ELSE 3000 END AS rate_bp FROM documents)

@@ -129,6 +129,69 @@ object Sampler {
       when(bucket10k(col(keyCol)) < valBp, lit("val")).otherwise(lit("train")))
   }
 
+  /** Exact integer square root: `floor(sqrt(n))` for `n ≥ 0`. Float sqrt
+    * plus a ±1 Newton correction, so the result is exact even where the
+    * IEEE rounding of `sqrt(double)` lands on the wrong side of an
+    * integer — which is what makes it engine-portable (the DuckDB oracle
+    * applies the same correction) and bit-stable across JVMs/libm builds.
+    */
+  def isqrt(n: Column): Column = {
+    // isqrt(Long.MaxValue) — candidates are clamped here so the squaring
+    // in the correction can never overflow (beyond the clamp, s² wraps
+    // negative and the comparison silently inverts)
+    val cap = 3037000499L
+    val s0 = least(floor(sqrt(n.cast("double"))).cast("long"), lit(cap))
+    val s1 = when(s0 < cap && (s0 + 1) * (s0 + 1) <= n, s0 + 1).otherwise(s0)
+    when(s1 * s1 > n, s1 - 1).otherwise(s1)
+  }
+
+  /** Temperature-balanced mixture sampling (the XLM-R / mC4 recipe at
+    * τ = 2, i.e. exponent α = 1/2): keep probability per stratum is
+    * chosen so the EXPECTED kept count is proportional to `√n_stratum`,
+    * flattening a head-heavy language/source distribution without the
+    * float `pow` that would break engine-portable replay — `√n` is the
+    * one temperature exponent with an exact integer form ([[isqrt]]).
+    *
+    * Semantics, all BIGINT (mirrored by the oracle): with
+    * `T = (Σn · targetBp) DIV 10000` (the overall keep target as a
+    * corpus fraction) and `S = Σ isqrt(n_l)`, each stratum's expected
+    * keep is `k_l = (T · isqrt(n_l)) DIV S` and its per-document rate is
+    * `min(10000, (k_l · 10000) DIV n_l)` basis points — a tail stratum
+    * whose fair share exceeds its size CAPS at keep-everything (rate
+    * 10000), the standard temperature-sampling behavior (up-sampling
+    * beyond 1 epoch is [[upsampleByEpochs]]'s job, deliberately separate).
+    * The keep decision reuses [[bucket10k]].
+    *
+    * Scale shape: two passes, both cheap — a slim map-side-partial count
+    * of ONLY the stratum column (at 100 TB these counts usually already
+    * exist as corpus-card stats), then the rates table (one row per
+    * stratum) broadcasts and the keep is a map-only filter; document
+    * rows never shuffle. Overflow bound: `T · isqrt(max n)` stays under
+    * 2^63 for corpora to ~4×10^12 docs — guarded, not assumed.
+    */
+  def sampleTemperature(docs: DataFrame, idCol: String, stratumCol: String,
+      targetBp: Int): DataFrame = {
+    require(targetBp >= 0 && targetBp <= 10000,
+      s"targetBp must be in [0, 10000], got $targetBp")
+    val counts = docs.groupBy(col(stratumCol)).agg(count(lit(1)).as("graft_n"))
+    val sq = counts.withColumn("graft_s", isqrt(col("graft_n")))
+    val tot = sq.agg(sum(col("graft_s")).as("graft_tot"),
+      sum(col("graft_n")).as("graft_total"))
+    val rates = sq.crossJoin(broadcast(tot))
+      .withColumn("graft_t", expr(s"(graft_total * ${targetBp}L) DIV 10000L"))
+      // runtime overflow guard on the tiny rates table: long wrap-around
+      // here would silently mis-rate a stratum at extreme corpus sizes
+      .withColumn("graft_guard", assert_true(
+        col("graft_t") <= lit(Long.MaxValue) / greatest(col("graft_s"), lit(1L)),
+        lit("sampleTemperature: T * isqrt(n) overflows long — corpus too large for bp math")))
+      .withColumn("rate_bp", least(lit(10000L),
+        expr("(((graft_t * graft_s) DIV graft_tot) * 10000L) DIV graft_n")))
+      .where(col("graft_guard").isNull)
+      .select(col(stratumCol), col("rate_bp"))
+    docs.join(broadcast(rates), Seq(stratumCol))
+      .where(bucket10k(col(idCol)) < col("rate_bp"))
+  }
+
   /** Up-sample strata by FRACTIONAL epoch counts — the other half of
     * mixture construction (training recipes repeat high-quality sources:
     * "2.5 epochs of wiki, 0.5 of crawl"). Each document appears

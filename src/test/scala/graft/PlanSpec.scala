@@ -530,6 +530,21 @@ class PlanSpec extends AnyFunSuite {
       s"group-by must have a map-side partial:\n$plan")
   }
 
+  test("temperature sampling: rates broadcast; shuffles carry only the slim stratum counts") {
+    val plan = finalPlan(SparkEntry.queries("q_sample_temperature")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the per-stratum rates table must broadcast under the corpus:\n$plan")
+    val shuffles = plan.linesIterator.filter(_.contains("Exchange"))
+      .filterNot(_.contains("BroadcastExchange")).toVector
+    // the only exchanges are the (stratum → count) agg and its 1-row
+    // rollup — never a corpus column shuffle
+    assert(shuffles.forall(l => l.contains("lang#") || l.contains("SinglePartition")),
+      s"corpus rows must never shuffle:\n${shuffles.mkString("\n")}")
+    assert(!plan.contains("Exchange hashpartitioning(doc_id"), plan)
+    assert(plan.contains("partial_count") || "HashAggregate".r.findAllIn(plan).size >= 2,
+      s"stratum count must have a map-side partial:\n$plan")
+  }
+
   test("meta extraction is map-only codegen over the scan (no Exchange)") {
     val df = SparkEntry.queries("w_meta_extract")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString

@@ -69,6 +69,50 @@ class SamplerSpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, "bit-identical at any parallelism")
   }
 
+  test("isqrt: exact floor(sqrt) including around perfect squares and float-rounding edges") {
+    import spark.implicits._
+    val probes = (0L to 2000L) ++
+      Seq(225L, 224L, 226L, 1L << 40, (1L << 40) - 1, (1L << 40) + 1,
+        // squares of values near 2^26 where sqrt(double) rounding can
+        // land on the wrong integer side without the Newton fix
+        (1L << 26) * (1L << 26), (1L << 26) * (1L << 26) - 1,
+        ((1L << 26) + 3) * ((1L << 26) + 3) - 1,
+        Long.MaxValue)
+    val got = probes.toDF("n").select(col("n"), Sampler.isqrt(col("n")).as("s"))
+      .as[(Long, Long)].collect()
+    got.foreach { case (n, s) =>
+      // floor(sqrt(n)) ⟺ s² ≤ n < (s+1)² — checked in BigInt so the
+      // assertion itself cannot overflow at n = Long.MaxValue
+      assert(s >= 0 && BigInt(s) * BigInt(s) <= BigInt(n), s"isqrt($n) = $s under")
+      assert(BigInt(s + 1) * BigInt(s + 1) > BigInt(n), s"isqrt($n) = $s over")
+    }
+  }
+
+  test("sampleTemperature: expected keeps ∝ √n, tail strata cap at keep-everything, deterministic") {
+    import spark.implicits._
+    // heavily skewed: 6400 / 400 / 25 docs → isqrt = 80 / 20 / 5
+    val docs = ((0L until 6400L).map((_, "big")) ++
+      (10000L until 10400L).map((_, "mid")) ++
+      (20000L until 20025L).map((_, "small"))).toDF("id", "s")
+    val out = Sampler.sampleTemperature(docs, "id", "s", targetBp = 5000)
+    val rates = out.groupBy("s").agg(max("rate_bp").as("r"), count(lit(1)).as("kept"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // S = 105, T = 3412: k_big = 2599 → 4060 bp; k_mid = 649 → fully kept
+    // would be 16225 bp → caps; k_small = 162 → caps
+    assert(rates("big")._1 == 4060L, rates.toString)
+    assert(rates("mid")._1 == 10000L && rates("mid")._2 == 400L, "mid caps, keeps all")
+    assert(rates("small")._1 == 10000L && rates("small")._2 == 25L, "small caps, keeps all")
+    // big stratum keeps ≈ 40.6% (md5-uniform)
+    assert(rates("big")._2 > 2300 && rates("big")._2 < 2900, rates.toString)
+    // deterministic across parallelism
+    val out7 = Sampler.sampleTemperature(docs.repartition(7), "id", "s", targetBp = 5000)
+    assert(out7.select("id").as[Long].collect().toSet ==
+      out.select("id").as[Long].collect().toSet)
+    // targetBp = 0 keeps nothing; 10000 keeps at least the capped strata
+    assert(Sampler.sampleTemperature(docs, "id", "s", 0).count() == 0L)
+    assert(Sampler.sampleTemperature(docs, "id", "s", 10000).count() >= 425L)
+  }
+
   test("upsampleByEpochs: floor copies for all, fractional extra for a uniform md5 subset") {
     import spark.implicits._
     val docs = (0L until 1000L).map(i => (i, if (i % 2 == 0) "hi" else "lo")).toDF("id", "s")
