@@ -1193,6 +1193,21 @@ object SparkEntry {
     // what the oracle replays
     "q_kmv_distinct" -> ((s, dir) =>
       graft.stats.CorpusStats.distinctSketch(docs(s, dir), "source", "text", k = 16)),
+    // SpaceSaving heavy hitters over the registered-domain space: k=64 ≥
+    // the 39 distinct domains, so the summary is provably EXACT (err 0,
+    // merge-order-invariant) and the oracle replays it as a plain
+    // count(*). One ObjectHashAggregate with map-side ≤k-entry partials;
+    // the ESTIMATOR regime (k < distinct, where only the guarantee
+    // count−err ≤ true ≤ count holds) is spec-gated in CorpusOpsSpec.
+    "q_heavy_domains" -> ((s, dir) => {
+      val d = docs(s, dir).select(
+        UrlOps.registeredDomain(UrlOps.host(synthUrl)).as("domain"))
+      graft.stats.CorpusStats.heavyHitters(d, Seq.empty, "domain", lit(1L), k = 64)
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.key").as("domain"), col("e.count").as("cnt"),
+          col("e.err").as("err"))
+        .orderBy(col("cnt").desc, col("domain")).limit(10)
+    }),
     // per-source length quartiles from the bottom-k-by-hash SAMPLE sketch
     // (the bounded-state twin of t_len_quartiles; k=16 < group sizes, so
     // the ESTIMATOR regime is what the oracle replays here — the exact
@@ -2230,6 +2245,12 @@ object SparkEntry {
         |  CAST(CASE WHEN kk.n_kept < 16 THEN kk.n_kept
         |       ELSE (15 * 1099511627776) // greatest(kth_min, 1) END AS BIGINT) AS est_distinct
         |FROM g JOIN kk USING (source)""".stripMargin,
+    // heavy-hitter twin: in the exact regime the SpaceSaving summary IS
+    // the group-by count (err 0), same (cnt desc, domain) top-10 cut
+    "q_heavy_domains" ->
+      s"""WITH $urlCte
+         |SELECT domain, CAST(count(*) AS BIGINT) AS cnt, CAST(0 AS BIGINT) AS err
+         |FROM p5 GROUP BY 1 ORDER BY cnt DESC, domain LIMIT 10""".stripMargin,
     // quantile-sketch twin: bottom-16 by (id-hash, value) via row_number,
     // then the same ×4 quarter-fraction interpolation over the sorted
     // sample list

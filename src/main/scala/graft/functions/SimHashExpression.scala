@@ -169,6 +169,16 @@ object GraftFunctions {
     BottomKSample(children.head, children(1), k)
   }
 
+  val HeavyName = "graft_heavy_topk"
+  private val heavyInfo = new ExpressionInfo(classOf[SpaceSavingTopK].getName, HeavyName)
+
+  val heavyBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 3, s"$HeavyName takes exactly 3 arguments, got ${children.length}")
+    require(children(2).foldable, s"$HeavyName k must be a literal")
+    val k = children(2).eval().asInstanceOf[Number].intValue()
+    SpaceSavingTopK(children.head, children(1), k)
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.registerFunction(FunctionIdentifier(SimHashName), simhashInfo, simhashBuilder)
@@ -180,6 +190,7 @@ object GraftFunctions {
     reg.registerFunction(FunctionIdentifier(LangSignalsName), langSignalsInfo, langSignalsBuilder)
     reg.registerFunction(FunctionIdentifier(KmvName), kmvInfo, kmvBuilder)
     reg.registerFunction(FunctionIdentifier(BottomKName), bottomkInfo, bottomkBuilder)
+    reg.registerFunction(FunctionIdentifier(HeavyName), heavyInfo, heavyBuilder)
     // optimizer surface parity with GraftExtensions (idempotent: guard
     // against repeated register() calls appending duplicates)
     if (!spark.experimental.extraOptimizations.contains(CollapseIdempotentNormalization))
@@ -231,6 +242,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier(GraftFunctions.BottomKName),
         new ExpressionInfo(classOf[BottomKSample].getName, GraftFunctions.BottomKName),
         GraftFunctions.bottomkBuilder))
+    ext.injectFunction(
+      (FunctionIdentifier(GraftFunctions.HeavyName),
+        new ExpressionInfo(classOf[SpaceSavingTopK].getName, GraftFunctions.HeavyName),
+        GraftFunctions.heavyBuilder))
     ext.injectOptimizerRule(_ => CollapseIdempotentNormalization)
   }
 }

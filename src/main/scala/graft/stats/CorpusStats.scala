@@ -139,6 +139,28 @@ object CorpusStats {
     * integer-exact), expressed over array indices so it applies to a
     * SAMPLE instead of the full group. `p` counts quarters (1, 2, 3).
     */
+  /** Heavy-hitter summary over a key column via the mergeable SpaceSaving
+    * aggregate ([[graft.functions.SpaceSavingTopK]]): one row per group
+    * with `hh: array<struct<key, count, err>>` sorted by (count desc,
+    * key asc) — every key whose total `weight` exceeds group-total/k is
+    * guaranteed present, with `count − err ≤ true ≤ count`. `err = 0`
+    * for every entry ⟺ the summary ran exactly (k ≥ distinct keys).
+    *
+    * Scale shape: ObjectHashAggregate with a map-side partial — each
+    * input partition reduces to ONE ≤k-entry summary before the shuffle.
+    * The exact alternative (groupBy key + TakeOrdered) shuffles one row
+    * per DISTINCT key; over urls or n-grams at 10^12 rows that is the
+    * key universe, while this carries k entries per partition. Empty
+    * `groupCols` = one global summary.
+    */
+  def heavyHitters(d: DataFrame, groupCols: Seq[String], keyCol: String,
+                   weight: Column, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(d.sparkSession)
+    val hh = call_function(graft.functions.GraftFunctions.HeavyName,
+      col(keyCol), weight.cast("long"), lit(k))
+    d.groupBy(groupCols.map(col): _*).agg(hh.as("hh"))
+  }
+
   private def sampleQx4(p: Int): Column = expr(
     s"""CASE WHEN size(s) = 0 THEN CAST(0 AS BIGINT) ELSE
        |  4 * element_at(s, CAST(((size(s) - 1) * $p) DIV 4 + 1 AS INT)) +

@@ -184,4 +184,60 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got("odd") == ((1L, 8L, 12L, 16L, 5L)))
     assert(got("even") == ((1L, 7L, 10L, 13L, 4L)))
   }
+
+  private def hhRows(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long)] =
+    df.select(explode(col("hh")).as("e"))
+      .select(col("e.key"), col("e.count"), col("e.err"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+
+  test("heavyHitters exact regime: counts exact, err 0, partitioning-invariant, weights honored") {
+    import spark.implicits._
+    // 5 keys, weights: a=100, b=60, c=30, d=8, e=2 (via per-row weights)
+    val rows = (0 until 50).map(i => ("a", 2L)) ++ (0 until 30).map(_ => ("b", 2L)) ++
+      (0 until 30).map(_ => ("c", 1L)) ++ Seq(("d", 8L), ("e", 2L))
+    val d = rows.toDF("k", "w")
+    def run(parts: Int) = hhRows(graft.stats.CorpusStats.heavyHitters(
+      d.repartition(parts), Seq.empty, "k", col("w"), k = 8))
+    val got = run(1)
+    assert(got == Seq(("a", 100L, 0L), ("b", 60L, 0L), ("c", 30L, 0L),
+      ("d", 8L, 0L), ("e", 2L, 0L)), got.toString)
+    assert(run(13) == got, "exact regime must be merge-order-invariant")
+  }
+
+  test("heavyHitters estimator regime: overestimate bound and no-false-dismissal hold under any merge order") {
+    import spark.implicits._
+    // zipf-ish: key i appears ~1200/i times, 60 distinct keys, k = 8
+    val rows = (1 to 60).flatMap(i => Seq.fill(1200 / i)(s"key$i"))
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = rows.size.toLong
+    for (parts <- Seq(1, 7)) {
+      val got = hhRows(graft.stats.CorpusStats.heavyHitters(
+        rows.toDF("k").repartition(parts), Seq.empty, "k", lit(1L), k = 8))
+      assert(got.size == 8)
+      got.foreach { case (key, cnt, err) =>
+        val t = truth(key)
+        assert(cnt >= t, s"$key: count $cnt under-estimates true $t (parts=$parts)")
+        assert(cnt - err <= t, s"$key: guarantee count-err ≤ true broken (parts=$parts)")
+      }
+      // every key with true weight > n/k must be present
+      val kept = got.map(_._1).toSet
+      truth.filter(_._2 > n / 8).keys.foreach(hot =>
+        assert(kept.contains(hot), s"heavy key $hot dismissed (parts=$parts)"))
+    }
+  }
+
+  test("heavyHitters: per-group summaries; null keys skipped; SQL registration path") {
+    import spark.implicits._
+    val d = Seq(("g1", "x"), ("g1", "x"), ("g1", null), ("g2", "y"))
+      .toDF("g", "k")
+    val got = graft.stats.CorpusStats.heavyHitters(d, Seq("g"), "k", lit(1L), k = 4)
+      .select(col("g"), explode(col("hh")).as("e"))
+      .collect().map(r => (r.getString(0),
+        r.getStruct(1).getString(0), r.getStruct(1).getLong(1))).toSet
+    assert(got == Set(("g1", "x", 2L), ("g2", "y", 1L)))
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_heavy_topk(k, CAST(1 AS BIGINT), 4) AS hh FROM VALUES ('a'), ('a'), ('b') t(k)")
+    assert(hhRows(viaSql) == Seq(("a", 2L, 0L), ("b", 1L, 0L)))
+  }
 }

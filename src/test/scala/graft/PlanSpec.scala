@@ -530,6 +530,17 @@ class PlanSpec extends AnyFunSuite {
       s"group-by must have a map-side partial:\n$plan")
   }
 
+  test("heavy-hitter sketch: ObjectHashAggregate with map-side partial summaries; top-10 never global-sorts") {
+    val plan = finalPlan(SparkEntry.queries("q_heavy_domains")(spark, sfDir))
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"partial + final summary aggregation expected:\n$plan")
+    assert(plan.contains("partial_graft_heavy_topk"),
+      s"each partition must reduce to one ≤k-entry summary before the shuffle:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the top-10 cut must be TakeOrdered, not a global Sort:\n$plan")
+    assert(!plan.contains("Expand"), s"no Expand (the exact-distinct plan shape):\n$plan")
+  }
+
   test("temperature sampling: rates broadcast; shuffles carry only the slim stratum counts") {
     val plan = finalPlan(SparkEntry.queries("q_sample_temperature")(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"),
