@@ -646,6 +646,21 @@ object SparkEntry {
     // NFC normalization via the native codegen'd graft_nfc expression,
     // over mixed-form synthesis: decomposed sequences compose, the
     // precomposed fixed point and pure-ASCII rows pass through untouched
+    // mojibake round trip: corrupt (UTF-8 read as cp1252) then repair —
+    // md5 must land back on the ORIGINAL text's md5, which the oracle
+    // computes straight off the documents table; the noop column proves
+    // clean multi-script text passes the repairer untouched. The
+    // corrupted flag pins that the corruption genuinely fired (every doc
+    // with a non-ASCII suffix, i.e. doc_id % 12 != 0).
+    "t_mojibake" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), multiScriptText.as("st"))
+      val fix = TextAnalytics.fixMojibakeNative(d) _
+      val bad = TextAnalytics.mojibakeNative(d) _
+      d.select(col("doc_id"),
+        md5(fix(bad(col("st")))).as("roundtrip_md5"),
+        md5(fix(col("st"))).as("noop_md5"),
+        (bad(col("st")) =!= col("st")).as("corrupted"))
+    }),
     "t_nfc" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), denormText.as("raw"))
       d.select(col("doc_id"), col("raw"),
@@ -1906,6 +1921,18 @@ object SparkEntry {
          |  CAST(len(raw) AS BIGINT) AS n_before,
          |  CAST(len(nfc_normalize(raw)) AS BIGINT) AS n_after
          |FROM r""".stripMargin,
+    // mojibake twin: the oracle never corrupts anything — it md5s the
+    // clean text directly, so the Spark corrupt→repair round trip must
+    // be a true inverse (and the repairer a no-op on clean text)
+    "t_mojibake" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || ' ' || substr('中文漢字中文漢字中文漢字', 1, (doc_id % 4) * 4)
+        |       || substr('приветпривет', 1, (doc_id % 3) * 6)
+        |       || substr('مرحبامرحبا', 1, (doc_id % 2) * 5) AS st
+        |FROM documents)
+        |SELECT doc_id, md5(st) AS roundtrip_md5, md5(st) AS noop_md5,
+        |  (doc_id % 12 <> 0) AS corrupted
+        |FROM t""".stripMargin,
     // closed-form twin of the robotsHtml synthesis: %7 docs carry
     // noindex,nofollow (name-first attr order), %11 docs nofollow only
     // (content-first order); the Spark side must parse both spellings

@@ -169,6 +169,24 @@ object GraftFunctions {
     BottomKSample(children.head, children(1), k)
   }
 
+  val FixMojibakeName = "graft_fix_mojibake"
+  private val fixMojibakeInfo =
+    new ExpressionInfo(classOf[FixMojibakeExpression].getName, FixMojibakeName)
+  val fixMojibakeBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 1,
+      s"$FixMojibakeName takes exactly 1 argument, got ${children.length}")
+    FixMojibakeExpression(children.head)
+  }
+
+  val MojibakeName = "graft_mojibake"
+  private val mojibakeInfo =
+    new ExpressionInfo(classOf[CorruptMojibakeExpression].getName, MojibakeName)
+  val mojibakeBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 1,
+      s"$MojibakeName takes exactly 1 argument, got ${children.length}")
+    CorruptMojibakeExpression(children.head)
+  }
+
   val HeavyName = "graft_heavy_topk"
   private val heavyInfo = new ExpressionInfo(classOf[SpaceSavingTopK].getName, HeavyName)
 
@@ -191,6 +209,8 @@ object GraftFunctions {
     reg.registerFunction(FunctionIdentifier(KmvName), kmvInfo, kmvBuilder)
     reg.registerFunction(FunctionIdentifier(BottomKName), bottomkInfo, bottomkBuilder)
     reg.registerFunction(FunctionIdentifier(HeavyName), heavyInfo, heavyBuilder)
+    reg.registerFunction(FunctionIdentifier(FixMojibakeName), fixMojibakeInfo, fixMojibakeBuilder)
+    reg.registerFunction(FunctionIdentifier(MojibakeName), mojibakeInfo, mojibakeBuilder)
     // optimizer surface parity with GraftExtensions (idempotent: guard
     // against repeated register() calls appending duplicates)
     if (!spark.experimental.extraOptimizations.contains(CollapseIdempotentNormalization))
@@ -246,6 +266,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier(GraftFunctions.HeavyName),
         new ExpressionInfo(classOf[SpaceSavingTopK].getName, GraftFunctions.HeavyName),
         GraftFunctions.heavyBuilder))
+    ext.injectFunction(
+      (FunctionIdentifier(GraftFunctions.FixMojibakeName),
+        new ExpressionInfo(classOf[FixMojibakeExpression].getName, GraftFunctions.FixMojibakeName),
+        GraftFunctions.fixMojibakeBuilder))
+    ext.injectFunction(
+      (FunctionIdentifier(GraftFunctions.MojibakeName),
+        new ExpressionInfo(classOf[CorruptMojibakeExpression].getName, GraftFunctions.MojibakeName),
+        GraftFunctions.mojibakeBuilder))
     ext.injectOptimizerRule(_ => CollapseIdempotentNormalization)
   }
 }

@@ -84,6 +84,20 @@ object TextAnalytics {
     call_function(graft.functions.GraftFunctions.NfcName, c)
   }
 
+  /** cp1252-mojibake repair ([[graft.functions.Mojibake.repair]]), native
+    * codegen'd — the encoding-fix stage that runs beside NFC in the clean
+    * pass. */
+  def fixMojibakeNative(df: DataFrame)(c: Column): Column = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    call_function(graft.functions.GraftFunctions.FixMojibakeName, c)
+  }
+
+  /** The inverse corruption (fixture synthesis / round-trip gating). */
+  def mojibakeNative(df: DataFrame)(c: Column): Column = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    call_function(graft.functions.GraftFunctions.MojibakeName, c)
+  }
+
   /** Canonical form for fingerprinting: lowercase, whitespace collapsed. */
   def normalized(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")

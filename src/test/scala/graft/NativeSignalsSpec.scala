@@ -190,4 +190,49 @@ class NativeSignalsSpec extends AnyFunSuite {
     val codegen = df.select(cols: _*).collect().toSeq
     assert(interpreted == codegen)
   }
+
+  test("mojibake repair: classic corruptions, double encoding, undefined cp1252 bytes, safety") {
+    import graft.functions.Mojibake
+    import org.apache.spark.unsafe.types.UTF8String
+    def fix(s: String) = Mojibake.repair(UTF8String.fromString(s)).toString
+    def bad(s: String) = Mojibake.corrupt(UTF8String.fromString(s)).toString
+    // the two canonical web corruptions
+    assert(fix("Thatâ€™s it") == "That’s it")   // â€™ → ’
+    assert(fix("cafÃ©") == "café")                        // Ã© → é
+    // double-encoded: two repair rounds reach the fixpoint
+    assert(fix(bad(bad("It’s 中文"))) == "It’s 中文")
+    // round trip over every repairable scripts block
+    for (s <- Seq("中文漢字", "привет мир", "مرحبا", "ação é über",
+                  "mixed ASCII and 漢字 tail"))
+      assert(fix(bad(s)) == s, s"round trip failed for '$s'")
+    // the five undefined cp1252 bytes (0x81 8D 8F 90 9D) pass through as
+    // C1 controls — corrupt stays bijective, repair still inverts
+    val tricky = "edge\u0081case\u2013\u009dx\u00ad"  // undefined-slot C1 controls, en-dash, soft hyphen
+    assert(fix(bad(tricky)) == tricky)
+    // safety: genuine Latin-1-range prose must NOT be "repaired"
+    for (s <- Seq("Â chose île", "café résumé", "naïve Ångström", "A±B"))
+      assert(fix(s) == s, s"clean text '$s' must pass through")
+    // chars outside the cp1252 image abort the repair wholesale
+    assert(fix("Ã©中") == "Ã©中", "unmappable char must veto the repair")
+    // ASCII fast path: the input OBJECT comes back (no allocation)
+    val ascii = UTF8String.fromString("plain ascii")
+    assert(Mojibake.repair(ascii) eq ascii)
+    assert(Mojibake.corrupt(ascii) eq ascii)
+  }
+
+  test("mojibake expressions: null propagation, SQL registration, interpreted == codegen") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(Some("cafÃ©"), None, Some("ok")).toDF("t")
+    val cols = Seq(
+      org.apache.spark.sql.functions.expr("graft_fix_mojibake(t)"),
+      org.apache.spark.sql.functions.expr("graft_mojibake(t)"))
+    val codegen = df.select(cols: _*).collect().toSeq
+    assert(codegen(0).getString(0) == "café")
+    assert(codegen(1).isNullAt(0) && codegen(1).isNullAt(1))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val interpreted = try df.select(cols: _*).collect().toSeq
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(interpreted == codegen)
+  }
 }

@@ -530,6 +530,14 @@ class PlanSpec extends AnyFunSuite {
       s"group-by must have a map-side partial:\n$plan")
   }
 
+  test("mojibake round trip is map-only codegen (native expressions, no Exchange)") {
+    val df = SparkEntry.queries("t_mojibake")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"mojibake repair must not shuffle:\n$plan")
+    assert(plan.contains("*(1) Project") && plan.contains("graft_fix_mojibake"),
+      s"native expressions must stay inside the codegen span:\n$plan")
+  }
+
   test("heavy-hitter sketch: ObjectHashAggregate with map-side partial summaries; top-10 never global-sorts") {
     val plan = finalPlan(SparkEntry.queries("q_heavy_domains")(spark, sfDir))
     assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
