@@ -760,6 +760,16 @@ object SparkEntry {
       val model = LangModel.bigramModel(d.where(col("lang") === "en"), "doc_id", "text", minCount = 2)
       LangModel.lmScore(d, model, "doc_id", "text")
     }),
+    // stupid-backoff trigram LM (Brants et al. 2007): trigram hit →
+    // p3; miss → 0.4 × bigram p2; miss → 0.16 × unigram p1; miss → 0 —
+    // all fixed-point ppm. Trained on the en slice like t_lm_score; all
+    // three pruned model tables broadcast, scoring probes map-side.
+    "t_lm_backoff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = LangModel.stupidBackoffModel(
+        d.where(col("lang") === "en"), "doc_id", "text", minCount = 2)
+      LangModel.stupidBackoffScore(d, model, "doc_id", "text")
+    }),
     // CCNet-style quality tiers over the LM fluency score: exact discrete
     // tertile boundaries from a bounded score histogram (one slim agg +
     // a histogram-sized window), then a broadcast map-only assignment —
@@ -2399,6 +2409,53 @@ object SparkEntry {
     "t_lm_score" ->
       s"""WITH $lmScoreCte
         |SELECT doc_id, n_bigrams, seen_bigrams, sum_ppm, avg_ppm FROM sc""".stripMargin,
+    // stupid-backoff twin: the same three pruned count-ratio tables
+    // (contexts summed before pruning), the same ×4 DIV 10 / ×16 DIV 100
+    // integer backoff weights, hit levels classified per position
+    "t_lm_backoff" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  CASE WHEN length(trim(text)) = 0 THEN []
+        |       ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS l
+        |FROM documents),
+        |g AS (SELECT doc_id, z[1] AS w1, z[2] AS w2, z[3] AS w3
+        |  FROM (SELECT doc_id, unnest(list_zip(l[1:len(l)-2], l[2:len(l)-1], l[3:len(l)])) AS z
+        |        FROM t WHERE len(l) >= 3)),
+        |gt AS (SELECT g.* FROM g JOIN t USING (doc_id) WHERE t.lang = 'en'),
+        |c123 AS (SELECT w1, w2, w3, count(*) AS c FROM gt GROUP BY 1, 2, 3),
+        |c12 AS (SELECT w1, w2, sum(c) AS cc FROM c123 GROUP BY 1, 2),
+        |m3 AS (SELECT c123.w1, c123.w2, c123.w3, (c * 1000000) // cc AS p3
+        |  FROM c123 JOIN c12 USING (w1, w2) WHERE c >= 2),
+        |b AS (SELECT doc_id, z[1] AS v1, z[2] AS v2
+        |  FROM (SELECT doc_id, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+        |        FROM t WHERE len(l) >= 2)),
+        |bt AS (SELECT b.* FROM b JOIN t USING (doc_id) WHERE t.lang = 'en'),
+        |c23 AS (SELECT v1, v2, count(*) AS c FROM bt GROUP BY 1, 2),
+        |c2 AS (SELECT v1, sum(c) AS cc FROM c23 GROUP BY 1),
+        |m2 AS (SELECT c23.v1, c23.v2, (c * 1000000) // cc AS p2
+        |  FROM c23 JOIN c2 USING (v1) WHERE c >= 2),
+        |u AS (SELECT doc_id, unnest(l) AS w FROM t),
+        |ut AS (SELECT u.* FROM u JOIN t USING (doc_id) WHERE t.lang = 'en'),
+        |cu AS (SELECT w, count(*) AS c FROM ut GROUP BY 1),
+        |nn AS (SELECT sum(c) AS n FROM cu),
+        |m1 AS (SELECT w, (c * 1000000) // n AS p1 FROM cu, nn WHERE c >= 2),
+        |sc AS (SELECT g.doc_id, m3.p3, m2.p2, m1.p1,
+        |  COALESCE(m3.p3, (4 * m2.p2) // 10, (16 * m1.p1) // 100, 0) AS s
+        |  FROM g LEFT JOIN m3 ON g.w1 = m3.w1 AND g.w2 = m3.w2 AND g.w3 = m3.w3
+        |         LEFT JOIN m2 ON g.w2 = m2.v1 AND g.w3 = m2.v2
+        |         LEFT JOIN m1 ON g.w3 = m1.w),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+        |  CAST(count(p3) AS BIGINT) AS tri_hits,
+        |  CAST(sum(CASE WHEN p3 IS NULL AND p2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS bi_hits,
+        |  CAST(sum(CASE WHEN p3 IS NULL AND p2 IS NULL AND p1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS uni_hits,
+        |  CAST(sum(s) AS BIGINT) AS sum_ppm FROM sc GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(a.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+        |  CAST(coalesce(a.tri_hits, 0) AS BIGINT) AS tri_hits,
+        |  CAST(coalesce(a.bi_hits, 0) AS BIGINT) AS bi_hits,
+        |  CAST(coalesce(a.uni_hits, 0) AS BIGINT) AS uni_hits,
+        |  CAST(coalesce(a.sum_ppm, 0) AS BIGINT) AS sum_ppm,
+        |  CAST(coalesce(a.sum_ppm, 0) // greatest(coalesce(a.n_trigrams, 0), 1) AS BIGINT) AS avg_ppm
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
     // CCNet-style tier twin: exact discrete tertiles of avg_ppm via the
     // same histogram-cumulative product comparison (cum·3 >= k·n) as
     // Tiering.tierBoundaries — no division anywhere, ties land low

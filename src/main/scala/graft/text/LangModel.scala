@@ -84,6 +84,99 @@ object LangModel {
       .select(col("w1"), col("w2"), expr("(c12 * 1000000) DIV c1").as("p_ppm"))
   }
 
+  /** One row per adjacent-trigram position: (id, w1, w2, w3). Same
+    * codegen'd slice/zip/explode shape as [[bigramPositions]].
+    */
+  def trigramPositions(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = toks(textCol)
+    docs
+      .select(col(idCol).as("id"), t.as("l"))
+      .where(size(col("l")) >= 3)
+      .select(col("id"), explode(arrays_zip(
+        slice(col("l"), lit(1), size(col("l")) - 2).as("w1"),
+        slice(col("l"), lit(2), size(col("l")) - 2).as("w2"),
+        slice(col("l"), lit(3), size(col("l")) - 2).as("w3"))).as("tg"))
+      .select(col("id"), col("tg.w1").as("w1"), col("tg.w2").as("w2"), col("tg.w3").as("w3"))
+  }
+
+  /** The three pruned model tables of a stupid-backoff trigram LM
+    * (Brants et al. 2007 — the LM design built FOR web-scale corpora:
+    * no discounting statistics to fit, every level a plain count ratio,
+    * so training is three count aggregations and scoring never needs
+    * normalization): `tri (w1,w2,w3,p3_ppm)`, `bi (w2,w3,p2_ppm)`,
+    * `uni (w3,p1_ppm)`. Context totals are computed BEFORE pruning at
+    * every level (probabilities stay proper); each level prunes to
+    * count ≥ minCount, so all three tables are vocabulary-bounded under
+    * Zipf — broadcastable regardless of corpus row count.
+    */
+  final case class BackoffModel(tri: DataFrame, bi: DataFrame, uni: DataFrame)
+
+  def stupidBackoffModel(train: DataFrame, idCol: String, textCol: String,
+                         minCount: Int = 2): BackoffModel = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val c123 = trigramPositions(train, idCol, textCol)
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c"))
+    val c12 = c123.groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("cc"))
+    val tri = c123.where(col("c") >= minCount).join(c12, Seq("w1", "w2"))
+      .select(col("w1"), col("w2"), col("w3"), expr("(c * 1000000) DIV cc").as("p3_ppm"))
+    val c23 = bigramPositions(train, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val c2 = c23.groupBy(col("w1")).agg(sum(col("c")).as("cc"))
+    val bi = c23.where(col("c") >= minCount).join(c2, Seq("w1"))
+      .select(col("w1").as("w2"), col("w2").as("w3"), expr("(c * 1000000) DIV cc").as("p2_ppm"))
+    val toksOnly = train.select(explode(toks(textCol)).as("w3"))
+    val cu = toksOnly.groupBy(col("w3")).agg(count(lit(1)).as("c"))
+    val uni = cu.where(col("c") >= minCount)
+      .crossJoin(broadcast(cu.agg(sum(col("c")).as("n"))))
+      .select(col("w3"), expr("(c * 1000000) DIV n").as("p1_ppm"))
+    BackoffModel(tri, bi, uni)
+  }
+
+  /** Per-document stupid-backoff score: each trigram position contributes
+    * its trigram probability when the pruned trigram model knows it, else
+    * α = 0.4 times the bigram probability, else α² = 0.16 times the
+    * unigram probability, else 0 — all fixed-point ppm (`×4 DIV 10`,
+    * `×16 DIV 100`), so Spark and the oracle agree bit-for-bit. Output:
+    * (id, n_trigrams, tri_hits, bi_hits, uni_hits, sum_ppm, avg_ppm);
+    * docs under 3 tokens score 0 with n_trigrams = 0.
+    *
+    * Scale shape: identical to [[lmScore]] — all three model tables
+    * broadcast (vocabulary-bounded), positions probe them map-side, the
+    * only exchange is the slim per-document aggregate with map-side
+    * partials. Documents never shuffle.
+    */
+  def stupidBackoffScore(docs: DataFrame, model: BackoffModel,
+                         idCol: String, textCol: String): DataFrame = {
+    val scored = trigramPositions(docs, idCol, textCol)
+      .join(broadcast(model.tri), Seq("w1", "w2", "w3"), "left")
+      .join(broadcast(model.bi), Seq("w2", "w3"), "left")
+      .join(broadcast(model.uni), Seq("w3"), "left")
+      .withColumn("s_ppm", coalesce(
+        col("p3_ppm"),
+        expr("(4 * p2_ppm) DIV 10"),
+        expr("(16 * p1_ppm) DIV 100"),
+        lit(0L)))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_trigrams"),
+        count(col("p3_ppm")).as("tri_hits"),
+        sum(when(col("p3_ppm").isNull && col("p2_ppm").isNotNull, 1L)
+          .otherwise(0L)).as("bi_hits"),
+        sum(when(col("p3_ppm").isNull && col("p2_ppm").isNull && col("p1_ppm").isNotNull, 1L)
+          .otherwise(0L)).as("uni_hits"),
+        sum(col("s_ppm")).as("sum_ppm"))
+    docs.select(col(idCol).as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("tri_hits"), lit(0L)).as("tri_hits"),
+        coalesce(col("bi_hits"), lit(0L)).as("bi_hits"),
+        coalesce(col("uni_hits"), lit(0L)).as("uni_hits"),
+        coalesce(col("sum_ppm"), lit(0L)).as("sum_ppm"),
+        expr("coalesce(sum_ppm, CAST(0 AS BIGINT)) DIV greatest(coalesce(n_trigrams, CAST(0 AS BIGINT)), 1)")
+          .as("avg_ppm"))
+  }
+
   /** Per-document fluency score against a trained model: (id, n_bigrams,
     * seen_bigrams, sum_ppm, avg_ppm). Documents with < 2 tokens score 0
     * with n_bigrams = 0 (nothing to judge — callers gate on n_bigrams).

@@ -76,4 +76,35 @@ class LangModelSpec extends AnyFunSuite {
     assert(r.getLong(3) == 1999999L) // sum_ppm
     assert(r.getLong(4) == 499999L)  // avg_ppm = 1999999 DIV 4
   }
+
+  test("stupidBackoffModel: three pruned count-ratio tables by hand") {
+    // train: "a b c a b c a b d" → trigrams abc×2 bca×2 cab×2 abd×1;
+    // contexts (a,b)=3 (b,c)=2 (c,a)=2 summed BEFORE pruning; bigrams
+    // ab=3 bc=2 ca=2 bd=1 with c2 a=3 b=3 c=2; unigrams a=3 b=3 c=2 d=1, N=9
+    val m = LangModel.stupidBackoffModel(
+      docs(1L -> "a b c a b c a b d"), "doc_id", "text", minCount = 2)
+    val tri = m.tri.as[(String, String, String, Long)].collect().toSet
+    assert(tri == Set(("a", "b", "c", 666666L), ("b", "c", "a", 1000000L),
+      ("c", "a", "b", 1000000L)), tri.toString)
+    val bi = m.bi.as[(String, String, Long)].collect().toSet
+    assert(bi == Set(("a", "b", 1000000L), ("b", "c", 666666L), ("c", "a", 1000000L)))
+    val uni = m.uni.as[(String, Long)].collect().toSet
+    assert(uni == Set(("a", 333333L), ("b", 333333L), ("c", 222222L)))
+  }
+
+  test("stupidBackoffScore: every backoff level and the miss floor, hand-checked ppm") {
+    val m = LangModel.stupidBackoffModel(
+      docs(1L -> "a b c a b c a b d"), "doc_id", "text", minCount = 2)
+    // probe "x a b c b d a": (x,a,b) bi-hit 400000; (a,b,c) tri-hit
+    // 666666; (b,c,b) uni-hit 53333; (c,b,d) MISS (bigram bd and unigram
+    // d both pruned) → 0; (b,d,a) uni-hit 53333
+    val got = LangModel.stupidBackoffScore(
+      docs(2L -> "x a b c b d a", 3L -> "a b", 4L -> ""), m, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got(2L) == ((5L, 1L, 1L, 2L, 1173332L, 234666L)), got(2L).toString)
+    // under 3 tokens: zero trigrams, zero score — never an error
+    assert(got(3L) == ((0L, 0L, 0L, 0L, 0L, 0L)))
+    assert(got(4L) == ((0L, 0L, 0L, 0L, 0L, 0L)))
+  }
 }

@@ -530,6 +530,15 @@ class PlanSpec extends AnyFunSuite {
       s"group-by must have a map-side partial:\n$plan")
   }
 
+  test("stupid-backoff: all three model levels broadcast; positions probe map-side, never sort-merge") {
+    val plan = finalPlan(SparkEntry.queries("t_lm_backoff")(spark, sfDir))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      s"tri, bi, and uni models must each probe as a broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"neither scoring nor model assembly may sort-merge the corpus:\n$plan")
+    assert(!plan.contains("rangepartitioning"), s"no global funnel:\n$plan")
+  }
+
   test("mojibake round trip is map-only codegen (native expressions, no Exchange)") {
     val df = SparkEntry.queries("t_mojibake")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
