@@ -679,6 +679,29 @@ object SparkEntry {
         UrlOps.metaRobots(col("html"), "noindex").as("noindex"),
         UrlOps.metaRobots(col("html"), "nofollow").as("nofollow"))
     }),
+    // robots.txt scheduling directives: Crawl-delay per winning group
+    // (decimal seconds → ms, MAX over RFC-combined duplicate groups) and
+    // GLOBAL Sitemap lines. Synthesis exercises: '*' fallback when no
+    // graftbot group exists (www hosts → 2000 ms), a graftbot group with
+    // a fractional delay (cdn → 1.5 s), a duplicate graftbot group later
+    // in the file (.org → max(1500, 4000)), and 1 vs 2 sitemap lines.
+    "w_robots_directives" -> ((s, dir) => {
+      val hosts = docs(s, dir).select(UrlOps.host(synthUrl).as("host")).distinct()
+      val body = concat(
+        lit("Sitemap: https://"), col("host"), lit("/sitemap.xml\n"),
+        lit("User-agent: *\nDisallow: /private\nCrawl-delay: 2\n\n"),
+        when(col("host").startsWith("cdn."),
+          lit("User-agent: graftbot\nDisallow: /x\nCrawl-delay: 1.5\n"))
+          .otherwise(lit("")),
+        when(col("host").endsWith(".org"), concat(
+          lit("Sitemap: https://"), col("host"),
+          lit("/s2.xml\nUser-agent: graftbot\nCrawl-delay: 4\n")))
+          .otherwise(lit("")))
+      graft.web.RobotsTxt.directivesFrame(
+          hosts.withColumn("body", body), "host", "body", "graftbot/1.0")
+        .select(col("host"), col("crawl_delay_ms"),
+          array_join(col("sitemaps"), ",").as("sitemaps"))
+    }),
     // WAT-analog page metadata: the Spark side PARSES the synthesized
     // head (both attribute orders, both quote styles, decoy tags, messy
     // whitespace, entities); the oracle recomputes expected values from
@@ -1383,6 +1406,20 @@ object SparkEntry {
     }),
     "d_exact_groups" -> ((s, dir) =>
       Dedup.exactGroups(docs(s, dir), "doc_id", "text")),
+    // asymmetric containment (quote detection): every %5==0 document
+    // gains a synthetic QUOTE twin (its first 12 tokens, id +100000) in
+    // the same %250 family — containment must flag quote⊂original at
+    // ~10^6 ppm where Jaccard stays small; unrelated same-family pairs
+    // exercise the sub-threshold prune
+    "d_containment" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val quotes = d.where(col("doc_id") % 5 === 0).select(
+        (col("doc_id") + 100000L).as("doc_id"),
+        array_join(slice(split(trim(col("text")), "\\s+"), 1, 12), " ").as("text"))
+      val all = d.union(quotes).withColumn("fam", pmod(col("doc_id"), lit(250L)))
+      Dedup.containmentWithinGroups(all, "doc_id", "text", "fam",
+        n = 3, minPpm = 500000L)
+    }),
     // incremental (delta) dedup: the new-crawl batch (doc_id % 10 ∈ {8,9})
     // against the fingerprint index of the committed corpus (% 10 < 8) —
     // the at-scale shape where the corpus is never re-deduplicated, only
@@ -1950,6 +1987,21 @@ object SparkEntry {
       """SELECT doc_id, (doc_id % 7 = 0) AS noindex,
         |  (doc_id % 7 = 0 OR doc_id % 11 = 0) AS nofollow
         |FROM documents""".stripMargin,
+    // directives twin: expected delays/sitemaps recomputed from the host
+    // predicates the synthesis used — the Spark side must actually parse
+    // group selection, duplicate-group max-merge, and global sitemaps
+    "w_robots_directives" ->
+      s"""WITH $urlCte,
+         |h AS (SELECT DISTINCT host FROM p5)
+         |SELECT host,
+         |  CAST(CASE WHEN host LIKE 'cdn.%' AND host LIKE '%.org' THEN 4000
+         |            WHEN host LIKE 'cdn.%' THEN 1500
+         |            WHEN host LIKE '%.org' THEN 4000
+         |            ELSE 2000 END AS BIGINT) AS crawl_delay_ms,
+         |  CASE WHEN host LIKE '%.org'
+         |       THEN 'https://' || host || '/sitemap.xml,https://' || host || '/s2.xml'
+         |       ELSE 'https://' || host || '/sitemap.xml' END AS sitemaps
+         |FROM h""".stripMargin,
     // metadata twin: expected values recomputed from the metaHtml moduli
     // (never from the html), so the Spark side must genuinely parse
     "w_meta_extract" ->
@@ -2849,6 +2901,31 @@ object SparkEntry {
          |SELECT id1, id2, CAST(inter AS BIGINT) AS inter,
          |       CAST(sa.sz + sb.sz - inter AS BIGINT) AS uni
          |FROM pairs JOIN sizes sa ON id1 = sa.doc_id JOIN sizes sb ON id2 = sb.doc_id""".stripMargin,
+    // containment twin: same shingle explode over the original ∪ quote
+    // union, Broder containment inter/min(sz) in ppm, threshold at 50%
+    "d_containment" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+         |qq AS (SELECT doc_id + 100000 AS doc_id,
+         |  array_to_string((CASE WHEN length(trim(text)) = 0 THEN []
+         |    ELSE regexp_split_to_array(trim(text), '\\s+') END)[1:12], ' ') AS text
+         |  FROM base WHERE doc_id % 5 = 0),
+         |a AS (SELECT * FROM base UNION ALL SELECT * FROM qq),
+         |w AS (SELECT doc_id, doc_id % 250 AS fam,
+         |  CASE WHEN length(trim(text)) = 0 THEN []
+         |       ELSE regexp_split_to_array(trim(text), '\\s+') END AS ws FROM a),
+         |sh0 AS (SELECT doc_id, fam,
+         |  unnest(list_transform(generate_series(1, len(ws) - 2),
+         |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM w),
+         |sh AS (SELECT DISTINCT doc_id, fam, s FROM sh0),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |pairs AS (SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS inter
+         |          FROM sh x JOIN sh y ON x.fam = y.fam AND x.s = y.s AND x.doc_id < y.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT id1, id2, CAST(inter AS BIGINT) AS inter,
+         |  CAST(sa.sz AS BIGINT) AS sz1, CAST(sb.sz AS BIGINT) AS sz2,
+         |  CAST((inter * 1000000) // least(sa.sz, sb.sz) AS BIGINT) AS cont_ppm
+         |FROM pairs JOIN sizes sa ON id1 = sa.doc_id JOIN sizes sb ON id2 = sb.doc_id
+         |WHERE (inter * 1000000) // least(sa.sz, sb.sz) >= 500000""".stripMargin,
     "s_dot_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
         |v AS (SELECT vec_id AS vid, embedding AS ve FROM embeddings),

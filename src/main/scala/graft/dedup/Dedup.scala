@@ -337,6 +337,40 @@ object Dedup {
         (col("sz1") + col("sz2") - col("inter")).as("uni"))
   }
 
+  /** ASYMMETRIC n-gram containment within groups — the quote/embedding
+    * detector Jaccard structurally misses: a short document fully quoted
+    * inside a long one has Jaccard ≈ |short|/|long| (arbitrarily small)
+    * but containment = 1.0. Broder's containment coefficient
+    * `|A∩B| / min(|A|,|B|)`, in fixed-point ppm so the oracle replays it
+    * exactly. Emits pairs at `cont_ppm ≥ minPpm`:
+    * (id1, id2, inter, sz1, sz2, cont_ppm) with id1 < id2.
+    *
+    * Shape (identical scale budget to [[jaccardWithinGroups]]): explode
+    * distinct shingles → ONE (group, shingle) equi-join → count per pair;
+    * zero-overlap pairs never materialize, and the threshold prunes the
+    * survivor set before the size join.
+    */
+  def containmentWithinGroups(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, n: Int = 3, minPpm: Long = 500000L): DataFrame = {
+    require(minPpm >= 0 && minPpm <= 1000000L,
+      s"minPpm must be in [0, 10^6], got $minPpm")
+    val ds = df
+      .select(col(groupCol).as("g"), col(idCol).as("id"),
+        explode(shingleSet(col(textCol), n)).as("s"))
+    val sizes = ds.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    ds.as("a")
+      .join(ds.as("b"),
+        col("a.g") === col("b.g") && col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), "id1")
+      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2"), "id2")
+      .withColumn("cont_ppm", expr("(inter * 1000000L) DIV least(sz1, sz2)"))
+      .where(col("cont_ppm") >= minPpm)
+      // USING joins move their key first; pin the documented column order
+      .select(col("id1"), col("id2"), col("inter"), col("sz1"), col("sz2"), col("cont_ppm"))
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over word unigrams: per-word xxhash64, each bit

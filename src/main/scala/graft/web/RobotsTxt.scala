@@ -41,17 +41,29 @@ object RobotsTxt {
     * Disallow ("allow everything", the classic idiom) contributes no
     * rule.
     */
-  def parse(body: String, userAgent: String): Seq[Rule] = {
+  def parse(body: String, userAgent: String): Seq[Rule] =
+    winningGroups(body, userAgent).flatMap(_.rules)
+
+  private final case class Group(agents: Seq[String], rules: Seq[Rule],
+                                 crawlDelayMs: Option[Long])
+
+  /** Split into groups and keep only the groups governing `userAgent`:
+    * longest matching agent token wins, `*` is the 0-length fallback, and
+    * ALL groups tying the winning token contribute (RFC 9309 §2.2.1 —
+    * duplicate `User-agent: x` groups split across a hand-edited file are
+    * common; taking one group silently dropped the later Disallows).
+    */
+  private def winningGroups(body: String, userAgent: String): Seq[Group] = {
     if (body == null) return Seq.empty
     val ua = userAgent.toLowerCase
-    final case class Group(agents: Seq[String], rules: Seq[Rule])
     val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
     var agents = Vector.empty[String]
     var rules = Vector.empty[Rule]
+    var delay = Option.empty[Long]
     var inAgents = true
     def flush(): Unit = {
-      if (agents.nonEmpty) groups += Group(agents, rules)
-      agents = Vector.empty; rules = Vector.empty; inAgents = true
+      if (agents.nonEmpty) groups += Group(agents, rules, delay)
+      agents = Vector.empty; rules = Vector.empty; delay = None; inAgents = true
     }
     body.split("\n").foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
@@ -66,17 +78,17 @@ object RobotsTxt {
           case "allow" | "disallow" =>
             inAgents = false
             if (value.nonEmpty) rules :+= Rule(directive == "allow", value)
-          case _ => if (!agents.isEmpty) inAgents = false // crawl-delay etc. end the agent run
+          case "crawl-delay" =>
+            // non-standard but ubiquitous; decimal seconds → integer ms
+            inAgents = false
+            delay = scala.util.Try(
+              (BigDecimal(value) * 1000).setScale(0, BigDecimal.RoundingMode.FLOOR)
+                .toLongExact).toOption.filter(_ >= 0).orElse(delay)
+          case _ => if (!agents.isEmpty) inAgents = false // sitemap etc. end the agent run
         }
       }
     }
     flush()
-    // longest matching agent token wins; '*' is the 0-length fallback.
-    // RFC 9309 §2.2.1: groups are combinable — duplicate `User-agent: x`
-    // groups split across the file are COMMON (hand-edited robots), and
-    // every group whose matched token ties the winner contributes its
-    // rules (taking only one group silently dropped the later ones'
-    // Disallows — permissive over-crawling).
     val candidates = groups.flatMap { g =>
       g.agents.flatMap {
         case "*" => Some(0 -> g)
@@ -87,8 +99,30 @@ object RobotsTxt {
     if (candidates.isEmpty) Seq.empty
     else {
       val win = candidates.map(_._1).max
-      candidates.collect { case (s, g) if s == win => g.rules }.flatten.toSeq
+      candidates.collect { case (s, g) if s == win => g }.toSeq
     }
+  }
+
+  /** Non-rule directives: the winning groups' `Crawl-delay` (maximum over
+    * combined duplicate groups — the polite merge) and every `Sitemap`
+    * url in the file. Sitemap lines are GLOBAL per the sitemaps.org
+    * protocol — they apply regardless of which agent group surrounds
+    * them, so they are collected from the whole file in order.
+    */
+  final case class Directives(crawlDelayMs: Option[Long], sitemaps: Seq[String])
+
+  def directives(body: String, userAgent: String): Directives = {
+    if (body == null) return Directives(None, Seq.empty)
+    val sitemaps = body.split("\n").iterator.flatMap { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val sep = line.indexOf(':')
+      if (sep > 0 && line.substring(0, sep).trim.equalsIgnoreCase("sitemap")) {
+        val v = line.substring(sep + 1).trim
+        if (v.nonEmpty) Some(v) else None
+      } else None
+    }.toVector
+    val delays = winningGroups(body, userAgent).flatMap(_.crawlDelayMs)
+    Directives(if (delays.isEmpty) None else Some(delays.max), sitemaps)
   }
 
   /** Compile a robots pattern: literal prefix match with `*` as any-run
@@ -134,6 +168,25 @@ object RobotsTxt {
     * fragment text). Scheme-less inputs are treated as having no
     * authority: the match target starts at their first `/` (or is `/`).
     */
+  /** Per-host scheduling directives as a frame: (host, crawl_delay_ms
+    * nullable, sitemaps array) — the inputs [[Frontier]]-style politeness
+    * scheduling and [[Sitemap]] discovery consume. Map-only over the slim
+    * per-host robots relation; zero exchanges.
+    */
+  def directivesFrame(robots: DataFrame, hostCol: String, bodyCol: String,
+                      userAgent: String): DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    robots
+      .select(col(hostCol).cast("string").as("host"), col(bodyCol).cast("string").as("body"))
+      .as[(String, String)]
+      .map { case (h, b) =>
+        val d = directives(b, userAgent)
+        (h, d.crawlDelayMs, d.sitemaps)
+      }
+      .toDF("host", "crawl_delay_ms", "sitemaps")
+  }
+
   def gate(urls: DataFrame, urlCol: String,
            robots: DataFrame, hostCol: String, bodyCol: String,
            userAgent: String): DataFrame = {

@@ -239,4 +239,28 @@ class DedupSpec extends AnyFunSuite {
     assert(banded == brute)
     assert(banded.size >= 500) // every identical-copy pair is present
   }
+
+  test("containment: quote-in-document scores 10^6 ppm where Jaccard stays small; hand math; threshold prunes") {
+    import spark.implicits._
+    val big = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"     // 8 shingles
+    val quote = "w1 w2 w3 w4 w5"                    // 3 shingles, all ⊂ big
+    val partial = "w1 w2 w3 w4 w5 zz"               // 4 shingles, 3 shared with big
+    val d = Seq((1L, 0L, big), (2L, 0L, quote), (3L, 0L, partial), (4L, 1L, big))
+      .toDF("doc_id", "fam", "text")
+    val got = Dedup.containmentWithinGroups(d, "doc_id", "text", "fam", n = 3, minPpm = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // quote fully contained: 3/3 → 10^6 ppm; its Jaccard would be 3/8
+    assert(got((1L, 2L)) == ((3L, 8L, 3L, 1000000L)), got.toString)
+    // partial: 3 shared / min(8,4) → 750000 exactly
+    assert(got((1L, 3L)) == ((3L, 8L, 4L, 750000L)))
+    // quote vs partial: shingles of quote (3) all in partial → 10^6
+    assert(got((2L, 3L)) == ((3L, 3L, 4L, 1000000L)))
+    // cross-family pair (1,4) never materializes despite identical text
+    assert(!got.contains((1L, 4L)))
+    // threshold prunes the partial pair but keeps full containments
+    val pruned = Dedup.containmentWithinGroups(d, "doc_id", "text", "fam",
+      n = 3, minPpm = 800000L).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned == Set((1L, 2L), (2L, 3L)))
+  }
 }

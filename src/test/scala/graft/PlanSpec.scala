@@ -530,6 +530,26 @@ class PlanSpec extends AnyFunSuite {
       s"group-by must have a map-side partial:\n$plan")
   }
 
+  test("containment: one (group, shingle) equi-join; no cartesian, no text shuffle") {
+    val plan = finalPlan(SparkEntry.queries("d_containment")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must be the equi-join, never all-pairs:\n$plan")
+    val shuffles = plan.linesIterator.filter(_.contains("Exchange"))
+      .filterNot(_.contains("BroadcastExchange")).toVector
+    assert(shuffles.forall(l => !l.contains("text#")),
+      s"document text must never shuffle (only slim shingle/id rows):\n${shuffles.mkString("\n")}")
+  }
+
+  test("robots directives: shuffles carry only the slim host column (the distinct); parse is map-side") {
+    val plan = finalPlan(SparkEntry.queries("w_robots_directives")(spark, sfDir))
+    val shuffles = plan.linesIterator.filter(_.contains("Exchange"))
+      .filterNot(_.contains("BroadcastExchange")).toVector
+    assert(shuffles.nonEmpty && shuffles.forall(_.contains("host#")),
+      s"only the host-distinct may shuffle:\n${shuffles.mkString("\n")}")
+    assert(plan.contains("MapPartitions") || plan.contains("SerializeFromObject"),
+      s"directive parsing is the typed map over the slim host relation:\n$plan")
+  }
+
   test("stupid-backoff: all three model levels broadcast; positions probe map-side, never sort-merge") {
     val plan = finalPlan(SparkEntry.queries("t_lm_backoff")(spark, sfDir))
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,

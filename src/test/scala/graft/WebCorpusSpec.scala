@@ -566,6 +566,50 @@ class WebCorpusSpec extends AnyFunSuite {
     assert(RobotsTxt.parse(body, "randombot").isEmpty)
   }
 
+  test("robots.txt directives: crawl-delay group selection, duplicate-group max, global sitemaps") {
+    import graft.web.RobotsTxt
+    val body =
+      """Sitemap: https://h.example/sitemap.xml
+        |User-agent: *
+        |Disallow: /private
+        |Crawl-delay: 2
+        |
+        |User-agent: graftbot
+        |Disallow: /x
+        |Crawl-delay: 1.5
+        |Sitemap: https://h.example/inside-group.xml
+        |
+        |# hand-edited later addition
+        |User-agent: graftbot
+        |Crawl-delay: 4
+        |""".stripMargin
+    val d = RobotsTxt.directives(body, "Mozilla/5.0 (compatible; graftbot/1.0)")
+    // both graftbot groups win; duplicate-group delays merge by MAX;
+    // fractional seconds floor to ms
+    assert(d.crawlDelayMs.contains(4000L), d.toString)
+    // sitemap lines are GLOBAL and keep file order, inside groups or not
+    assert(d.sitemaps == Seq("https://h.example/sitemap.xml",
+      "https://h.example/inside-group.xml"))
+    // an agent with no specific group falls back to '*'
+    assert(RobotsTxt.directives(body, "OtherBot/2.0").crawlDelayMs.contains(2000L))
+    // no matching group at all → no delay, sitemaps still global
+    val noStar = "User-agent: g2\nCrawl-delay: 9\nSitemap: https://s/x.xml\n"
+    val nd = RobotsTxt.directives(noStar, "unrelatedbot")
+    assert(nd.crawlDelayMs.isEmpty && nd.sitemaps == Seq("https://s/x.xml"))
+    // malformed and negative delays are ignored, not errors
+    assert(RobotsTxt.directives(
+      "User-agent: *\nCrawl-delay: soon\n", "bot").crawlDelayMs.isEmpty)
+    assert(RobotsTxt.directives(
+      "User-agent: *\nCrawl-delay: -1\n", "bot").crawlDelayMs.isEmpty)
+    // within ONE group the last well-formed delay wins
+    assert(RobotsTxt.directives(
+      "User-agent: *\nCrawl-delay: 1\nCrawl-delay: 0.25\n", "bot")
+      .crawlDelayMs.contains(250L))
+    // null body (host without robots.txt): default — no delay, no sitemaps
+    val empty = RobotsTxt.directives(null, "bot")
+    assert(empty.crawlDelayMs.isEmpty && empty.sitemaps.isEmpty)
+  }
+
   test("robots.txt gate: host join, default-allow, path+query matching, fragment stripped") {
     import spark.implicits._
     val u = Seq(
