@@ -97,6 +97,11 @@ object SparkEntry {
     Seq("spark", "vector", "customer", "window", "slow", "hash")
   private val Bm25K: Int = 25
 
+  /** Probe phrase for the exact-phrase queries (mirrored in the oracle
+    * SQL): adjacent in ~34 fixture documents, so both the match and the
+    * no-match paths are exercised. */
+  private val PhraseTerms: Seq[String] = Seq("the", "group")
+
   /** Document text with deterministic duplicate planting for the
     * incremental-dedup query (mirrored in the oracle SQL): `% 7 == 0` docs
     * collapse to one shared boilerplate (present in BOTH the committed
@@ -770,6 +775,20 @@ object SparkEntry {
       val path = java.nio.file.Files.createTempDirectory("graft-bm25-idx").toString
       graft.text.Retrieval.buildIndex(docs(s, dir), "doc_id", "text", path, termBuckets = 16)
       graft.text.Retrieval.bm25FromIndex(s, path, "doc_id", Bm25Terms, Bm25K, termBuckets = 16)
+    }),
+    // exact-phrase search, scan path: matched postings vote for their
+    // occurrence start (pos − slot); a start with all slots matched is an
+    // occurrence. Term prune rides the posexplode map-side.
+    "t_phrase" -> ((s, dir) =>
+      graft.text.Retrieval.phraseOccurrences(
+        docs(s, dir), "doc_id", "text", PhraseTerms)),
+    // the same phrase through the persistent positional index: reads only
+    // the phrase terms' hash-bucket partitions, explodes stored position
+    // lists, identical tail — SAME oracle as the scan path
+    "t_phrase_indexed" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-phrase-idx").toString
+      graft.text.Retrieval.buildIndex(docs(s, dir), "doc_id", "text", path, termBuckets = 16)
+      graft.text.Retrieval.phraseFromIndex(s, path, "doc_id", PhraseTerms, termBuckets = 16)
     }),
     // Gopher-family repetition filter: duplicate-token mass + hottest
     // adjacent bigram, HOF-free (slice/arrays_zip/explode + hash aggs)
@@ -2334,6 +2353,35 @@ object SparkEntry {
         |  CAST(CASE WHEN kk.n_kept < 16 THEN kk.n_kept
         |       ELSE (15 * 1099511627776) // greatest(kth_min, 1) END AS BIGINT) AS est_distinct
         |FROM g JOIN kk USING (source)""".stripMargin,
+    // phrase twin: every posting of a phrase term votes for its would-be
+    // occurrence start; starts with all slots matched count as
+    // occurrences. Shared verbatim by the scan and index paths.
+    "t_phrase" ->
+      """WITH w AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN []
+        |       ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS ws
+        |FROM documents),
+        |p AS (SELECT doc_id, i - 1 AS pos, ws[i] AS term
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM w)),
+        |ph(j, term) AS (VALUES (0, 'the'), (1, 'group')),
+        |c AS (SELECT p.doc_id, p.pos - ph.j AS start FROM p JOIN ph USING (term)),
+        |h AS (SELECT doc_id, start, count(*) AS hits FROM c GROUP BY 1, 2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occ,
+        |  CAST(min(start) AS BIGINT) AS first_pos
+        |FROM h WHERE hits = 2 AND start >= 0 GROUP BY 1""".stripMargin,
+    "t_phrase_indexed" ->
+      """WITH w AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN []
+        |       ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS ws
+        |FROM documents),
+        |p AS (SELECT doc_id, i - 1 AS pos, ws[i] AS term
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM w)),
+        |ph(j, term) AS (VALUES (0, 'the'), (1, 'group')),
+        |c AS (SELECT p.doc_id, p.pos - ph.j AS start FROM p JOIN ph USING (term)),
+        |h AS (SELECT doc_id, start, count(*) AS hits FROM c GROUP BY 1, 2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occ,
+        |  CAST(min(start) AS BIGINT) AS first_pos
+        |FROM h WHERE hits = 2 AND start >= 0 GROUP BY 1""".stripMargin,
     // heavy-hitter twin: in the exact regime the SpaceSaving summary IS
     // the group-by count (err 0), same (cnt desc, domain) top-10 cut
     "q_heavy_domains" ->

@@ -118,9 +118,15 @@ object Retrieval {
       .select(col("n_docs"), expr("tot DIV n_docs").as("avgdl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
     base
-      .select(col(idCol), col("dl"), explode(col("toks")).as("term"))
+      .select(col(idCol), col("dl"),
+        posexplode(col("toks")).as(Seq("pos", "term")))
       .groupBy(col(idCol), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      // positional postings: tf AND the sorted in-document position list,
+      // so ONE index serves ranked retrieval (tf) and exact-phrase
+      // queries (positions) — the standard Lucene trade, and positions
+      // cost only what the tokens already cost
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos").cast("long"))).as("positions"))
       .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(termBuckets.toLong)))
       .write.mode("overwrite").partitionBy("term_bucket").parquet(s"$path/postings")
   }
@@ -146,5 +152,77 @@ object Retrieval {
       .filter(col("term").isin(terms: _*))
       .select(col(idCol), col("dl"), col("term"), col("tf"))
     scoreTopK(tf, stats, idCol, k)
+  }
+
+  /** The (j, term) offset relation of a phrase — broadcastable, and the
+    * reason duplicate phrase terms just work: a posting at position p
+    * contributes one (start = p − j, j) row per slot its term fills.
+    */
+  private def phraseFrame(spark: SparkSession, phrase: Seq[String]): DataFrame = {
+    import spark.implicits._
+    phrase.zipWithIndex.map { case (t, j) => (j.toLong, t.toLowerCase) }
+      .toDF("j", "term")
+  }
+
+  /** Shared phrase tail: positional rows (id, pos, term) → documents with
+    * occurrence counts. An occurrence starts at `start` ⟺ all `m` slots
+    * matched, and (id, start, j) rows are unique by construction (one
+    * source position per slot), so a plain count — no distinct — decides.
+    */
+  private def phraseTail(pos: DataFrame, ph: DataFrame,
+                         idCol: String, m: Int): DataFrame =
+    pos.join(broadcast(ph), Seq("term"))
+      .select(col(idCol), (col("pos").cast("long") - col("j")).as("start"))
+      .groupBy(col(idCol), col("start"))
+      .agg(count(lit(1)).as("hits"))
+      .where(col("hits") === m && col("start") >= 0)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_occ"), min(col("start")).as("first_pos"))
+
+  /** Exact-phrase search over the corpus: documents containing the
+    * adjacent token sequence `phrase`, with occurrence count and first
+    * position. Relational formulation (the DuckDB-replayable one): each
+    * matched posting votes for the occurrence START it would belong to
+    * (`pos − slot`), and a start with all `m` slot votes is a match —
+    * duplicate terms inside the phrase need no special case.
+    *
+    * Scale shape: the term prune to the phrase's vocabulary runs with
+    * the posexplode map-side (only phrase-term postings ever shuffle);
+    * the two slim exchanges carry (id, start) votes and per-doc counts.
+    * Document text never shuffles.
+    */
+  def phraseOccurrences(d: DataFrame, idCol: String, textCol: String,
+                        phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val spark = d.sparkSession
+    val ph = phraseFrame(spark, phrase)
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val pos = d.select(col(idCol),
+        when(length(trim(col(textCol))) === 0, array().cast("array<string>"))
+          .otherwise(toks).as("toks"))
+      .select(col(idCol), posexplode(col("toks")).as(Seq("pos", "term")))
+      .filter(col("term").isin(phrase.map(_.toLowerCase): _*))
+    phraseTail(pos, ph, idCol, phrase.length)
+  }
+
+  /** [[phraseOccurrences]] against the persistent index: the scan reads
+    * only the phrase terms' hash-bucket partitions (same pruning as
+    * [[bm25FromIndex]]), explodes their stored position lists, and runs
+    * the identical tail — same oracle as the scan path, per-query cost
+    * proportional to the phrase terms' postings, not the corpus.
+    */
+  def phraseFromIndex(spark: SparkSession, path: String, idCol: String,
+                      phrase: Seq[String], termBuckets: Int = 64): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    import spark.implicits._
+    val terms = phrase.map(_.toLowerCase).distinct
+    val buckets = terms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(termBuckets.toLong)).as("b"))
+      .distinct().as[Long].collect().toSeq
+    val pos = spark.read.parquet(s"$path/postings")
+      .filter(col("term_bucket").isin(buckets: _*)) // partition pruning
+      .filter(col("term").isin(terms: _*))
+      .select(col(idCol), col("term"), explode(col("positions")).as("pos"))
+    phraseTail(pos, phraseFrame(spark, phrase), idCol, phrase.length)
   }
 }

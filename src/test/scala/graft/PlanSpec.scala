@@ -530,6 +530,29 @@ class PlanSpec extends AnyFunSuite {
       s"group-by must have a map-side partial:\n$plan")
   }
 
+  test("phrase scan: term prune rides the explode; only slim (id, start) votes shuffle") {
+    val plan = finalPlan(SparkEntry.queries("t_phrase")(spark, sfDir))
+    val shuffles = plan.linesIterator.filter(_.contains("Exchange"))
+      .filterNot(_.contains("BroadcastExchange")).toVector
+    assert(shuffles.nonEmpty && shuffles.forall(l => !l.contains("text#")),
+      s"document text must never shuffle:\n${shuffles.mkString("\n")}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the (slot, term) phrase relation must broadcast:\n$plan")
+    assert(!plan.contains("Expand"),
+      s"occurrence counting is a plain count, never a distinct Expand:\n$plan")
+  }
+
+  test("phrase index probe: partition pruning on the term bucket reaches the scan") {
+    val path = Files.createTempDirectory("graft-planspec-phraseidx").toString
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    graft.text.Retrieval.buildIndex(d, "doc_id", "text", path, termBuckets = 16)
+    val probe = graft.text.Retrieval.phraseFromIndex(spark, path, "doc_id",
+      Seq("the", "group"), termBuckets = 16)
+    val plan = finalPlan(probe)
+    assert(plan.contains("PartitionFilters: [") && plan.contains("term_bucket"),
+      s"the probe scan must prune term_bucket partitions at the directory level:\n$plan")
+  }
+
   test("containment: one (group, shingle) equi-join; no cartesian, no text shuffle") {
     val plan = finalPlan(SparkEntry.queries("d_containment")(spark, sfDir))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),

@@ -85,4 +85,46 @@ class RetrievalSpec extends AnyFunSuite {
     assert(r1 == r7, "result must be partitioning-invariant")
     assert(r1.nonEmpty && r1.size == 20)
   }
+
+  private def occs(d: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+    d.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("phrase: overlapping occurrences, duplicate terms, boundaries, case folding, no-match") {
+    val d = corpus(
+      "x the group y the group",       // 0: two occurrences, first at 1
+      "the group",                      // 1: whole doc IS the phrase
+      "group the",                      // 2: reversed — no match
+      "the THE the",                    // 3: duplicate-term phrase fodder
+      "the",                            // 4: shorter than the phrase
+      "")                               // 5: empty
+    val got = occs(Retrieval.phraseOccurrences(d, "id", "text", Seq("the", "group")))
+    assert(got == Map(0L -> (2L, 1L), 1L -> (1L, 0L)), got.toString)
+    // duplicate-term phrase: "the the" overlaps itself in doc 3 (THE
+    // folds to the) → starts 0 and 1
+    val dup = occs(Retrieval.phraseOccurrences(d, "id", "text", Seq("the", "the")))
+    assert(dup == Map(3L -> (2L, 0L)), dup.toString)
+    // 3-slot phrase across a boundary: only the full sequence matches
+    val tri = occs(Retrieval.phraseOccurrences(d, "id", "text", Seq("y", "the", "group")))
+    assert(tri == Map(0L -> (1L, 3L)), tri.toString)
+    // absent vocabulary → empty result, not an error
+    assert(Retrieval.phraseOccurrences(d, "id", "text", Seq("zz", "qq")).count() == 0L)
+  }
+
+  test("phrase index probe returns exactly what the corpus re-scan returns") {
+    val d = corpus(
+      "alpha beta gamma alpha beta", "beta alpha beta", "gamma gamma gamma",
+      "alpha", "beta alpha", "")
+    val path = java.nio.file.Files.createTempDirectory("graft-phrase-spec").toString
+    Retrieval.buildIndex(d, "id", "text", path, termBuckets = 4)
+    for (phrase <- Seq(Seq("alpha", "beta"), Seq("beta", "alpha", "beta"),
+                       Seq("gamma", "gamma"))) {
+      val scan = occs(Retrieval.phraseOccurrences(d, "id", "text", phrase))
+      val idx = occs(Retrieval.phraseFromIndex(spark, path, "id", phrase, termBuckets = 4))
+      assert(scan == idx, s"phrase $phrase: scan $scan vs index $idx")
+      assert(scan.nonEmpty)
+    }
+    // self-overlapping "gamma gamma" in doc 2: starts 0 and 1
+    assert(occs(Retrieval.phraseOccurrences(d, "id", "text", Seq("gamma", "gamma")))
+      == Map(2L -> (2L, 0L)))
+  }
 }
