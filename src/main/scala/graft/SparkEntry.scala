@@ -1066,6 +1066,28 @@ object SparkEntry {
     "w_sitemap" -> ((s, dir) =>
       graft.web.Sitemap.entries(
         docs(s, dir).select(col("doc_id"), sitemapXml.as("xml")), "doc_id", "xml")),
+    // the crawl-side chain composed end to end: sitemap DISCOVERY →
+    // robots GATE (a $-anchored Disallow /sm2 on .com hosts) → per-host
+    // Crawl-delay directives (.org hosts declare 3 s, the rest take the
+    // 1 s default) → politeness SCHEDULE with per-host slot widths. Every
+    // stage is an already-gated operator; this gate proves they compose.
+    "q_crawl_plan" -> ((s, dir) => {
+      val entries = graft.web.Sitemap.entries(
+        docs(s, dir).select(col("doc_id"), sitemapXml.as("xml")), "doc_id", "xml")
+        .select(col("loc").as("url")).distinct()
+      val hosts = entries.select(UrlOps.host(col("url")).as("host")).distinct()
+      val body = concat(
+        lit("User-agent: graftbot\n"),
+        when(col("host").endsWith(".com"), lit("Disallow: /sm2$\n")).otherwise(lit("")),
+        when(col("host").endsWith(".org"), lit("Crawl-delay: 3\n")).otherwise(lit("")),
+        lit("Disallow: /private\n"))
+      val robots = hosts.withColumn("body", body)
+      val gated = graft.web.RobotsTxt.gate(entries, "url", robots, "host", "body", "graftbot/1.0")
+        .where(col("robots_allowed")).select(col("url"))
+      val delays = graft.web.RobotsTxt.directivesFrame(robots, "host", "body", "graftbot/1.0")
+      graft.web.Frontier.scheduleWithDelays(gated, "url", numWorkers = 8,
+        delays, defaultDelayMs = 1000L)
+    }),
     // robots.txt gate (RFC 9309): per-host bodies parsed once into a slim
     // rules relation, urls evaluated map-side after the host join. The
     // synthesis exercises group selection (an OtherBot disallow-all decoy
@@ -2108,6 +2130,27 @@ object SparkEntry {
          |  ) AS robots_allowed
          |FROM p5""".stripMargin,
     // frontier twin: same disjoint md5 windows (1–8 worker, 9–24 order)
+    // crawl-plan twin: locs re-derived from the sitemap moduli, the
+    // $-anchored .com /sm2 block and the .org 3 s delay applied by
+    // predicate, then the same worker/order hash windows as w_frontier
+    "q_crawl_plan" ->
+      s"""WITH x AS (SELECT doc_id, $sitemapSqlExpr AS xml FROM documents),
+         |a AS (SELECT doc_id, regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1) AS bs FROM x),
+         |e AS (SELECT bs[i] AS b
+         |  FROM (SELECT bs, unnest(generate_series(1, len(bs))) AS i FROM a)),
+         |u AS (SELECT DISTINCT regexp_extract(b, '<loc>([^<]*)</loc>', 1) AS url
+         |  FROM e WHERE regexp_extract(b, '<loc>([^<]*)</loc>', 1) <> ''),
+         |h AS (SELECT url, split_part(split_part(url, '://', 2), '/', 1) AS host FROM u),
+         |g AS (SELECT url, host FROM h
+         |  WHERE NOT (host LIKE '%.com' AND url LIKE '%/sm2')),
+         |sch AS (SELECT url, host,
+         |  ('0x' || substr(md5(host), 1, 8))::BIGINT % 8 AS worker,
+         |  CAST(row_number() OVER (PARTITION BY host
+         |    ORDER BY substr(md5(url), 9, 16), url) - 1 AS BIGINT) AS seq_in_host
+         |FROM g)
+         |SELECT host, url, CAST(worker AS BIGINT) AS worker, seq_in_host,
+         |  seq_in_host * (CASE WHEN host LIKE '%.org' THEN 3000 ELSE 1000 END) AS fetch_offset_ms
+         |FROM sch""".stripMargin,
     "w_frontier" ->
       s"""WITH $urlCte,
          |sch AS (SELECT doc_id, url, host,

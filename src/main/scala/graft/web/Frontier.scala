@@ -52,4 +52,24 @@ object Frontier {
       .withColumn("seq_in_host", row_number().over(w).cast("long") - 1L)
       .withColumn("fetch_offset_ms", col("seq_in_host") * perHostDelayMs)
   }
+
+  /** [[schedule]] with PER-HOST delays — what robots.txt `Crawl-delay`
+    * directives ([[RobotsTxt.directivesFrame]]) demand: each host's slot
+    * width is its own declared delay, `defaultDelayMs` where the host
+    * declared none. `delays` is one slim row per host
+    * (host, crawl_delay_ms nullable) and broadcasts; everything else is
+    * the same single host-keyed exchange.
+    */
+  def scheduleWithDelays(urls: DataFrame, urlCol: String, numWorkers: Int,
+                         delays: DataFrame, defaultDelayMs: Long,
+                         tieCols: Seq[String] = Nil): DataFrame = {
+    require(defaultDelayMs >= 0, s"defaultDelayMs must be non-negative, got $defaultDelayMs")
+    schedule(urls, urlCol, numWorkers, perHostDelayMs = 1L, tieCols)
+      .drop("fetch_offset_ms")
+      .join(broadcast(delays.select(col("host"),
+        col("crawl_delay_ms").cast("long").as("graft_delay"))), Seq("host"), "left")
+      .withColumn("fetch_offset_ms",
+        col("seq_in_host") * coalesce(col("graft_delay"), lit(defaultDelayMs)))
+      .drop("graft_delay")
+  }
 }

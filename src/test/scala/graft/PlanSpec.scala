@@ -530,6 +530,16 @@ class PlanSpec extends AnyFunSuite {
       s"group-by must have a map-side partial:\n$plan")
   }
 
+  test("crawl plan: per-host delays broadcast; host is the only repeated shuffle key; no url text beyond slim rows") {
+    val plan = finalPlan(SparkEntry.queries("q_crawl_plan")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the per-host delay relation must broadcast under the plan:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"no all-pairs anywhere in the chain:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"no global funnel — hosts partition the window:\n$plan")
+  }
+
   test("phrase scan: term prune rides the explode; only slim (id, start) votes shuffle") {
     val plan = finalPlan(SparkEntry.queries("t_phrase")(spark, sfDir))
     val shuffles = plan.linesIterator.filter(_.contains("Exchange"))

@@ -685,6 +685,30 @@ class WebCorpusSpec extends AnyFunSuite {
     assert(plan.map(p => p._1 -> p._4).toMap == again)
   }
 
+  test("frontier: per-host crawl-delays widen slots; undeclared hosts take the default") {
+    import spark.implicits._
+    val us = (0 until 30).map(i => (i.toLong, s"https://h${i % 3}.com/p$i")).toDF("id", "url")
+    val delays = Seq(("h0.com", Some(3000L)), ("h1.com", None))
+      .toDF("host", "crawl_delay_ms") // h2.com absent entirely
+    val plan = graft.web.Frontier.scheduleWithDelays(us, "url", numWorkers = 2,
+        delays, defaultDelayMs = 500L)
+      .select($"host", $"seq_in_host", $"fetch_offset_ms")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(plan.length == 30)
+    plan.foreach { case (host, seq, off) =>
+      val width = if (host == "h0.com") 3000L else 500L // null and absent → default
+      assert(off == seq * width, s"$host seq $seq off $off")
+    }
+    // same ordering/worker semantics as the flat-delay form
+    val flat = graft.web.Frontier.schedule(us, "url", 2, 500L)
+      .select($"url", $"seq_in_host", $"worker").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    val withD = graft.web.Frontier.scheduleWithDelays(us, "url", 2, delays, 500L)
+      .select($"url", $"seq_in_host", $"worker").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(flat == withD)
+  }
+
   test("frontier: duplicate urls need a tie-break column for a total order") {
     import spark.implicits._
     // two rows share a url — without a tiebreak their relative order is
