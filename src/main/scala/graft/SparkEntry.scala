@@ -707,6 +707,33 @@ object SparkEntry {
         .select(col("host"), col("crawl_delay_ms"),
           array_join(col("sitemaps"), ",").as("sitemaps"))
     }),
+    // charset-routed payload decode (the WHATWG prescan trick): bytes are
+    // sniffed via a lossless latin-1 view, the declared charset routes
+    // the real decode. Four branches exercised: declared utf-8 with
+    // multi-byte text, declared iso-8859-1 with latin-1 text, NO
+    // declaration (utf-8 default), and an UNKNOWN charset (ascii body,
+    // flagged known=false, latin-1 fallback). The md5 gate proves
+    // encode → sniff → route → decode is byte-identity per branch.
+    "q_charset_decode" -> ((s, dir) => {
+      val id = col("doc_id")
+      val meta = when(id % 4 === 0, lit("<meta charset=\"UTF-8\">"))
+        .when(id % 4 === 1,
+          lit("<meta http-equiv=\"Content-Type\" content=\"text/html; charset=ISO-8859-1\">"))
+        .when(id % 4 === 2, lit(""))
+        .otherwise(lit("<meta charset=\"Shift_JIS\">"))
+      val bodyTxt = when(id % 4 === 1, concat(col("text"), lit(" café résumé ±½")))
+        .when(id % 4 === 3, col("text"))
+        .otherwise(concat(col("text"), lit(" 中文 – fancy")))
+      val html = concat(lit("<html><head>"), meta, lit("</head><body>"),
+        bodyTxt, lit("</body></html>"))
+      val payload = when(id % 4 === 1, encode(html, "ISO-8859-1"))
+        .otherwise(encode(html, "UTF-8"))
+      docs(s, dir).select(id,
+          graft.html.CharsetDecode.sniffCharset(payload).as("charset"),
+          graft.html.CharsetDecode.charsetKnown(payload).as("known"),
+          md5(graft.html.CharsetDecode.decodeRouted(payload).cast("binary")).as("text_md5"),
+          md5(html.cast("binary")).as("want_md5"))
+    }),
     // WAT-analog page metadata: the Spark side PARSES the synthesized
     // head (both attribute orders, both quote styles, decoy tags, messy
     // whitespace, entities); the oracle recomputes expected values from
@@ -2028,6 +2055,31 @@ object SparkEntry {
       """SELECT doc_id, (doc_id % 7 = 0) AS noindex,
         |  (doc_id % 7 = 0 OR doc_id % 11 = 0) AS nofollow
         |FROM documents""".stripMargin,
+    // charset twin: the oracle rebuilds the SAME html string and md5s it
+    // directly — the Spark side must reach that md5 THROUGH bytes
+    // (encode → prescan sniff → routed decode)
+    "q_charset_decode" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head>' ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN '<meta charset="UTF-8">'
+        |        WHEN doc_id % 4 = 1 THEN '<meta http-equiv="Content-Type" content="text/html; charset=ISO-8859-1">'
+        |        WHEN doc_id % 4 = 2 THEN ''
+        |        ELSE '<meta charset="Shift_JIS">' END) ||
+        |  '</head><body>' ||
+        |  (CASE WHEN doc_id % 4 = 1 THEN text || ' café résumé ±½'
+        |        WHEN doc_id % 4 = 3 THEN text
+        |        ELSE text || ' 中文 – fancy' END) ||
+        |  '</body></html>' AS html
+        |FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'utf-8'
+        |       WHEN doc_id % 4 = 1 THEN 'iso-8859-1'
+        |       WHEN doc_id % 4 = 2 THEN ''
+        |       ELSE 'shift_jis' END AS charset,
+        |  (doc_id % 4 <> 3) AS known,
+        |  md5(html) AS text_md5,
+        |  md5(html) AS want_md5
+        |FROM h""".stripMargin,
     // directives twin: expected delays/sitemaps recomputed from the host
     // predicates the synthesis used — the Spark side must actually parse
     // group selection, duplicate-group max-merge, and global sitemaps

@@ -530,6 +530,13 @@ class PlanSpec extends AnyFunSuite {
       s"group-by must have a map-side partial:\n$plan")
   }
 
+  test("charset decode is map-only codegen over the scan (no Exchange)") {
+    val df = SparkEntry.queries("q_charset_decode")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"charset routing must not shuffle:\n$plan")
+    assert(plan.contains("*(1) Project"), s"the sniff+route must codegen:\n$plan")
+  }
+
   test("crawl plan: per-host delays broadcast; host is the only repeated shuffle key; no url text beyond slim rows") {
     val plan = finalPlan(SparkEntry.queries("q_crawl_plan")(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"),

@@ -105,6 +105,39 @@ class WebCorpusSpec extends AnyFunSuite {
     (0 to 4).foreach(i => assert(r4.getString(i) == ""))
   }
 
+  test("charset decode: prescan sniff + routing on hand-built payloads, unknown flagged, latin-1 lossless") {
+    import graft.html.CharsetDecode
+    import java.nio.charset.StandardCharsets
+    def row(bytes: Array[Byte]): (String, Boolean, String) = {
+      import spark.implicits._
+      val r = Seq(Tuple1(bytes)).toDF("p").select(
+        CharsetDecode.sniffCharset(col("p")),
+        CharsetDecode.charsetKnown(col("p")),
+        CharsetDecode.decodeRouted(col("p"))).collect()(0)
+      (r.getString(0), r.getBoolean(1), r.getString(2))
+    }
+    // declared utf-8, multi-byte body round-trips
+    val utf8 = "<meta charset=utf-8><p>中文 café</p>"
+    assert(row(utf8.getBytes(StandardCharsets.UTF_8)) == (("utf-8", true, utf8)))
+    // declared latin-1, latin-1 bytes round-trip (0xE9 is NOT valid utf-8)
+    val lat = "<meta charset='ISO-8859-1'><p>café ±½</p>"
+    assert(row(lat.getBytes(StandardCharsets.ISO_8859_1)) == (("iso-8859-1", true, lat)))
+    // no declaration → utf-8 default
+    val plain = "<p>no declaration 漢字</p>"
+    assert(row(plain.getBytes(StandardCharsets.UTF_8)) == (("", true, plain)))
+    // unknown charset → flagged, byte-preserving latin-1 fallback
+    val (cs, known, out) = row("<meta charset=Shift_JIS><p>abc</p>".getBytes(StandardCharsets.UTF_8))
+    assert(cs == "shift_jis" && !known)
+    assert(out == "<meta charset=Shift_JIS><p>abc</p>", "ascii survives the fallback")
+    // a LYING declaration (says latin-1, bytes are utf-8) stays lossless:
+    // the latin-1 view preserves every byte for a later re-decode
+    val lying = "<meta charset=iso-8859-1>é".getBytes(StandardCharsets.UTF_8)
+    val (_, _, out2) = row(lying)
+    assert(out2.getBytes(StandardCharsets.ISO_8859_1).sameElements(lying))
+    // empty payload: empty text, utf-8 default, known
+    assert(row(Array.empty[Byte]) == (("", true, "")))
+  }
+
   test("surt: reversed host labels, canonical host, path+query kept, fragment dropped") {
     def surtOf(u: String): String =
       urls(u).select(UrlOps.surt(col("url"))).collect()(0).getString(0)
