@@ -220,6 +220,31 @@ class NativeSignalsSpec extends AnyFunSuite {
     assert(Mojibake.corrupt(ascii) eq ascii)
   }
 
+  test("mojibake property: corrupt→repair is identity on seeded random non-cp1252-image text") {
+    import graft.functions.Mojibake
+    import org.apache.spark.unsafe.types.UTF8String
+    // alphabet deliberately OUTSIDE the cp1252 image (CJK, Cyrillic,
+    // Arabic, emoji, ASCII): for such strings the round trip must be an
+    // exact inverse — repair(s) itself is the identity (unmappable chars
+    // veto), and repair(corrupt(s)) inverts in exactly one round.
+    // Strings WITHIN the cp1252 image can be legitimately mojibake-shaped
+    // and double-decode (the documented ftfy fixpoint trade), so they are
+    // pinned by the literal cases above, not a blanket property.
+    val rnd = new scala.util.Random(20260820)
+    val atoms = Vector("a", "Z", "9", " ", ".", "中", "漢", "字", "п", "р",
+      "и", "م", "ر", "😀", "🤯", "x", "the")
+    var checked = 0
+    for (_ <- 0 until 500) {
+      val s = Vector.fill(rnd.nextInt(40))(atoms(rnd.nextInt(atoms.size))).mkString
+      val u = UTF8String.fromString(s)
+      assert(Mojibake.repair(u).toString == s, s"repair must be identity on '$s'")
+      assert(Mojibake.repair(Mojibake.corrupt(u)).toString == s,
+        s"round trip must invert on '$s'")
+      checked += 1
+    }
+    assert(checked == 500)
+  }
+
   test("mojibake expressions: null propagation, SQL registration, interpreted == codegen") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)

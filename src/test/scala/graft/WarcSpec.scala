@@ -162,6 +162,38 @@ class WarcSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("raise the shard count")))
   }
 
+  test("parser fuzz: seeded random garbage never throws; real records embedded in noise survive") {
+    val rnd = new scala.util.Random(20260820L)
+    // pure-garbage blobs: parse must terminate, never throw, account bytes
+    // (a gzip MAGIC with a malformed body deliberately still throws —
+    // a corrupt .warc.gz member is task-retry material, not a skip)
+    for (_ <- 0 until 200) {
+      val junk = new Array[Byte](rnd.nextInt(2048))
+      rnd.nextBytes(junk)
+      if (junk.length >= 2 && (junk(0) & 0xff) == 0x1f && (junk(1) & 0xff) == 0x8b)
+        junk(0) = 0
+      val r = Warc.parseArchive(junk)
+      assert(r.records.forall(_.payload != null))
+      assert(r.skippedBytes >= 0 && r.skippedBytes <= junk.length.toLong)
+    }
+    // a real record sandwiched in random noise parses out of the wreckage
+    for (i <- 0 until 50) {
+      val payload = s"survivor $i"
+      val rec = Warc.writeArchive(
+        Iterator(("https://fuzz.example/" + i, 1700000000000L + i, "text/plain",
+          payload.getBytes(UTF_8))), gzip = false)
+      val pre = new Array[Byte](rnd.nextInt(256))
+      val post = new Array[Byte](rnd.nextInt(256))
+      rnd.nextBytes(pre); rnd.nextBytes(post)
+      // noise must not accidentally contain the resync magic
+      val clean = (b: Array[Byte]) => b.map(x => if (x == 'W'.toByte) '_'.toByte else x)
+      val blob = clean(pre) ++ rec ++ clean(post)
+      val out = Warc.parseArchive(blob)
+      assert(out.records.exists(r =>
+        new String(r.payload, UTF_8) == payload), s"record $i lost in noise")
+    }
+  }
+
   test("indexed writer: blob identical to plain writer; every span fetches its exact record") {
     for (gzip <- Seq(false, true)) {
       val in = Seq(
