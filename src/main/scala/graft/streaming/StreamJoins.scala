@@ -47,4 +47,25 @@ object StreamJoins {
           col(rTs) >= col(lTs) - expr(s"interval $horizonSec seconds"))
       .drop("_graft_rk")
   }
+
+  /** STREAM-STATIC enrichment join — the dimension-lookup shape a live
+    * ingest runs on every micro-batch: the unbounded page stream joins a
+    * bounded, slowly-changing relation (domain blocklist, domain rank,
+    * robots verdicts) that is BROADCAST, so the stream side never
+    * shuffles and no join state accumulates at all (the static side is
+    * re-resolvable per batch; Spark keeps zero state for stream-static
+    * joins — that is the point of using one instead of a stream-stream
+    * join against a compacted dimension stream).
+    *
+    * `how` = "inner" keeps only matched rows (a keep-list);
+    * "left_anti" drops them (a blocklist); "left" enriches with the
+    * dimension's columns, nulls where absent. No watermark needed — the
+    * static side cannot make state grow.
+    */
+  def joinStatic(stream: DataFrame, dim: DataFrame, keyCol: String,
+                 how: String = "left"): DataFrame = {
+    require(Set("inner", "left", "left_anti").contains(how),
+      s"how must be inner/left/left_anti, got $how")
+    stream.join(broadcast(dim), Seq(keyCol), how)
+  }
 }

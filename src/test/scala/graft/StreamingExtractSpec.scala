@@ -310,4 +310,39 @@ class StreamingExtractSpec extends AnyFunSuite {
         "boundary fixtures (view at click instant / exactly horizon earlier) must attribute")
     } finally q.stop()
   }
+
+  test("stream-static join: broadcast dimension gates and enriches the stream, stateless across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("bad.com", "blocked"), ("slow.org", "throttled"))
+      .toDF("domain", "verdict")
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("id", "domain")
+    // left_anti = blocklist; left = enrichment
+    val anti = graft.streaming.StreamJoins.joinStatic(stream, dim, "domain", "left_anti")
+      .writeStream.format("memory").queryName("ss_anti").outputMode("append").start()
+    val enr = graft.streaming.StreamJoins.joinStatic(stream, dim, "domain", "left")
+      .writeStream.format("memory").queryName("ss_enr").outputMode("append").start()
+    try {
+      mem.addData((1L, "ok.net"), (2L, "bad.com"), (3L, "slow.org"))
+      anti.processAllAvailable(); enr.processAllAvailable()
+      // a second batch proves statelessness is semantic, not batch luck:
+      // the same blocked domain is re-dropped, new rows pass
+      mem.addData((4L, "bad.com"), (5L, "fresh.io"))
+      anti.processAllAvailable(); enr.processAllAvailable()
+      val kept = spark.table("ss_anti").select($"id").as[Long].collect().toSet
+      assert(kept == Set(1L, 5L), s"blocklist must drop 2,3,4 — kept $kept")
+      val verdicts = spark.table("ss_enr")
+        .select($"id", $"verdict").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(verdicts == Map(1L -> None, 2L -> Some("blocked"),
+        3L -> Some("throttled"), 4L -> Some("blocked"), 5L -> None))
+      // zero streaming state: the static side must not create a state store
+      assert(anti.lastProgress == null ||
+        Option(anti.lastProgress.stateOperators).forall(_.isEmpty),
+        "stream-static join must keep no state")
+    } finally { anti.stop(); enr.stop() }
+  }
 }
