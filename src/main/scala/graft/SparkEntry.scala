@@ -1000,6 +1000,21 @@ object SparkEntry {
             (ts.getField("upper") * lit(100) <= chars * lit(30)) &&
             (chars <= words * lit(20))).as("is_quality"))
     }),
+    // per-paragraph language ID over a deliberately MIXED document: the
+    // body paragraph is the (en-marked) corpus soup; Spanish / German /
+    // French paragraphs attach by moduli, plus a marker-free line that
+    // must come back 'und'. Map-only split + native signal kernel.
+    "t_para_lang" -> ((s, dir) => {
+      val id = col("doc_id")
+      val mixed = concat_ws("\n",
+        col("text"),
+        when(id % 3 === 0, lit("el la los es dias de sol")).otherwise(lit(null)),
+        when(id % 2 === 0, lit("der die und das haus am see")).otherwise(lit(null)),
+        when(id % 4 === 1, lit("le les des et la rue")).otherwise(lit(null)),
+        when(id % 5 === 0, lit("12345 67890 !!!")).otherwise(lit(null)))
+      TextAnalytics.paragraphLangs(
+        docs(s, dir).select(id, mixed.as("text")), "doc_id", "text")
+    }),
     "t_lang_id" -> ((s, dir) => {
       // native language-signal kernel: 2 byte scans instead of 17 regex
       // passes; the argmax consumes the struct fields
@@ -2838,6 +2853,36 @@ object SparkEntry {
          |  (n_tokens >= 5 AND punct_chars * 100 <= chars * 20
          |   AND upper_chars * 100 <= chars * 30 AND chars <= n_tokens * 20) AS is_quality
          |FROM documents""".stripMargin,
+    // per-paragraph twin: same split, same padded marker-mass argmax per
+    // paragraph, same precedence/tie rules
+    "t_para_lang" -> {
+      val masses = TextAnalytics.LangMarkers
+        .map { case (lang, ms) => s"CAST(${markerMassSql(ms)} AS BIGINT) AS m_$lang" }
+        .mkString(",\n  ")
+      val gm = "greatest(m_en, m_es, m_de, m_fr)"
+      s"""WITH lt AS (SELECT doc_id, concat_ws(chr(10),
+         |  text,
+         |  CASE WHEN doc_id % 3 = 0 THEN 'el la los es dias de sol' END,
+         |  CASE WHEN doc_id % 2 = 0 THEN 'der die und das haus am see' END,
+         |  CASE WHEN doc_id % 4 = 1 THEN 'le les des et la rue' END,
+         |  CASE WHEN doc_id % 5 = 0 THEN '12345 67890 !!!' END) AS t FROM documents),
+         |w AS (SELECT doc_id, string_split(t, chr(10)) AS ps FROM lt),
+         |px AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ps[i] AS para
+         |  FROM (SELECT doc_id, ps, unnest(generate_series(1, len(ps))) AS i FROM w)),
+         |n AS (SELECT doc_id, pos, para,
+         |  ' ' || regexp_replace(lower(trim(para)), '\\s+', ' ', 'g') || ' ' AS p FROM px),
+         |m AS (SELECT doc_id, pos, para,
+         |  $masses
+         |FROM n)
+         |SELECT doc_id, pos,
+         |  CAST(CASE WHEN length(trim(para)) = 0 THEN 0
+         |       ELSE len(regexp_split_to_array(trim(para), '\\s+')) END AS BIGINT) AS n_tokens,
+         |  CASE WHEN $gm > 0 THEN
+         |    CASE WHEN m_en = $gm THEN 'en' WHEN m_es = $gm THEN 'es'
+         |         WHEN m_de = $gm THEN 'de' ELSE 'fr' END
+         |  ELSE 'und' END AS para_lang
+         |FROM m""".stripMargin
+    },
     "t_lang_id" -> {
       val masses = TextAnalytics.LangMarkers
         .map { case (lang, ms) => s"CAST(${markerMassSql(ms)} AS BIGINT) AS m_$lang" }

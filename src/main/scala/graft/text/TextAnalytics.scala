@@ -134,6 +134,27 @@ object TextAnalytics {
   def langIdFromSignals(ls: Column): Column =
     argmaxLabel(LangMarkers.map { case (l, _) => l -> ls.getField(s"m_$l") }, "und")
 
+  /** Per-PARAGRAPH language ID — the mixed-language-document curation
+    * signal: web pages routinely interleave languages (navigation in one,
+    * quotes or boilerplate in another), and a document-level lang-ID
+    * silently averages them away; training-data pipelines that filter or
+    * route by language (CCNet buckets, mC4 splits) segment first. One row
+    * per paragraph: (id, pos, n_tokens, para_lang), languages decided by
+    * the same marker-mass argmax as [[langId]] via the native signal
+    * kernel (one byte scan per paragraph, parity-proven field-by-field in
+    * NativeSignalsSpec).
+    *
+    * Scale shape: map-only — split + posexplode + the native kernel; zero
+    * exchanges; paragraph fan-out is bounded by the document's own size.
+    */
+  def paragraphLangs(d: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ls = langSignalsNative(d)(col("para"))
+    d.select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "para")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        tokenCount(col("para")).cast("long").as("n_tokens"),
+        langIdFromSignals(ls).as("para_lang"))
+  }
+
   /** Document fingerprint: md5 of the normalized text — the near-trivial
     * but shuffle-cheap dedup key (32 hex chars instead of the document).
     */

@@ -136,6 +136,26 @@ class TextAnalyticsSpec extends AnyFunSuite {
     assert(one("", langId(col("text"))) == "und")
   }
 
+  test("paragraphLangs: per-paragraph split, per-paragraph argmax, und for marker-free") {
+    import spark.implicits._
+    val doc =
+      "the cat and the dog is here\n" + // en
+      "der hund und die katze und das\n" + // de
+      "le chat et les chiens et\n" + // fr
+      "\n" + // blank → und, 0 tokens
+      "12345 !!!" // marker-free → und
+    val d = Seq((7L, doc)).toDF("doc_id", "text")
+    val rows = paragraphLangs(d, "doc_id", "text")
+      .orderBy("pos").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.toSeq == Seq(
+      (0L, 7L, "en"), (1L, 7L, "de"), (2L, 6L, "fr"), (3L, 0L, "und"), (4L, 2L, "und")))
+    // single-paragraph doc degenerates to langId
+    val single = Seq((1L, "the cat and the dog is here")).toDF("doc_id", "text")
+    val s = paragraphLangs(single, "doc_id", "text").collect()
+    assert(s.length == 1 && s(0).getString(3) == "en" && s(0).getLong(1) == 0L)
+  }
+
   test("isQuality: rejects too-short, shouting, punctuation soup") {
     assert(one("this is a perfectly normal sentence with enough words", isQuality(col("text"))) == true)
     assert(one("too short", isQuality(col("text"))) == false)
