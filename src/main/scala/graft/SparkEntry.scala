@@ -1621,6 +1621,29 @@ object SparkEntry {
         .filter(col("id") =!= col("label")).select(col("id").as("vec_id"))
       e.join(drops, Seq("vec_id"), "left_anti").select(col("vec_id"))
     }),
+    // margin-based bitext mining (Artetxe & Schwenk 2019): translation
+    // candidates by cosine RELATIVE to each side's kNN neighborhood, not
+    // an absolute threshold. Two-language split synthesized by vec_id
+    // parity; exact all-pairs scoring is the capped verification baseline
+    "s_bitext_mine" -> ((s, dir) => {
+      val e = embs(s, dir).filter(col("vec_id") < 1000)
+      Similarity.bitextMine(
+        e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+        4, 1000000L)
+        .select(col("sid").as("src_id"), col("tid").as("tgt_id"),
+          col("score_q"), col("margin_ppm"), col("rn"))
+    }),
+    // the scale path: candidates from the multi-table LSH bucket
+    // equi-join — BOTH sides corpus-sized, neither broadcast; uncapped
+    "s_bitext_mine_lsh" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val planes = Similarity.planesFor(e.count())
+      Similarity.bitextMineLsh(
+        e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+        4, 1000000L, numPlanes = planes, probeHamming = 1, numTables = 4)
+        .select(col("sid").as("src_id"), col("tid").as("tgt_id"),
+          col("score_q"), col("margin_ppm"), col("rn"))
+    }),
     // ---- multimodal (stub decode; real plumbing) ----
     "m_media_meta" -> ((s, dir) =>
       MediaKernel.decodeAll(mediaRows(s, dir))(s)
@@ -1955,6 +1978,26 @@ object SparkEntry {
        |  SELECT qid, vid, score,
        |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, vid) AS rn
        |  FROM s) WHERE rn <= 5""".stripMargin
+
+  /** Shared margin tail for the bitext oracles: forward/backward kNN
+    * windows over the candidate CTE `sc(sid, tid, sq)`, neighborhood
+    * sum+count aggregates, and the exact-rational margin_ppm — the SQL
+    * twin of `Similarity.marginPairs` line by line.
+    */
+  private def bitextMarginSql(scoredCte: String, k: Int, minMarginPpm: Long): String =
+    s"""$scoredCte,
+       |r AS (SELECT sid, tid, sq,
+       |  row_number() OVER (PARTITION BY sid ORDER BY sq DESC, tid) AS frn,
+       |  row_number() OVER (PARTITION BY tid ORDER BY sq DESC, sid) AS brn FROM sc),
+       |f AS (SELECT sid, sum(sq) AS fsum, count(*) AS fcnt FROM r WHERE frn <= $k GROUP BY sid),
+       |b AS (SELECT tid, sum(sq) AS bsum, count(*) AS bcnt FROM r WHERE brn <= $k GROUP BY tid),
+       |mg AS (SELECT sid, tid, sq, frn,
+       |  CAST((sq * 2000000 * fcnt * bcnt) // (fsum * bcnt + bsum * fcnt) AS BIGINT) AS margin_ppm
+       |  FROM r JOIN f USING (sid) JOIN b USING (tid)
+       |  WHERE frn <= $k AND sq > 0 AND fsum > 0 AND bsum > 0)
+       |SELECT sid AS src_id, tid AS tgt_id, sq AS score_q, margin_ppm,
+       |  CAST(frn AS BIGINT) AS rn
+       |FROM mg WHERE margin_ppm >= $minMarginPpm""".stripMargin
 
   private def markerMassSql(markers: Seq[String]): String =
     markers.map(m => s"(length(p) - length(replace(p, ' $m ', '')))").mkString(" + ")
@@ -3173,6 +3216,29 @@ object SparkEntry {
          |lab AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
          |SELECT vec_id FROM v
          |WHERE vec_id NOT IN (SELECT id FROM lab WHERE id <> label)""".stripMargin,
+    // bitext margin twins: same quantized-cosine longs, same windowed
+    // neighborhood sums, same exact-rational ppm division (// == div on
+    // the positive-guarded operands)
+    "s_bitext_mine" -> bitextMarginSql(
+      s"""WITH sx AS (SELECT vec_id AS sid, embedding AS se FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 1000),
+         |tx AS (SELECT vec_id AS tid, embedding AS te FROM embeddings WHERE vec_id % 2 = 1 AND vec_id < 1000),
+         |sc AS (SELECT sid, tid, CAST(floor(${cosQSql("se", "te")} * 1000000000.0) AS BIGINT) AS sq FROM sx, tx)""".stripMargin,
+      4, 1000000L),
+    // LSH twin: planes from the shared planesFor heuristic; Hamming-≤1
+    // probe masks on the src side; per-pair max across tables = the
+    // identical score (grouping is the cross-table dedup)
+    "s_bitext_mine_lsh" -> bitextMarginSql(
+      s"""WITH $planesForSql,
+         |tt AS (SELECT unnest(generate_series(0, 3)) AS t),
+         |bits AS (SELECT unnest(generate_series(0, pl.p - 1)) AS i FROM pl),
+         |mm AS (SELECT CAST(0 AS BIGINT) AS m UNION ALL SELECT (CAST(1 AS BIGINT) << i) FROM bits),
+         |s0 AS (SELECT vec_id AS sid, embedding AS se FROM embeddings WHERE vec_id % 2 = 0),
+         |ss AS (SELECT sid, se, tt.t AS tbl, xor(${lshSigSql("se", "pl.p", "tt.t * pl.p")}, m) AS sig FROM s0, tt, pl, mm),
+         |t0 AS (SELECT vec_id AS tid, embedding AS te FROM embeddings WHERE vec_id % 2 = 1),
+         |tv AS (SELECT tid, te, tt.t AS tbl, ${lshSigSql("te", "pl.p", "tt.t * pl.p")} AS sig FROM t0, tt, pl),
+         |sc AS (SELECT sid, tid, max(CAST(floor(${cosQSql("se", "te")} * 1000000000.0) AS BIGINT)) AS sq
+         |       FROM ss JOIN tv USING (tbl, sig) GROUP BY sid, tid)""".stripMargin,
+      4, 1000000L),
     // cells = exact integer √count (double sqrt + ±1 integer fix-up,
     // clamped [4, 65536]) — the SQL twin of Similarity.cellsFor;
     // assignment/probe ranking and scoring mirror the Spark path step by

@@ -422,6 +422,114 @@ object Similarity {
     (0 to math.max(0, math.min(radius, numPlanes))).flatMap(combos)
   }
 
+  // ------------------------------------------------------- bitext mining
+
+  /** Margin-based bitext candidate mining (Artetxe & Schwenk 2019, the
+    * CCMatrix / WikiMatrix alignment rule): a (src, tgt) sentence pair is
+    * a translation candidate when its similarity stands out RELATIVE to
+    * each side's nearest-neighbor neighborhood — absolute cosine
+    * thresholds fail because cosine scales drift per language / register.
+    * The ratio margin for a scored pair:
+    *
+    *   margin(x,y) = cos(x,y) / ((avg_{z∈NNk(x)} cos(x,z)
+    *                            + avg_{z∈NNk(y)} cos(y,z)) / 2)
+    *
+    * computed here in exact integer arithmetic: quantized cosines
+    * (floor(cosQ·10^9) — single-rounding doubles, bit-exact cross-engine),
+    * neighborhood SUMS of those longs, and margin_ppm by long cross
+    * multiplication and positive integer division, so the result is
+    * DuckDB-oracle-checkable. Pairs with a non-positive score or
+    * neighborhood sum are dropped (the margin is meaningless there and
+    * trunc-vs-floor division would diverge on negatives).
+    *
+    * `scored` carries one row per candidate (sid, tid, sq); candidates
+    * serve BOTH directions: forward top-k per sid and backward top-k per
+    * tid are windows over the same pair set, so the expensive scoring
+    * join runs once. Emitted pairs are the forward top-k rows that clear
+    * `minMarginPpm`; partial neighborhoods (< k members, possible on the
+    * ANN path) use their actual counts in the averages.
+    *
+    * Scale shape: two slim windows + two (id, sum, cnt) aggregates over
+    * slim triples; embeddings are gone before any shuffle.
+    */
+  private def marginPairs(scored: DataFrame, k: Int, minMarginPpm: Long): DataFrame = {
+    val fw = Window.partitionBy("sid").orderBy(col("sq").desc, col("tid"))
+    val bw = Window.partitionBy("tid").orderBy(col("sq").desc, col("sid"))
+    val ranked = scored
+      .withColumn("frn", row_number().over(fw))
+      .withColumn("brn", row_number().over(bw))
+    val fwd = ranked.filter(col("frn") <= k).groupBy("sid")
+      .agg(sum(col("sq")).as("fsum"), count(lit(1)).as("fcnt"))
+    val bwd = ranked.filter(col("brn") <= k).groupBy("tid")
+      .agg(sum(col("sq")).as("bsum"), count(lit(1)).as("bcnt"))
+    // margin_ppm = sq·2·10^6·fcnt·bcnt div (fsum·bcnt + bsum·fcnt):
+    // the exact-rational form of sq / ((fsum/fcnt + bsum/bcnt)/2) in ppm.
+    // Bounds: sq ≤ 10^9, fcnt·bcnt ≤ k² — k ≤ 64 keeps the numerator
+    // under 2^63 (10^9 · 2·10^6 · 4096 ≈ 8.2·10^18 only at k=64; use
+    // k ≤ 22 for a 10^18 ceiling; typical mining k is 4–16).
+    val num = col("sq") * lit(2L * 1000000L) * col("fcnt") * col("bcnt")
+    val den = col("fsum") * col("bcnt") + col("bsum") * col("fcnt")
+    ranked.filter(col("frn") <= k && col("sq") > 0)
+      .join(fwd, "sid").join(bwd, "tid")
+      .filter(col("fsum") > 0 && col("bsum") > 0)
+      .withColumn("num_c", num).withColumn("den_c", den)
+      .withColumn("margin_ppm", expr("num_c div den_c"))
+      .filter(col("margin_ppm") >= minMarginPpm)
+      .select(col("sid"), col("tid"), col("sq").as("score_q"),
+        col("margin_ppm"), col("frn").cast("long").as("rn"))
+  }
+
+  /** Exact-scoring bitext mining baseline: every (src, tgt) pair scored
+    * by the quantized cosine — a broadcast-nested-loop at capped sizes,
+    * the verification twin of [[bitextMineLsh]]. src and tgt must have
+    * disjoint `vec_id` spaces (two languages ⇒ two corpora).
+    */
+  def bitextMine(src: DataFrame, tgt: DataFrame, k: Int, minMarginPpm: Long): DataFrame = {
+    val cq = cosineQ(src) _
+    val scored = src.select(col("vec_id").as("sid"), col("embedding").as("se"))
+      .crossJoin(tgt.select(col("vec_id").as("tid"), col("embedding").as("te")))
+      .select(col("sid"), col("tid"),
+        floor(cq(col("se"), col("te")) * lit(1e9)).cast("long").as("sq"))
+    marginPairs(scored, k, minMarginPpm)
+  }
+
+  /** Scale path: candidates from a multi-table hyperplane-LSH bucket
+    * equi-join instead of the all-pairs product. Unlike [[annTopK]] the
+    * query side is NOT broadcast — in alignment mining both sides are
+    * corpus-sized, so both shuffle once on the (table, signature) key and
+    * collide in buckets (Hamming-ball probes expanded on the src side
+    * only; a ≤h probe from either side finds the same collisions).
+    * Neighborhood sums are computed over the SAME candidate set in both
+    * directions, so missed neighbors weaken both numerator and
+    * denominator coherently (the standard FAISS-mined-kNN margin).
+    */
+  def bitextMineLsh(
+      src: DataFrame, tgt: DataFrame, k: Int, minMarginPpm: Long,
+      numPlanes: Int = 8, probeHamming: Int = 1, numTables: Int = 4
+  ): DataFrame = {
+    val sigOf = lshSigNative(src) _
+    val cq = cosineQ(src) _
+    val masks = probeMasks(numPlanes, probeHamming)
+    val sKeys = (0 until numTables).flatMap { t =>
+      val sig = sigOf(col("embedding"), numPlanes, t * numPlanes)
+      masks.map(m => struct(lit(t).as("tbl"), sig.bitwiseXOR(lit(m)).as("sig")))
+    }
+    val sSide = src.select(col("vec_id").as("sid"), col("embedding").as("se"),
+      explode(array(sKeys: _*)).as("k"))
+      .select(col("sid"), col("se"), col("k.tbl").as("tbl"), col("k.sig").as("sig"))
+    val tKeys = (0 until numTables).map { t =>
+      struct(lit(t).as("tbl"), sigOf(col("embedding"), numPlanes, t * numPlanes).as("sig"))
+    }
+    val tSide = tgt.select(col("vec_id").as("tid"), col("embedding").as("te"),
+      explode(array(tKeys: _*)).as("k"))
+      .select(col("tid"), col("te"), col("k.tbl").as("tbl"), col("k.sig").as("sig"))
+    val scored = sSide.join(tSide, Seq("tbl", "sig"))
+      .select(col("sid"), col("tid"),
+        floor(cq(col("se"), col("te")) * lit(1e9)).cast("long").as("sq"))
+      .groupBy("sid", "tid").agg(max(col("sq")).as("sq"))
+    marginPairs(scored, k, minMarginPpm)
+  }
+
   def annRecallAtK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       numPlanes: Int = 8, probeHamming: Int = 1, numTables: Int = 4

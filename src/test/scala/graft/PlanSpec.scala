@@ -681,4 +681,22 @@ class PlanSpec extends AnyFunSuite {
       s"exactly one exchange (the range partitioning):\n$plan")
     assert(plan.contains("Sort [surt"), s"in-partition sort on (surt, ts_ms):\n$plan")
   }
+
+  test("bitext LSH: bucket equi-join, neither side broadcast; embeddings shuffle once per side; margins over slim triples") {
+    val plan = finalPlan(SparkEntry.queries("s_bitext_mine_lsh")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must be the (tbl, sig) equi-join, never all-pairs:\n$plan")
+    // both sides are corpus-sized: the bucket join must NOT broadcast an
+    // embedding-carrying side (slim broadcasts elsewhere are fine)
+    val bx = plan.linesIterator.filter(_.contains("BroadcastExchange")).toVector
+    assert(bx.forall(l => !l.contains("se#") && !l.contains("te#") && !l.contains("embedding#")),
+      s"neither embedding side of the bucket join may broadcast:\n${bx.mkString("\n")}")
+    // embeddings ride only the bucket-key exchanges (≤ 1 per side);
+    // everything after scoring — windows, neighborhood sums, margin —
+    // shuffles slim (sid, tid, sq) triples
+    val embShuffles = plan.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .count(l => l.contains("se#") || l.contains("te#") || l.contains("embedding#"))
+    assert(embShuffles <= 2,
+      s"embeddings may shuffle at most once per side (bucket key), saw $embShuffles:\n$plan")
+  }
 }

@@ -217,4 +217,50 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.planesFor(1000000000L, 10000L) == 17)
     assert(Similarity.planesFor(Long.MaxValue) == 20)
   }
+
+  test("bitextMine: a mutual translation pair out-margins a hubby near-cluster") {
+    // src 0 ↔ tgt 101 are each other's clear best match (margin ≫ 1);
+    // src 2/4 and tgt 103/105 form a tight cluster where every cosine is
+    // close to the neighborhood average (margin ≈ 1) — the hubness case
+    // absolute-threshold mining gets wrong and margin mining exists for.
+    val src = vecs(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      2L -> Seq(0f, 1f, 0.1f, 0f),
+      4L -> Seq(0f, 1f, 0.12f, 0f))
+    val tgt = vecs(
+      101L -> Seq(0.99f, 0.05f, 0f, 0f),
+      103L -> Seq(0f, 1f, 0.11f, 0f),
+      105L -> Seq(0f, 0.98f, 0.1f, 0f))
+    val out = Similarity.bitextMine(src, tgt, k = 2, minMarginPpm = 0L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3))).toMap
+    assert(out((0L, 101L)) > 1400000L, s"aligned pair margin was ${out((0L, 101L))}")
+    // cluster pairs hover at margin ≈ 1 (ppm ≈ 1e6): within 5%
+    Seq((2L, 103L), (4L, 103L)).foreach { p =>
+      assert(math.abs(out(p) - 1000000L) < 50000L, s"$p margin ${out(p)}")
+    }
+    // thresholding at 1.4 keeps only the true pair's rank-1 row
+    val mined = Similarity.bitextMine(src, tgt, k = 2, minMarginPpm = 1400000L)
+      .select("sid", "tid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(mined.toSeq == Seq((0L, 101L)))
+  }
+
+  test("bitextMine: LSH candidates are a subset of exact with identical scores and sane margins") {
+    val sf = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val src = e.filter(col("vec_id") % 2 === 0)
+    val tgt = e.filter(col("vec_id") % 2 === 1)
+    val exact = Similarity.bitextMine(src, tgt, 4, 1000000L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val lsh = Similarity.bitextMineLsh(src, tgt, 4, 1000000L,
+      numPlanes = 4, probeHamming = 1, numTables = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2), r.getLong(3)))
+    assert(exact.nonEmpty && lsh.nonEmpty)
+    // every LSH-mined pair that the exact path also mined carries the
+    // IDENTICAL quantized score (margins differ by construction: the
+    // denominator neighborhoods are the mined candidate sets)
+    lsh.foreach { case (pair, sq, margin) =>
+      exact.get(pair).foreach(esq => assert(esq == sq, s"$pair score $sq vs exact $esq"))
+      assert(margin >= 1000000L)
+    }
+  }
 }
