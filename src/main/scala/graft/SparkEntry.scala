@@ -1189,6 +1189,20 @@ object SparkEntry {
       graft.web.Templates.templateGroups(
         docs(s, dir).select(col("doc_id"), templHtml.as("html")),
         "doc_id", "html", minPages = 2L)),
+    // cross-domain mirror detection: domains serving the same content
+    // under different hosts — every 7th doc synthesized ALSO under a
+    // 'mirror-' twin host (the full-mirror structure a per-url dedup and
+    // a per-domain cap both miss); pairing is fp-keyed with a boilerplate
+    // hot-key bound, gate = containment of the smaller side ≥ 50 %
+    "w_mirror_pairs" -> ((s, dir) => {
+      def slim(d: DataFrame) = d.select(
+        UrlOps.registeredDomain(UrlOps.host(synthUrl)).as("domain"),
+        TextAnalytics.fingerprint(col("text")).as("fp"))
+      val base = slim(docs(s, dir))
+      val mirrored = slim(docs(s, dir).filter(col("doc_id") % 7 === 0))
+        .withColumn("domain", concat(lit("mirror-"), col("domain")))
+      graft.web.Mirrors.mirrorPairs(base.unionAll(mirrored), "domain", "fp", tauPct = 50)
+    }),
     // writing-system detection over multi-script synthesis: four
     // replace-and-measure passes + argmax, map-only codegen
     "t_script" -> ((s, dir) => {
@@ -2641,6 +2655,23 @@ object SparkEntry {
          |SELECT template_fp, CAST(count(*) AS BIGINT) AS n_pages,
          |  min(doc_id) AS rep_id, max(n_tags) AS n_tags
          |FROM f GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+    // mirror twin: same urlCte domain, same normalized-md5 fingerprint,
+    // same UNION-ALL mirror synthesis, same hot-key bound and
+    // cross-multiplied containment gate
+    "w_mirror_pairs" ->
+      s"""WITH $urlCte,
+         |mb AS (SELECT domain, $fpSql AS fp FROM p5
+         |       UNION ALL
+         |       SELECT 'mirror-' || domain AS domain, $fpSql AS fp FROM p5 WHERE doc_id % 7 = 0),
+         |c AS (SELECT DISTINCT domain, fp FROM mb),
+         |ok AS (SELECT fp FROM c GROUP BY fp HAVING count(*) >= 2 AND count(*) <= 10),
+         |sl AS (SELECT c.domain, c.fp FROM c JOIN ok USING (fp)),
+         |sz AS (SELECT domain, count(*) AS n_fp FROM c GROUP BY domain),
+         |p AS (SELECT a.domain AS d1, b.domain AS d2, CAST(count(*) AS BIGINT) AS shared
+         |      FROM sl a JOIN sl b ON a.fp = b.fp AND a.domain < b.domain GROUP BY 1, 2)
+         |SELECT d1, d2, shared, CAST(z1.n_fp AS BIGINT) AS n1, CAST(z2.n_fp AS BIGINT) AS n2
+         |FROM p JOIN sz z1 ON p.d1 = z1.domain JOIN sz z2 ON p.d2 = z2.domain
+         |WHERE shared * 100 >= least(z1.n_fp, z2.n_fp) * 50""".stripMargin,
     "t_repetition" ->
       s"""WITH t AS (SELECT doc_id,
          |  CASE WHEN length(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\\s+') END AS l

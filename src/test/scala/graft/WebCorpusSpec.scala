@@ -786,4 +786,32 @@ class WebCorpusSpec extends AnyFunSuite {
       (0L, "https://a.example/1", "2024-01-15"),
       (2L, "https://a.example/3", "")))
   }
+
+  test("mirror pairs: containment gate, smaller-side denominator, boilerplate fp excluded") {
+    import spark.implicits._
+    // a.com {f1 f2 f3 f4}; m.com {f1 f2} → shared 2, min 2 → 100 % ≥ 50: pair.
+    // b.org {f3 f9} shares f3 with a.com → 1/2 = 50 %: exactly at the gate.
+    // c.net {f9 f8} shares f9 with b.org → 1/2 passes too; but the
+    // boilerplate fp 'hot' on ALL FOUR domains must not create pairs when
+    // the cap is 3.
+    val rows = Seq(
+      "a.com" -> "f1", "a.com" -> "f2", "a.com" -> "f3", "a.com" -> "f4",
+      "m.com" -> "f1", "m.com" -> "f2",
+      "b.org" -> "f3", "b.org" -> "f9",
+      "c.net" -> "f9", "c.net" -> "f8",
+      "a.com" -> "hot", "m.com" -> "hot", "b.org" -> "hot", "c.net" -> "hot")
+    val d = rows.toDF("domain", "fp")
+    val got = graft.web.Mirrors.mirrorPairs(d, "domain", "fp", tauPct = 50, maxFpDomains = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // n_fp counts INCLUDE the boilerplate fp (it is real domain content);
+    // with 'hot' excluded from pairing: a.com(5)/m.com(3) share 2 ≥ 50 %·3?
+    // 2·100 = 200 ≥ 50·3 = 150 ✓; a.com/b.org share 1: 100 < 150 ✗;
+    // b.org(3)/c.net(3) share 1: 100 < 150 ✗.
+    assert(got == Set(("a.com", "m.com", 2L)))
+    // raising the cap to 4 lets 'hot' pair everything ≥ gate:
+    // b/c now share {f9, hot} = 2 ≥ 150 ✓ — the cap is what stops it
+    val loose = graft.web.Mirrors.mirrorPairs(d, "domain", "fp", tauPct = 50, maxFpDomains = 4)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(loose.contains(("b.org", "c.net")))
+  }
 }
