@@ -1255,6 +1255,14 @@ object SparkEntry {
       graft.pipeline.Sharder.assignShards(weighted, "doc_id", "n_tokens",
         numShards = 8, bucketWidth = 64, subGroups = 4)
     }),
+    // seeded epoch shuffle: the reproducible global training-order
+    // permutation (same seed → byte-identical order; new seed → fresh
+    // epoch permutation) — one shard-key Exchange + in-partition sort,
+    // never a global range sort
+    "q_epoch_shuffle" -> ((s, dir) =>
+      graft.pipeline.Sharder.epochOrder(
+        docs(s, dir).select(col("doc_id")), "doc_id", seed = 7L, numShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))),
     // token-budget sequence packing (trainer feed): ONE stream-key
     // Exchange, prefix-sum + offset windows share its sort, bins from
     // integer DIV — docs never split, bins within one doc of capacity
@@ -2475,6 +2483,15 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY bucket, sub
          |                     ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn FROM b)
          |SELECT doc_id, n_tokens, bucket, CAST((rn - 1 + phase) % 8 AS BIGINT) AS shard FROM r""".stripMargin,
+    // epoch-shuffle twin: same seeded md5 order key, same leading-32-bit
+    // shard window, same dense within-shard row_number
+    "q_epoch_shuffle" ->
+      """WITH k AS (SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS okey FROM documents),
+        |s AS (SELECT doc_id, okey,
+        |  CAST(('0x' || substr(okey, 1, 8))::BIGINT % 8 AS BIGINT) AS shard FROM k)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY okey, doc_id) - 1 AS BIGINT) AS pos
+        |FROM s""".stripMargin,
     "t_len_quartiles" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(min(n_chars) AS BIGINT) AS v_min,

@@ -76,4 +76,40 @@ object Sharder {
   def shardStats(assigned: DataFrame, weightCol: String): DataFrame =
     assigned.groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col(weightCol)).as("total_weight"))
+
+  /** Seeded epoch shuffle — the reproducible global training-order
+    * permutation every trainer feed ends with: sequential reads of a
+    * crawl-ordered corpus would feed the model one domain / one time
+    * slice at a time (catastrophic for optimization), so the export is
+    * read in a pseudorandom order that (a) is byte-identical for the same
+    * seed — restarts and data-ablation reruns see the SAME order — and
+    * (b) changes completely with the seed, giving each epoch a fresh
+    * permutation without rewriting a byte of payload.
+    *
+    * Order key = md5(seed ‖ ':' ‖ id): deterministic, engine-portable
+    * (the oracle replays it), uncorrelated with id or any crawl ordering.
+    * Shard = leading-32-bit window of the same key mod `numShards`; the
+    * within-shard position is dense row_number over the key. A trainer
+    * reads shards in any interleave; per-shard order is the contract.
+    *
+    * Scale shape: ONE hash Exchange on the shard key plus an in-partition
+    * sort — exactly the write layout (`repartition(shard).sortWithin`)
+    * the export stage produces anyway, so the permutation is free at
+    * write time. `numShards` at 100 TB is O(10^5) (1 GB shards): far
+    * above any cluster's core count, so the per-shard window never
+    * funnels. The global sort this op deliberately avoids would be a
+    * range exchange over the full corpus for an order nobody reads
+    * globally.
+    */
+  def epochOrder(d: DataFrame, idCol: String, seed: Long, numShards: Int): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val key = md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string")))
+    val shard = pmod(conv(substring(col("graft_okey"), 1, 8), 16, 10).cast("long"),
+      lit(numShards.toLong))
+    val w = Window.partitionBy(col("shard")).orderBy(col("graft_okey"), col(idCol))
+    d.withColumn("graft_okey", key)
+      .withColumn("shard", shard)
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("graft_okey")
+  }
 }

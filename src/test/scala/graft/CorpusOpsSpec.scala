@@ -26,6 +26,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty, "assignment is deterministic")
   }
 
+  test("epochOrder: dense per-shard positions; same seed byte-identical; new seed a fresh permutation") {
+    import spark.implicits._
+    val d = (0L until 2000L).toDF("doc_id")
+    val a = Sharder.epochOrder(d, "doc_id", seed = 7L, numShards = 8)
+    val rows = a.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 2000 && rows.map(_._1).distinct.length == 2000)
+    // positions are dense 0..n-1 within every shard
+    rows.groupBy(_._2).foreach { case (sh, g) =>
+      assert(g.map(_._3).sorted.toSeq == (0L until g.length), s"shard $sh positions not dense")
+    }
+    // reproducible: a restart sees the identical order
+    val a2 = Sharder.epochOrder(d, "doc_id", 7L, 8)
+    assert(a.exceptAll(a2).isEmpty, "same seed must be byte-identical")
+    // a new epoch (seed) is a genuinely different permutation: most docs
+    // change (shard, pos); order within any shard decorrelates from ids
+    val b = Sharder.epochOrder(d, "doc_id", 8L, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val moved = rows.toSet.diff(b.toSet).size
+    assert(moved > 1500, s"seed change moved only $moved/2000 rows")
+    val idOrderedShard = rows.filter(_._2 == 0L).sortBy(_._3).map(_._1)
+    assert(idOrderedShard.toSeq != idOrderedShard.sorted.toSeq,
+      "within-shard order must not be id order")
+  }
+
   test("assignShards: rare giant documents honor the additive balance bound") {
     import spark.implicits._
     // a handful of 5000-weight giants over a small-doc corpus: the giant
