@@ -1055,6 +1055,13 @@ object SparkEntry {
       UrlOps.domainStats(
         docs(s, dir).select(synthUrl.as("url"), TextAnalytics.isQuality(col("text")).as("q")),
         "url", "q")),
+    // smoothed per-domain quality prior: α pseudo-observations at the
+    // global rate, so thin domains regress to the corpus mean instead of
+    // outranking well-sampled ones — the frontier's ranking signal
+    "w_domain_prior" -> ((s, dir) =>
+      UrlOps.domainPriors(
+        docs(s, dir).select(synthUrl.as("url"), TextAnalytics.isQuality(col("text")).as("q")),
+        "url", "q", alpha = 20)),
     // recrawl consolidation: canonical-url revision stats (fetch count,
     // distinct content versions, latest-wins id + fingerprint) — one slim
     // (canon_url, id, fp) exchange, payloads never move
@@ -2298,6 +2305,17 @@ object SparkEntry {
          |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
          |  CAST(count(*) FILTER (WHERE $qualityPredSql) AS BIGINT) AS n_quality
          |FROM p5 GROUP BY 1""".stripMargin,
+    // prior twin: same per-domain counts, same one-row global rate, same
+    // positive integer DIV smoothing
+    "w_domain_prior" ->
+      s"""WITH $urlCte,
+         |ds AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(*) FILTER (WHERE $qualityPredSql) AS BIGINT) AS n_quality
+         |FROM p5 GROUP BY 1),
+         |g AS (SELECT CAST(sum(n_quality) * 1000000 // sum(n_docs) AS BIGINT) AS global_ppm FROM ds)
+         |SELECT domain, n_docs, n_quality, global_ppm,
+         |  CAST((n_quality * 1000000 + 20 * global_ppm) // (n_docs + 20) AS BIGINT) AS prior_ppm
+         |FROM ds, g""".stripMargin,
     // revision twin: same canonical assembly as w_url_canon, same
     // normalized-md5 fingerprint as t_fingerprint; latest-wins = max_by
     // on the unique doc_id (fetch order)

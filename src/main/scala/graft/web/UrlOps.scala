@@ -180,6 +180,35 @@ object UrlOps {
         sum(when(col(qualityCol), 1L).otherwise(0L)).as("n_quality"))
   }
 
+  /** Bayesian-smoothed per-domain quality prior — the crawl-prioritization
+    * score a frontier ranks candidate domains by. The raw quality rate is
+    * useless for scheduling at web scale: most domains have a handful of
+    * fetched pages, and a 1-of-1 domain would outrank a 9000-of-10000 one.
+    * The standard fix is additive smoothing toward the GLOBAL rate:
+    *
+    *   prior_ppm = (n_quality·10^6 + α·global_ppm) DIV (n_docs + α)
+    *
+    * i.e. every domain starts with α pseudo-observations at the corpus
+    * mean and earns its own rate as evidence accumulates. All integer
+    * arithmetic (positive operands, DIV) — engine-exact.
+    *
+    * Scale shape: rides [[domainStats]]'s map-side partial agg; the global
+    * rate is a ONE-ROW aggregate broadcast back over the slim per-domain
+    * rows. Nothing document-sized moves.
+    */
+  def domainPriors(df: DataFrame, urlCol: String, qualityCol: String,
+                   alpha: Int = 20): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val stats = domainStats(df, urlCol, qualityCol)
+    val g = stats.agg(sum(col("n_quality")).as("tq"), sum(col("n_docs")).as("td"))
+    stats.crossJoin(broadcast(g))
+      .withColumn("global_ppm", expr("tq * 1000000 div td"))
+      .withColumn("prior_ppm",
+        expr(s"(n_quality * 1000000 + $alpha * global_ppm) div (n_docs + $alpha)"))
+      .select(col("domain"), col("n_docs"), col("n_quality"),
+        col("global_ppm"), col("prior_ppm"))
+  }
+
   /** Drop rows whose registered domain is on the blocklist. The blocklist
     * (spam/adult/boilerplate domains — thousands of rows in production) is
     * built as a DataFrame and broadcast anti-joined, so the corpus side is

@@ -787,6 +787,27 @@ class WebCorpusSpec extends AnyFunSuite {
       (2L, "https://a.example/3", "")))
   }
 
+  test("domainPriors: thin domains regress to the global mean; evidence earns the raw rate") {
+    import spark.implicits._
+    // big.com: 90/100 quality; thin.org: 1/1 (raw rate 100 % — the trap);
+    // bad.net: 0/100. Global = 91/201.
+    val rows =
+      (0 until 100).map(i => (s"https://big.com/$i", i < 90)) ++
+      Seq(("https://thin.org/0", true)) ++
+      (0 until 100).map(i => (s"https://bad.net/$i", false))
+    val d = rows.toDF("url", "q")
+    val got = graft.web.UrlOps.domainPriors(d, "url", "q", alpha = 20)
+      .collect().map(r => (r.getString(0), r.getLong(4))).toMap
+    val globalPpm = 91L * 1000000L / 201L // 452736
+    assert(got("thin.org") == (1000000L + 20 * globalPpm) / 21,
+      s"thin domain prior ${got("thin.org")}")
+    // the 1-of-1 domain must NOT outrank the 90-of-100 one
+    assert(got("big.com") > got("thin.org"), s"$got")
+    // and the thin domain sits close to (slightly above) the global mean
+    assert(got("thin.org") > globalPpm && got("thin.org") < globalPpm + 30000)
+    assert(got("bad.net") < globalPpm / 5, s"bad.net prior ${got("bad.net")}")
+  }
+
   test("mirror pairs: containment gate, smaller-side denominator, boilerplate fp excluded") {
     import spark.implicits._
     // a.com {f1 f2 f3 f4}; m.com {f1 f2} → shared 2, min 2 → 100 % ≥ 50: pair.
