@@ -7,7 +7,7 @@ import graft.media.MediaKernel
 import graft.pages.PagesGen
 import graft.sim.Similarity
 import graft.sniff.ContentSniffer
-import graft.text.{Chunker, LangModel, Redactor, TextAnalytics}
+import graft.text.{C4, Chunker, LangModel, Redactor, TextAnalytics}
 import graft.web.UrlOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -952,6 +952,25 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"), TextAnalytics.fingerprint(col("text")).as("fp"))),
     // Gopher quality rules (Rae et al. 2021): bullet/ellipsis line
     // fractions, symbol-to-word ratio, mean word length, alpha-word
+    // C4 cleaning recipe (Raffel et al. 2020): line-level keep rules +
+    // page gates; the corpus text is enriched with deterministic lines so
+    // every rule fires both ways (terminal punct, ≥5 words, javascript,
+    // <3 sentences, badword, lorem ipsum, curly brace) — map-only
+    "t_c4_clean" -> ((s, dir) => {
+      val id = col("doc_id")
+      val page = concat(
+        col("text"),
+        lit("\nThe quick study of "), substring(col("text"), 1, 20), lit(" now concludes properly."),
+        lit("\nShort line."),
+        lit("\nIs this layout really working fine today?"),
+        lit("\nNo terminal punctuation here at all"),
+        lit("\nThe javascript menu needs to be enabled fully."),
+        when(id % 3 === 0, lit("\nAn extra closing sentence appears right here!")).otherwise(lit("")),
+        when(id % 31 === 0, lit("\nthe casino bonus spins are waiting now.")).otherwise(lit("")),
+        when(id % 37 === 0, lit("\nlorem ipsum dolor sit amet sample.")).otherwise(lit("")),
+        when(id % 41 === 0, lit("\nthis page contains { a brace clearly.")).otherwise(lit("")))
+      C4.c4Stats(docs(s, dir).select(id, page.as("page")), "doc_id", "page", Seq("casino"))
+    }),
     // share — map-only integer arithmetic, thresholds cross-multiplied;
     // the corpus text is enriched with deterministic bullet / ellipsis /
     // symbol lines (mirrored in the oracle) so every rule fires both ways
@@ -2388,7 +2407,7 @@ object SparkEntry {
          |  COALESCE(SUM(n_tokens) OVER (PARTITION BY doc_id % 4
          |    ORDER BY md5(CAST(doc_id AS VARCHAR))
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM t)
-         |SELECT doc_id, n_tokens, stream, cum AS start_off,
+         |SELECT doc_id, n_tokens, stream, CAST(cum AS BIGINT) AS start_off,
          |  CAST(cum // 256 AS BIGINT) AS block_first,
          |  CAST(CASE WHEN n_tokens > 0 THEN (cum + n_tokens - 1) // 256
          |            ELSE cum // 256 END AS BIGINT) AS block_last,
@@ -2901,6 +2920,38 @@ object SparkEntry {
     // Gopher twin: same enriched text, same cross-multiplied thresholds;
     // note regexp_replace needs the 'g' flag in DuckDB (Spark replaces
     // all matches by default) and '...'-replace is literal on both
+    // C4 twin: same synthesized page, same list_filter line rules, same
+    // terminal-mark sentence proxy and padded badword containment
+    "t_c4_clean" ->
+      """WITH a AS (SELECT doc_id, text ||
+        |  chr(10) || 'The quick study of ' || substr(text, 1, 20) || ' now concludes properly.' ||
+        |  chr(10) || 'Short line.' ||
+        |  chr(10) || 'Is this layout really working fine today?' ||
+        |  chr(10) || 'No terminal punctuation here at all' ||
+        |  chr(10) || 'The javascript menu needs to be enabled fully.' ||
+        |  CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'An extra closing sentence appears right here!' ELSE '' END ||
+        |  CASE WHEN doc_id % 31 = 0 THEN chr(10) || 'the casino bonus spins are waiting now.' ELSE '' END ||
+        |  CASE WHEN doc_id % 37 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet sample.' ELSE '' END ||
+        |  CASE WHEN doc_id % 41 = 0 THEN chr(10) || 'this page contains { a brace clearly.' ELSE '' END AS t
+        |FROM documents),
+        |l AS (SELECT doc_id, t, string_split(t, chr(10)) AS ls FROM a),
+        |k AS (SELECT doc_id, t, len(ls) AS n_lines, list_filter(ls, x ->
+        |    length(trim(x)) > 0 AND regexp_matches(trim(x), '[.!?"]$')
+        |    AND len(regexp_split_to_array(trim(x), '\s+')) >= 5
+        |    AND NOT contains(lower(x), 'javascript')) AS kept FROM l),
+        |c AS (SELECT doc_id, t, n_lines, len(kept) AS n_kept,
+        |    array_to_string(kept, chr(10)) AS cleaned FROM k),
+        |m AS (SELECT doc_id, n_lines, n_kept, cleaned,
+        |    CAST(length(cleaned) - length(regexp_replace(cleaned, '[.!?]', '', 'g')) AS BIGINT) AS n_sentences,
+        |    contains(' ' || regexp_replace(lower(t), '\s+', ' ', 'g') || ' ', ' casino ') AS has_badword,
+        |    contains(lower(t), 'lorem ipsum') AS has_lorem,
+        |    contains(t, '{') AS has_curly
+        |FROM c)
+        |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines, CAST(n_kept AS BIGINT) AS n_kept,
+        |  n_sentences, has_badword,
+        |  (n_sentences >= 3 AND NOT has_badword AND NOT has_lorem AND NOT has_curly) AS keep,
+        |  md5(cleaned) AS cleaned_fp
+        |FROM m""".stripMargin,
     "t_gopher" ->
       s"""WITH g AS (SELECT doc_id, concat_ws(chr(10), ${multilineSql("text")},
          |    CASE WHEN doc_id % 3 = 0 THEN '- bullet one' END,

@@ -156,6 +156,36 @@ class TextAnalyticsSpec extends AnyFunSuite {
     assert(s.length == 1 && s(0).getString(3) == "en" && s(0).getLong(1) == 0L)
   }
 
+  test("C4 recipe: each line rule and each page gate fires exactly as published") {
+    import spark.implicits._
+    def stats(text: String) = {
+      val d = Seq((1L, text)).toDF("doc_id", "text")
+      val r = graft.text.C4.c4Stats(d, "doc_id", "text", Seq("casino")).collect()(0)
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5))
+    }
+    // three clean ≥5-word terminally-punctuated sentences → kept page
+    val good = "The first sentence has enough words here.\n" +
+      "Another proper sentence is written right here!\n" +
+      "Is the third sentence also long enough?"
+    assert(stats(good) == (3L, 3L, 3L, false, true))
+    // line rules: no terminal punct / < 5 words / javascript each drop
+    assert(stats(good + "\nno terminal punctuation on this line") ==
+      (4L, 3L, 3L, false, true))
+    assert(stats(good + "\nToo short.")._2 == 3L)
+    assert(stats(good + "\nPlease enable javascript support now today.")._2 == 3L)
+    // page gates: < 3 sentences, badword, lorem ipsum, curly brace
+    assert(stats("Only two good sentences exist right here.\n" +
+      "And the second one is here as well.") == (2L, 2L, 2L, false, false))
+    assert(stats(good + "\nThe casino bonus never sleeps at night.") match {
+      case (_, _, _, bad, keep) => bad && !keep
+    })
+    assert(!stats(good + "\nLorem ipsum dolor sit amet sample text.")._5)
+    assert(!stats(good + "\nA brace { appears inside this long sentence.")._5)
+    // quote counts as terminal punctuation but not as a sentence mark
+    val q = "He said the words \"stop right there now\"\n" + good
+    assert(stats(q) == (4L, 4L, 3L, false, true))
+  }
+
   test("isQuality: rejects too-short, shouting, punctuation soup") {
     assert(one("this is a perfectly normal sentence with enough words", isQuality(col("text"))) == true)
     assert(one("too short", isQuality(col("text"))) == false)
