@@ -1089,6 +1089,24 @@ object SparkEntry {
         docs(s, dir).select(col("doc_id"), synthUrl.as("url"),
           TextAnalytics.fingerprint(col("text")).as("fp")),
         "url", "doc_id", "fp")),
+    // change-rate recrawl scheduling (Cho & Garcia-Molina refresh
+    // policy): revisit interval inversely proportional to the observed
+    // per-url change rate, tiered for the frontier — rides the
+    // urlRevisions aggregate, map-only on top
+    "w_recrawl_sched" -> ((s, dir) => {
+      val id = col("doc_id")
+      // fetch history synthesis: every even doc refetched once (url from
+      // the ORIGINAL id), every 4th refetch observing changed content —
+      // so hot (changed), cold-with-evidence (unchanged refetch) and
+      // cold-no-evidence (single fetch) all occur at the gated scale
+      val base = docs(s, dir).select(id, synthUrl.as("url"),
+        TextAnalytics.fingerprint(col("text")).as("fp"))
+      val refetch = docs(s, dir).filter(id % 2 === 0)
+        .select((id + lit(1000000L)).as("doc_id"), synthUrl.as("url"),
+          TextAnalytics.fingerprint(
+            when(id % 4 === 0, concat(col("text"), lit(" updated"))).otherwise(col("text"))).as("fp"))
+      UrlOps.recrawlSchedule(base.unionAll(refetch), "url", "doc_id", "fp")
+    }),
     // blocklist pruning as a broadcast anti-join (never isin literals):
     // the corpus side stays map-only
     "w_blocklist_keep" -> ((s, dir) => {
@@ -2348,6 +2366,28 @@ object SparkEntry {
          |  CAST(max(doc_id) AS BIGINT) AS latest_id,
          |  max_by(fp, doc_id) AS latest_fp
          |FROM c GROUP BY 1""".stripMargin,
+    // recrawl twin: same canonical/fingerprint aggregate, same DIV
+    // arithmetic and clamps
+    "w_recrawl_sched" ->
+      s"""WITH $urlCte,
+         |c0 AS (SELECT doc_id,
+         |  scheme || '://' || host || path || (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END) AS canon_url,
+         |  text FROM p5),
+         |c AS (SELECT doc_id, canon_url, $fpSql AS fp FROM c0
+         |      UNION ALL
+         |      SELECT doc_id + 1000000 AS doc_id, canon_url,
+         |        md5(regexp_replace(lower(trim(
+         |          CASE WHEN doc_id % 4 = 0 THEN text || ' updated' ELSE text END)), '\\s+', ' ', 'g')) AS fp
+         |      FROM c0 WHERE doc_id % 2 = 0),
+         |r AS (SELECT canon_url, CAST(count(*) AS BIGINT) AS n_fetches,
+         |  CAST(count(DISTINCT fp) AS BIGINT) AS n_versions FROM c GROUP BY 1),
+         |s AS (SELECT canon_url, n_fetches, n_versions,
+         |  CAST((n_versions - 1) * 1000000 // greatest(n_fetches - 1, 1) AS BIGINT) AS change_ppm FROM r)
+         |SELECT canon_url, n_fetches, n_versions, change_ppm,
+         |  CASE WHEN change_ppm >= 500000 THEN 'hot'
+         |       WHEN change_ppm >= 100000 THEN 'warm' ELSE 'cold' END AS tier,
+         |  CAST(least(720, greatest(6, 6 * 1000000 // greatest(change_ppm, 1))) AS BIGINT) AS interval_h
+         |FROM s""".stripMargin,
     "w_blocklist_keep" ->
       s"""WITH $urlCte
          |SELECT doc_id, domain FROM p5

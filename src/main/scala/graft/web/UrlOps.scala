@@ -244,6 +244,48 @@ object UrlOps {
         max(col(idCol)).as("latest_id"),
         max_by(col(fpCol), col(idCol)).as("latest_fp"))
 
+  /** Change-rate-driven recrawl scheduling (the Cho & Garcia-Molina 2003
+    * refresh-policy family): a crawler with a fixed fetch budget should
+    * revisit pages in proportion to how often they actually change, not
+    * uniformly — news front pages hourly, archived pages yearly. Built on
+    * [[urlRevisions]]' fetch history:
+    *
+    *   change_ppm = (n_versions − 1)·10^6 DIV max(n_fetches − 1, 1)
+    *     — the fraction of REFETCHES that observed new content (1 fetch ⇒
+    *       no evidence ⇒ 0)
+    *   interval_h = clamp(baseHours·10^6 DIV max(change_ppm, 1),
+    *                      baseHours, maxHours)
+    *     — revisit interval inversely proportional to the observed change
+    *       rate: always-changing pages at baseHours, never-changing pages
+    *       at the maxHours ceiling
+    *   tier       = hot (≥ 50 %) / warm (≥ 10 %) / cold — the frontier's
+    *       coarse scheduling classes
+    *
+    * All positive-integer arithmetic (DIV) — engine-exact.
+    *
+    * Scale shape: rides urlRevisions' single slim (canon_url, id, fp)
+    * exchange; the schedule itself is a map-only projection over the
+    * per-url aggregate rows.
+    */
+  def recrawlSchedule(df: DataFrame, urlCol: String, idCol: String, fpCol: String,
+                      baseHours: Int = 6, maxHours: Int = 720): DataFrame = {
+    require(baseHours > 0 && maxHours >= baseHours,
+      s"need 0 < baseHours <= maxHours, got $baseHours/$maxHours")
+    urlRevisions(df, urlCol, idCol, fpCol)
+      .withColumn("change_ppm",
+        expr("(n_versions - 1) * 1000000 div greatest(n_fetches - 1, 1)"))
+      .withColumn("interval_h",
+        least(lit(maxHours.toLong),
+          greatest(lit(baseHours.toLong),
+            expr(s"$baseHours * 1000000 div greatest(change_ppm, 1)"))).cast("long"))
+      .withColumn("tier",
+        when(col("change_ppm") >= 500000L, "hot")
+          .when(col("change_ppm") >= 100000L, "warm")
+          .otherwise("cold"))
+      .select(col("canon_url"), col("n_fetches"), col("n_versions"),
+        col("change_ppm"), col("tier"), col("interval_h"))
+  }
+
   /** True iff the page's markup carries `<meta name="robots">` with the
     * given directive (`noindex` / `nofollow` / `noarchive` …) — the
     * publisher opt-out a compliant training-data crawl honors before

@@ -787,6 +787,22 @@ class WebCorpusSpec extends AnyFunSuite {
       (2L, "https://a.example/3", "")))
   }
 
+  test("recrawlSchedule: interval inverse to change rate; hot/warm/cold tiers; single fetch = no evidence") {
+    import spark.implicits._
+    val rows =
+      (0 until 5).map(i => (s"https://a.com/x", 100L + i, s"va$i")) ++      // 5 fetches, 5 versions → hot
+      (0 until 11).map(i => (s"https://b.com/x", 200L + i, if (i == 0) "vb1" else "vb0")) ++ // 11 fetches, 2 versions → 10 % → warm
+      (0 until 3).map(i => (s"https://c.com/x", 300L + i, "vc")) ++          // refetched, never changed → cold
+      Seq(("https://d.com/x", 400L, "vd"))                                   // single fetch → cold
+    val d = rows.toDF("url", "doc_id", "fp")
+    val got = graft.web.UrlOps.recrawlSchedule(d, "url", "doc_id", "fp")
+      .collect().map(r => (r.getString(0), (r.getLong(3), r.getString(4), r.getLong(5)))).toMap
+    assert(got("https://a.com/x") == ((1000000L, "hot", 6L)))
+    assert(got("https://b.com/x") == ((100000L, "warm", 60L)), s"${got("https://b.com/x")}")
+    assert(got("https://c.com/x") == ((0L, "cold", 720L)))
+    assert(got("https://d.com/x") == ((0L, "cold", 720L)))
+  }
+
   test("domainPriors: thin domains regress to the global mean; evidence earns the raw rate") {
     import spark.implicits._
     // big.com: 90/100 quality; thin.org: 1/1 (raw rate 100 % — the trap);
