@@ -460,6 +460,62 @@ final class SnapshotTable(
     (drop.size, removed)
   }
 
+  /** Orphan vacuum — the maintenance pass [[expireBefore]] cannot cover:
+    * a writer killed BETWEEN the data write and the manifest publish (or
+    * a loser of the commit CAS that dies before retrying) leaves a data
+    * dir referenced by NO manifest at any version; a compaction CASCADE
+    * leaves its intermediate merge targets equally unreferenced (a level-L
+    * merge that immediately tips level L+1 within the same publish).
+    * Invisible to every reader — the crash-safety contract — but the
+    * bytes accumulate forever on a 10^12-row table with restarts (Iceberg
+    * ships the same tool as `remove_orphan_files`). This removes
+    * data/delete dirs referenced by NO version and stale `.tmp-`
+    * manifest files.
+    *
+    * The grace window is the concurrency guard: a dir younger than
+    * `graceMs` may belong to a commit that is mid-publish (data written,
+    * CAS not yet attempted), so it is never touched — same rationale as
+    * Iceberg's `older_than` default. Pass 0 only in tests.
+    *
+    * @return (orphan dirs removed, stale tmp manifests removed)
+    */
+  def vacuumOrphans(graceMs: Long = 3600000L): (Int, Int) = {
+    val now = System.currentTimeMillis()
+    val snaps = versions().flatMap(snapshotAt(_))
+    val referenced: Set[String] =
+      snaps.flatMap(s => s.entries.map(_.dir) ++ s.deletes.map(_.dir)).toSet ++
+        snaps.flatMap(_.commitIds).map(cid => dataDir.resolve(cid).toString).toSet
+    def children(p: Path): Vector[Path] =
+      if (!Files.isDirectory(p)) Vector.empty
+      else {
+        val st = Files.list(p)
+        try st.iterator().asScala.filter(Files.isDirectory(_)).toVector
+        finally st.close()
+      }
+    def deleteRecursively(p: Path): Unit = {
+      val st = Files.walk(p)
+      try st.sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator().asScala.foreach(Files.delete)
+      finally st.close()
+    }
+    def aged(p: Path): Boolean =
+      now - Files.getLastModifiedTime(p).toMillis >= graceMs
+    var dirs = 0
+    (children(dataDir) ++ children(delDir)).foreach { d =>
+      if (!referenced.contains(d.toString) && aged(d)) { deleteRecursively(d); dirs += 1 }
+    }
+    var tmps = 0
+    if (Files.isDirectory(snapDir)) {
+      val st = Files.list(snapDir)
+      try st.iterator().asScala.foreach { p =>
+        if (p.getFileName.toString.startsWith(".tmp-") && aged(p)) {
+          Files.delete(p); tmps += 1
+        }
+      } finally st.close()
+    }
+    (dirs, tmps)
+  }
+
   /** One pass over a freshly written dir: row count plus min/max of
     * `statsCol` when it is a string column with at least one non-null
     * value. (Numeric columns are deliberately not stat-tracked — the

@@ -421,6 +421,33 @@ class SnapshotTableSpec extends AnyFunSuite {
     }
   }
 
+  test("vacuumOrphans: crash leftovers die, referenced and compacted-out dirs survive, grace protects young dirs") {
+    val root = tmp()
+    val t = new SnapshotTable(root, compactFanIn = 2)
+    // four commits with fanIn 2 force compaction, so older manifests
+    // reference dirs the CURRENT manifest no longer lists
+    (1 to 4).foreach(i => t.append(Seq((s"u$i", i)).toDF("url", "gen"), s"c$i"))
+    // two crash signatures: data written but never published, and a
+    // stale tmp manifest from a hard-killed CAS
+    t.writeUncommitted(Seq(("ux", 99)).toDF("url", "gen"), "crashed-commit")
+    Files.write(java.nio.file.Paths.get(root, "_snapshots", ".tmp-9-crashed"),
+      "junk".getBytes("UTF-8"))
+    // a young orphan is protected by the grace window
+    val (d0, t0) = t.vacuumOrphans(graceMs = 3600000L)
+    assert((d0, t0) == ((0, 0)), s"grace must protect young orphans, removed ($d0, $t0)")
+    // two orphan dirs die: the crashed commit AND the intra-commit
+    // cascade intermediate (v4's level-1 merge target was itself merged
+    // to level 2 within the same publish, so no manifest ever listed it)
+    val (d1, t1) = t.vacuumOrphans(graceMs = 0L)
+    assert(d1 == 2 && t1 == 1, s"expected crash dir + cascade intermediate + tmp, got ($d1, $t1)")
+    // current read unaffected; TIME TRAVEL unaffected (compacted-out dirs
+    // are referenced by older manifests and must survive the vacuum)
+    assert(rows(t) == (1 to 4).map(i => s"u$i" -> i).toMap)
+    assert(t.readAt(spark, 2).get.count() == 2L, "older version must still read after vacuum")
+    // idempotent: nothing left to remove
+    assert(t.vacuumOrphans(graceMs = 0L) == ((0, 0)))
+  }
+
   test("legacy manifest without a schema line still reads and can evolve") {
     val root = tmp()
     val t = new SnapshotTable(root)
