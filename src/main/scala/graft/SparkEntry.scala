@@ -1465,6 +1465,17 @@ object SparkEntry {
     // one explode into slim (id, md5) rows, df agg, join-back, doc agg
     "d_freq_grams" -> ((s, dir) =>
       Dedup.frequentGramStats(docs(s, dir), "doc_id", "text", 8, 2, 50)),
+    // winnowing (MOSS) fingerprint selection: ~2/(w+1) of the gram
+    // stream, with the shared-passage guarantee — map-only nested HOFs,
+    // one explode to slim (id, pos, fp) rows
+    "d_winnow_fp" -> ((s, dir) =>
+      graft.dedup.Winnow.winnowFingerprints(docs(s, dir), "doc_id", "text", k = 5, w = 4)),
+    // the pairing consumer: docs sharing ≥ 3 selected fingerprints —
+    // the copy-localization join at the winnowed row budget
+    "d_winnow_pairs" -> ((s, dir) =>
+      graft.dedup.Winnow.sharedPassagePairs(
+        graft.dedup.Winnow.winnowFingerprints(docs(s, dir), "doc_id", "text", k = 5, w = 4),
+        "doc_id", minShared = 3L, maxFpDocs = 50)),
     // CCNet-style line-level boilerplate removal: slim (id, line_md5)
     // document-frequency catalog (bounded, broadcast as ONE array row),
     // then a map-only order-preserving cleanse — corpus text never
@@ -2064,6 +2075,25 @@ object SparkEntry {
        |SELECT sid AS src_id, tid AS tgt_id, sq AS score_q, margin_ppm,
        |  CAST(frn AS BIGINT) AS rn
        |FROM mg WHERE margin_ppm >= $minMarginPpm""".stripMargin
+
+  /** Shared winnowing CTE chain (k=5, w=4): ends in `m(doc_id, pos, fp)`
+    * with one row per window — the SQL twin of `Winnow.winnowFingerprints`
+    * before its distinct.
+    */
+  private val winnowFpSql: String =
+    """WITH t AS (SELECT doc_id,
+      |  regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |FROM documents),
+      |g AS (SELECT doc_id, CASE WHEN len(toks) >= 5 THEN
+      |    list_transform(generate_series(0, len(toks) - 5), i ->
+      |      ('0x' || substr(md5(array_to_string(toks[i+1:i+5], ' ')), 1, 10))::BIGINT)
+      |  ELSE [] END AS grams FROM t),
+      |w AS (SELECT doc_id, grams, len(grams) AS ng FROM g),
+      |wd AS (SELECT doc_id, grams, unnest(generate_series(0, ng - 4)) AS i FROM w WHERE ng >= 4),
+      |win AS (SELECT doc_id, i, grams[i+1:i+4] AS wn FROM wd),
+      |m AS (SELECT doc_id, i,
+      |  list_min(wn) AS fp,
+      |  i + (5 - list_position(list_reverse(wn), list_min(wn))) - 1 AS pos FROM win)""".stripMargin
 
   private def markerMassSql(markers: Seq[String]): String =
     markers.map(m => s"(length(p) - length(replace(p, ' $m ', '')))").mkString(" + ")
@@ -3246,6 +3276,17 @@ object SparkEntry {
          |  CAST(coalesce(fd.n_frequent, 0) AS BIGINT) AS n_frequent,
          |  (coalesce(fd.n_frequent, 0) * 100 > ng.n_grams * 50) AS is_boilerplate
          |FROM ng LEFT JOIN fd ON ng.doc_id = fd.doc_id""".stripMargin,
+    // winnowing twins: same token normalization, same 40-bit md5-window
+    // gram hash, same rightmost-min selection via the reversed slice
+    "d_winnow_fp" -> (winnowFpSql + """
+        |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp FROM m""".stripMargin),
+    "d_winnow_pairs" -> (winnowFpSql + """,
+        |fps AS (SELECT DISTINCT doc_id AS id, fp FROM m),
+        |ok AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) >= 2 AND count(*) <= 50),
+        |sl AS (SELECT id, fp FROM fps JOIN ok USING (fp))
+        |SELECT a.id AS id1, b.id AS id2, CAST(count(*) AS BIGINT) AS shared
+        |FROM sl a JOIN sl b ON a.fp = b.fp AND a.id < b.id
+        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin),
     "d_minhash_sig" ->
       s"""WITH $shingleCte
          |SELECT doc_id, $minhashSelect FROM sh GROUP BY doc_id""".stripMargin,

@@ -263,4 +263,37 @@ class DedupSpec extends AnyFunSuite {
       n = 3, minPpm = 800000L).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pruned == Set((1L, 2L), (2L, 3L)))
   }
+
+  test("winnowing: shared-passage guarantee, density ~2/(w+1), short docs emit nothing") {
+    import spark.implicits._
+    import graft.dedup.Winnow
+    val k = 5; val w = 4
+    def words(seed: String, n: Int): String =
+      (0 until n).map(i => s"$seed$i").mkString(" ")
+    // docs 1 and 2 share a passage of exactly w+k-1 = 8 tokens embedded in
+    // distinct surroundings — the paper's Thm-2 floor: they MUST share a
+    // selected fingerprint. Doc 3 is unrelated; doc 4 is too short.
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = Seq(
+      (1L, words("x", 30) + " " + shared + " " + words("y", 30)),
+      (2L, words("p", 25) + " " + shared + " " + words("q", 35)),
+      (3L, words("z", 80)),
+      (4L, "only four tokens here")).toDF("doc_id", "text")
+    val sel = Winnow.winnowFingerprints(d, "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(!sel.exists(_._1 == 4L), "sub-(w+k-1) docs emit nothing")
+    val f1 = sel.filter(_._1 == 1L).map(_._3).toSet
+    val f2 = sel.filter(_._1 == 2L).map(_._3).toSet
+    assert((f1 & f2).nonEmpty, "the guarantee: a shared w+k-1 passage must collide")
+    assert((sel.filter(_._1 == 3L).map(_._3).toSet & f1).isEmpty, "unrelated docs don't")
+    // density: selected/grams within [1/w, ~2/(w+1)+slack] on the long doc
+    val g3 = 80 - k + 1
+    val n3 = sel.count(_._1 == 3L)
+    assert(n3 >= g3 / w && n3 <= (2.0 / (w + 1) * g3 * 1.5).toInt, s"density off: $n3 of $g3")
+    // pairing consumer localizes the copy: only (1,2) pairs at minShared=1
+    val pairs = Winnow.sharedPassagePairs(
+      Winnow.winnowFingerprints(d, "doc_id", "text", k, w), "doc_id", minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
 }
