@@ -682,6 +682,20 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Sort [surt"), s"in-partition sort on (surt, ts_ms):\n$plan")
   }
 
+  test("winnowing: the gram-materialization barrier survives optimization (no quadratic HOF inlining)") {
+    // HOF lambdas run interpreted with no cross-element CSE: if
+    // CollapseProject ever merges the gram-hash projection into the
+    // window transform, every window recomputes every md5 — O(len²) per
+    // document (measured: the sf0.1 sweep went from >500 s to 31 s when
+    // the barrier landed). The nondeterministic barrier column is what
+    // blocks the merge; assert it is still in the executed plan.
+    val plan = finalPlan(SparkEntry.queries("d_winnow_fp")(spark, sfDir).limit(1))
+    assert(plan.contains("SPARK_PARTITION_ID") || plan.contains("spark_partition_id"),
+      s"the projection barrier must survive into the physical plan:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"fingerprint selection itself is map-only:\n$plan")
+  }
+
   test("bitext LSH: bucket equi-join, neither side broadcast; embeddings shuffle once per side; margins over slim triples") {
     val plan = finalPlan(SparkEntry.queries("s_bitext_mine_lsh")(spark, sfDir))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
