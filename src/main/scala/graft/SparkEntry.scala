@@ -952,6 +952,29 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"), TextAnalytics.fingerprint(col("text")).as("fp"))),
     // Gopher quality rules (Rae et al. 2021): bullet/ellipsis line
     // fractions, symbol-to-word ratio, mean word length, alpha-word
+    // invisible/bidi sanitization (Trojan Source class): zero-widths
+    // break byte equality of visually identical text (dedup evasion),
+    // bidi controls reorder rendering vs logical bytes (filter
+    // smuggling). Pollution synthesized by moduli; `restored` proves
+    // stripping recovers the original fingerprint except where VISIBLE
+    // residue was also injected — map-only codegen
+    "t_strip_invisible" -> ((s, dir) => {
+      val id = col("doc_id")
+      val polluted = concat(
+        substring(col("text"), 1, 10),
+        when(id % 5 === 0, lit("\u200B")).otherwise(lit("")),
+        substring(col("text"), 11, 1000000),
+        when(id % 11 === 0, lit(" \u202Edesrever\u202C")).otherwise(lit("")),
+        when(id % 7 === 0, lit("\u00AD\uFEFF")).otherwise(lit("")))
+      docs(s, dir).select(id, col("text"), polluted.as("t")).select(
+        id,
+        TextAnalytics.invisibleChars(col("t")).as("n_invisible"),
+        TextAnalytics.bidiChars(col("t")).as("n_bidi"),
+        (TextAnalytics.bidiChars(col("t")) > 0L).as("suspicious"),
+        TextAnalytics.fingerprint(TextAnalytics.stripInvisible(col("t"))).as("clean_fp"),
+        (TextAnalytics.fingerprint(TextAnalytics.stripInvisible(col("t"))) ===
+          TextAnalytics.fingerprint(col("text"))).as("restored"))
+    }),
     // C4 cleaning recipe (Raffel et al. 2020): line-level keep rules +
     // page gates; the corpus text is enriched with deterministic lines so
     // every rule fires both ways (terminal punct, ≥5 words, javascript,
@@ -2990,6 +3013,27 @@ object SparkEntry {
     // Gopher twin: same enriched text, same cross-multiplied thresholds;
     // note regexp_replace needs the 'g' flag in DuckDB (Spark replaces
     // all matches by default) and '...'-replace is literal on both
+    // invisible/bidi twin: same chr()-synthesized pollution, same RE2
+    // character classes, same strip-then-fingerprint comparison
+    "t_strip_invisible" ->
+      """WITH a AS (SELECT doc_id, text,
+        |  substr(text, 1, 10) ||
+        |  CASE WHEN doc_id % 5 = 0 THEN chr(8203) ELSE '' END ||
+        |  substr(text, 11) ||
+        |  CASE WHEN doc_id % 11 = 0 THEN ' ' || chr(8238) || 'desrever' || chr(8236) ELSE '' END ||
+        |  CASE WHEN doc_id % 7 = 0 THEN chr(173) || chr(65279) ELSE '' END AS t
+        |FROM documents),
+        |m AS (SELECT doc_id, text, t,
+        |  CAST(length(t) - length(regexp_replace(t, '[\x{200B}\x{200C}\x{200D}\x{2060}\x{00AD}\x{FEFF}]', '', 'g')) AS BIGINT) AS n_invisible,
+        |  CAST(length(t) - length(regexp_replace(t, '[\x{202A}-\x{202E}\x{2066}-\x{2069}]', '', 'g')) AS BIGINT) AS n_bidi,
+        |  regexp_replace(regexp_replace(t, '[\x{200B}\x{200C}\x{200D}\x{2060}\x{00AD}\x{FEFF}]', '', 'g'),
+        |                 '[\x{202A}-\x{202E}\x{2066}-\x{2069}]', '', 'g') AS clean
+        |FROM a)
+        |SELECT doc_id, n_invisible, n_bidi, n_bidi > 0 AS suspicious,
+        |  md5(regexp_replace(lower(trim(clean)), '\s+', ' ', 'g')) AS clean_fp,
+        |  md5(regexp_replace(lower(trim(clean)), '\s+', ' ', 'g')) =
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS restored
+        |FROM m""".stripMargin,
     // C4 twin: same synthesized page, same list_filter line rules, same
     // terminal-mark sentence proxy and padded badword containment
     "t_c4_clean" ->

@@ -166,6 +166,36 @@ object TextAnalytics {
     */
   def contentHash(c: Column): Column = sha2(c, 256)
 
+  // ------------------------------------- invisible / bidi sanitization
+
+  /** Zero-width and soft-layout characters: ZWSP, ZWNJ, ZWJ, word joiner,
+    * soft hyphen, BOM/ZWNBSP. Invisible in every renderer, yet they break
+    * byte-level equality — two visually identical boilerplate passages
+    * with interleaved ZWSPs defeat exact AND n-gram dedup (a known
+    * SEO/scraper obfuscation), and they inflate tokenizer vocabularies.
+    */
+  val InvisibleClass = "[\\x{200B}\\x{200C}\\x{200D}\\x{2060}\\x{00AD}\\x{FEFF}]"
+
+  /** Unicode bidirectional control characters (LRE/RLE/PDF/LRO/RLO and
+    * the isolate set LRI/RLI/FSI/PDI). Reordering controls make rendered
+    * text differ from its logical byte order — the "Trojan Source"
+    * vector (CVE-2021-42574); in training data they smuggle content past
+    * string-level filters, so curation pipelines strip or flag them.
+    */
+  val BidiClass = "[\\x{202A}-\\x{202E}\\x{2066}-\\x{2069}]"
+
+  def invisibleChars(c: Column): Column =
+    (length(c) - length(regexp_replace(c, InvisibleClass, ""))).cast("long")
+
+  def bidiChars(c: Column): Column =
+    (length(c) - length(regexp_replace(c, BidiClass, ""))).cast("long")
+
+  /** Text with both classes removed — the sanitized form dedup
+    * fingerprints should be computed over. Map-only, codegen'd.
+    */
+  def stripInvisible(c: Column): Column =
+    regexp_replace(regexp_replace(c, InvisibleClass, ""), BidiClass, "")
+
   /** Count of literal (non-regex) occurrences of `find`, left-to-right
     * non-overlapping — portable `replace`-and-measure arithmetic.
     * Returned as the number of characters removed; divide by

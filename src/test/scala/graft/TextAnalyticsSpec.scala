@@ -156,6 +156,26 @@ class TextAnalyticsSpec extends AnyFunSuite {
     assert(s.length == 1 && s(0).getString(3) == "en" && s(0).getLong(1) == 0L)
   }
 
+  test("invisible/bidi sanitization: counts, strip, dedup-equality restore, Trojan Source flag") {
+    import graft.text.TextAnalytics._
+    assert(one("ab\u200Bc", invisibleChars(col("text"))) == 1L)
+    assert(one("a\u200B\u200C\u200D\u2060\u00AD\uFEFFz", invisibleChars(col("text"))) == 6L)
+    assert(one("ab\u200Bc", stripInvisible(col("text"))) == "abc")
+    assert(one("x \u202Eevil\u202C y", bidiChars(col("text"))) == 2L)
+    assert(one("x \u2066iso\u2069 y", bidiChars(col("text"))) == 2L)
+    assert(one("x \u202Eevil\u202C y", stripInvisible(col("text"))) == "x evil y")
+    assert(one("plain ascii.", stripInvisible(col("text"))) == "plain ascii.")
+    assert(one("plain ascii.", invisibleChars(col("text"))) == 0L)
+    // the dedup-evasion case: ZWSP-interleaved copy fingerprints equal
+    // after stripping
+    import spark.implicits._
+    val d = Seq(("the same boilerplate line", "the\u200B same\u200B boilerplate\u200B line"))
+      .toDF("a", "b")
+    val r = d.select((fingerprint(stripInvisible(col("a"))) ===
+      fingerprint(stripInvisible(col("b")))).as("eq")).collect()(0).getBoolean(0)
+    assert(r, "stripping must restore fingerprint equality")
+  }
+
   test("C4 recipe: each line rule and each page gate fires exactly as published") {
     import spark.implicits._
     def stats(text: String) = {
