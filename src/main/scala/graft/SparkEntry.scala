@@ -1300,6 +1300,12 @@ object SparkEntry {
       val d = docs(s, dir)
       Decontaminate.overlap(d, "doc_id", "text", benchExcerpt(d), "bench_text", 8)
     }),
+    // span-localized variant: WHERE the eval overlap sits in each doc —
+    // the input to surgical excision instead of whole-doc removal
+    "q_decontaminate_spans" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Decontaminate.overlapSpans(d, "doc_id", "text", benchExcerpt(d), "bench_text", 8)
+    }),
     // the composed E2E export: clean gates → exact dedup → decontaminate
     // → redact → chunk, over the PII-augmented corpus so every stage has
     // real work to do (see pipeline/TrainingExport for the shuffle budget)
@@ -2555,6 +2561,21 @@ object SparkEntry {
          |  $gram8) AS gh
          |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM w))
          |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+         |FROM corpus c JOIN bench b USING (gh) GROUP BY 1""".stripMargin,
+    // span twin: positions ride the gram stream (no distinct — within-doc
+    // repeats are separate hits), same envelope arithmetic
+    "q_decontaminate_spans" ->
+      s"""WITH w AS (SELECT doc_id, $tok AS ws FROM documents),
+         |bw AS (SELECT doc_id, ws[6:33] AS ws FROM w WHERE doc_id % 101 = 0 AND len(ws) >= 33),
+         |bench AS (SELECT DISTINCT md5(
+         |  $gram8) AS gh
+         |  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM bw)),
+         |corpus AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, md5(
+         |  $gram8) AS gh
+         |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM w))
+         |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+         |  min(pos) AS first_gram, max(pos) AS last_gram,
+         |  max(pos) - min(pos) + 8 AS span_tokens
          |FROM corpus c JOIN bench b USING (gh) GROUP BY 1""".stripMargin,
     "q_training_export" -> {
       val stopRe = "\\b(?:" + graft.text.TextAnalytics.EnStopwords.mkString("|") + ")\\b"

@@ -56,6 +56,38 @@ object Decontaminate {
       .withColumnRenamed("id", idCol)
   }
 
+  /** Span-LOCALIZED decontamination: not just whether a training document
+    * overlaps the eval set but WHERE — the per-doc gram-position envelope
+    * of the matches. Whole-document removal throws away a long page over
+    * one quoted benchmark question; with the span in hand a pipeline can
+    * excise the contaminated passage and keep the rest (the
+    * RefinedWeb/FineWeb-style surgical option). Output per contaminated
+    * doc: matched-position count, first/last matching gram position, and
+    * the token length of the envelope (`last − first + n`).
+    *
+    * Scale shape: identical to [[overlap]] except the corpus side keeps
+    * POSITIONS (ordered posexplode instead of the distinct set — repeats
+    * of a benchmark gram inside one doc are separate hits by design);
+    * eval grams broadcast, matches are rare, the per-doc agg shuffles a
+    * few thousand slim rows regardless of corpus size.
+    */
+  def overlapSpans(corpus: DataFrame, idCol: String, textCol: String,
+                   bench: DataFrame, benchTextCol: String, n: Int = 8): DataFrame = {
+    val benchGrams = bench
+      .select(explode(Dedup.shingleSet(col(benchTextCol), n)).as("g"))
+      .select(md5(col("g")).as("gh"))
+      .distinct()
+    corpus
+      .select(col(idCol), posexplode(Dedup.shingles(col(textCol), n)).as(Seq("pos", "g")))
+      .select(col(idCol), col("pos").cast("long").as("pos"), md5(col("g")).as("gh"))
+      .join(broadcast(benchGrams), Seq("gh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("pos")).as("first_gram"),
+        max(col("pos")).as("last_gram"))
+      .withColumn("span_tokens", col("last_gram") - col("first_gram") + lit(n.toLong))
+  }
+
   /** Corpus minus every document flagged by [[overlap]] — broadcast
     * anti-join on the (small) contaminated-id set.
     */

@@ -264,6 +264,23 @@ class DedupSpec extends AnyFunSuite {
     assert(pruned == Set((1L, 2L), (2L, 3L)))
   }
 
+  test("decontamination spans: envelope localizes the quoted passage exactly; clean docs absent") {
+    import spark.implicits._
+    import graft.dedup.Decontaminate
+    def words(seed: String, n: Int): String = (0 until n).map(i => s"$seed$i").mkString(" ")
+    val quote = words("bench", 12) // 12 tokens → 5 8-grams
+    // doc 1 embeds the quote at token offset 20; doc 2 is clean
+    val corpus = Seq(
+      (1L, words("a", 20) + " " + quote + " " + words("b", 20)),
+      (2L, words("c", 60))).toDF("doc_id", "text")
+    val bench = Seq(quote).toDF("bench_text")
+    val got = Decontaminate.overlapSpans(corpus, "doc_id", "text", bench, "bench_text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // grams 20..24 match (5 of them); envelope = 24-20+8 = 12 tokens — the
+    // quote exactly; excising tokens [20, 32) removes all contamination
+    assert(got.toSeq == Seq((1L, 5L, 20L, 24L, 12L)))
+  }
+
   test("winnowing: shared-passage guarantee, density ~2/(w+1), short docs emit nothing") {
     import spark.implicits._
     import graft.dedup.Winnow
