@@ -1175,6 +1175,22 @@ object SparkEntry {
     "w_sitemap" -> ((s, dir) =>
       graft.web.Sitemap.entries(
         docs(s, dir).select(col("doc_id"), sitemapXml.as("xml")), "doc_id", "xml")),
+    // sitemapindex nesting (the 50k-url overflow mechanism): every 4th
+    // doc serves an INDEX payload instead of a urlset; discover()
+    // classifies entries as page urls vs child sitemaps to fetch next
+    "w_sitemap_index" -> ((s, dir) => {
+      val id = col("doc_id")
+      val idxXml = concat(lit("<?xml version=\"1.0\"?><sitemapindex>"),
+        lit("<sitemap><loc>https://site"), (id % 13).cast("string"),
+        lit(".com/sitemap-a.xml</loc><lastmod>2024-01-0"), (id % 9 + 1).cast("string"),
+        lit("</lastmod></sitemap>"),
+        when(id % 8 === 0, concat(lit("<sitemap><loc>https://site"), (id % 13).cast("string"),
+          lit(".com/sitemap-b.xml</loc></sitemap>"))).otherwise(lit("")),
+        lit("</sitemapindex>"))
+      val xml = when(id % 4 === 0, idxXml).otherwise(sitemapXml)
+      graft.web.Sitemap.discover(
+        docs(s, dir).select(id, xml.as("xml")), "doc_id", "xml")
+    }),
     // the crawl-side chain composed end to end: sitemap DISCOVERY →
     // robots GATE (a $-anchored Disallow /sm2 on .com hosts) → per-host
     // Crawl-delay directives (.org hosts declare 3 s, the rest take the
@@ -2346,6 +2362,29 @@ object SparkEntry {
          |e AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, bs[i] AS b
          |  FROM (SELECT doc_id, bs, unnest(generate_series(1, len(bs))) AS i FROM a))
          |SELECT doc_id, pos,
+         |  regexp_extract(b, '<loc>([^<]*)</loc>', 1) AS loc,
+         |  regexp_extract(b, '<lastmod>([^<]*)</lastmod>', 1) AS lastmod
+         |FROM e WHERE regexp_extract(b, '<loc>([^<]*)</loc>', 1) <> ''""".stripMargin,
+    // index twin: same payload branch, both block parses unioned with
+    // their kinds
+    "w_sitemap_index" ->
+      s"""WITH x AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 4 = 0 THEN
+         |    '<?xml version="1.0"?><sitemapindex>' ||
+         |    '<sitemap><loc>https://site' || CAST(doc_id % 13 AS VARCHAR) ||
+         |    '.com/sitemap-a.xml</loc><lastmod>2024-01-0' || CAST(doc_id % 9 + 1 AS VARCHAR) ||
+         |    '</lastmod></sitemap>' ||
+         |    (CASE WHEN doc_id % 8 = 0 THEN
+         |      '<sitemap><loc>https://site' || CAST(doc_id % 13 AS VARCHAR) ||
+         |      '.com/sitemap-b.xml</loc></sitemap>' ELSE '' END) ||
+         |    '</sitemapindex>'
+         |  ELSE $sitemapSqlExpr END AS xml FROM documents),
+         |u AS (SELECT doc_id, 'url' AS kind, regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1) AS bs FROM x
+         |      UNION ALL
+         |      SELECT doc_id, 'sitemap' AS kind, regexp_extract_all(xml, '(?s)<sitemap>(.*?)</sitemap>', 1) AS bs FROM x),
+         |e AS (SELECT doc_id, kind, CAST(i - 1 AS BIGINT) AS pos, bs[i] AS b
+         |  FROM (SELECT doc_id, kind, bs, unnest(generate_series(1, len(bs))) AS i FROM u))
+         |SELECT doc_id, kind, pos,
          |  regexp_extract(b, '<loc>([^<]*)</loc>', 1) AS loc,
          |  regexp_extract(b, '<lastmod>([^<]*)</lastmod>', 1) AS lastmod
          |FROM e WHERE regexp_extract(b, '<loc>([^<]*)</loc>', 1) <> ''""".stripMargin,

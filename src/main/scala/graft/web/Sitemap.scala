@@ -41,4 +41,30 @@ object Sitemap {
         regexp_extract(col("block"), "<loc>([^<]*)</loc>", 1).as("loc"),
         regexp_extract(col("block"), "<lastmod>([^<]*)</lastmod>", 1).as("lastmod"))
       .where(col("loc") =!= "")
+
+  /** Unified discovery over a fetched sitemap payload of EITHER protocol
+    * shape: `<urlset>` page entries come back as kind `url`, and
+    * `<sitemapindex>` child references (the 50k-url/50MB overflow
+    * mechanism big sites use — one index pointing at many sitemaps) come
+    * back as kind `sitemap`. The crawler loop is fetch → discover →
+    * enqueue `url` rows to the frontier, fetch `sitemap` rows and
+    * discover again; the protocol forbids indexes referencing indexes,
+    * so the loop terminates after one nesting level by spec. A payload
+    * contains one shape or the other, so the two passes never
+    * double-count (an index block has no `<url>` tags and vice versa).
+    *
+    * Same scale shape as [[entries]]: map-only regex-over-blocks, no
+    * exchange; the union is of two projections over the same scan.
+    */
+  def discover(df: DataFrame, idCol: String, xmlCol: String): DataFrame = {
+    def parse(tag: String, kind: String): DataFrame =
+      df.select(col(idCol),
+          posexplode(regexp_extract_all(col(xmlCol),
+            lit(s"(?s)<$tag>(.*?)</$tag>"), lit(1))).as(Seq("pos", "block")))
+        .select(col(idCol), lit(kind).as("kind"), col("pos").cast("long").as("pos"),
+          regexp_extract(col("block"), "<loc>([^<]*)</loc>", 1).as("loc"),
+          regexp_extract(col("block"), "<lastmod>([^<]*)</lastmod>", 1).as("lastmod"))
+        .where(col("loc") =!= "")
+    parse("url", "url").unionAll(parse("sitemap", "sitemap"))
+  }
 }

@@ -787,6 +787,23 @@ class WebCorpusSpec extends AnyFunSuite {
       (2L, "https://a.example/3", "")))
   }
 
+  test("sitemap discover: urlset rows are kind url, index rows kind sitemap; loc-less blocks drop") {
+    import spark.implicits._
+    val urlset = "<?xml version=\"1.0\"?><urlset>" +
+      "<url><loc>https://a.example/1</loc></url></urlset>"
+    val index = "<?xml version=\"1.0\"?><sitemapindex>" +
+      "<sitemap><loc>https://a.example/s1.xml</loc><lastmod>2024-02-01</lastmod></sitemap>" +
+      "<sitemap><lastmod>2024-03-01</lastmod></sitemap>" + // loc-less → drops
+      "<sitemap><loc>https://a.example/s2.xml</loc></sitemap></sitemapindex>"
+    val d = Seq((1L, urlset), (2L, index)).toDF("doc_id", "xml")
+    val got = graft.web.Sitemap.discover(d, "doc_id", "xml")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3), r.getString(4))).toSet
+    assert(got == Set(
+      (1L, "url", 0L, "https://a.example/1", ""),
+      (2L, "sitemap", 0L, "https://a.example/s1.xml", "2024-02-01"),
+      (2L, "sitemap", 2L, "https://a.example/s2.xml", "")))
+  }
+
   test("recrawlSchedule: interval inverse to change rate; hot/warm/cold tiers; single fetch = no evidence") {
     import spark.implicits._
     val rows =
