@@ -1463,6 +1463,16 @@ object SparkEntry {
     "e_sessionize" -> ((s, dir) =>
       graft.events.EventOps.sessionize(s.read.parquet(s"$dir/events.parquet"),
         "user_id", "ts", "event_id", gapMicros = SessionGapUs)),
+    // funnel: earliest in-order view → click → purchase walk per user;
+    // slim per-step aggregates chained on one reused user-key
+    // partitioning — never a per-user history sort
+    // the event_id % 7 sparsifier thins each user's history so stalled
+    // walks actually occur (full histories complete trivially): depths
+    // 1/2/3 all populated at the gated scale
+    "e_funnel" -> ((s, dir) =>
+      graft.events.EventOps.funnel(
+        s.read.parquet(s"$dir/events.parquet").filter(col("event_id") % 7 === 0),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"))),
     // as-of pick: latest event per entity before the cutoff — the recency
     // dedup a re-crawl pipeline applies per url (hash agg with map-side
     // partial, deliberately not a window rank; see events/EventOps)
@@ -2805,6 +2815,19 @@ object SparkEntry {
          |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
          |  min(ts_us) AS start_us, max(ts_us) AS end_us
          |FROM s GROUP BY 1, 2""".stripMargin,
+    // funnel twin: same greedy min-after chain, left joins preserving
+    // stalled walks, depth from reached steps
+    "e_funnel" ->
+      """WITH ev AS (SELECT * FROM events WHERE event_id % 7 = 0),
+        |s0 AS (SELECT user_id, min(ts) AS ts_0 FROM ev WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(e.ts) AS ts_1 FROM ev e JOIN s0 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts >= s0.ts_0 GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS ts_2 FROM ev e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts >= s1.ts_1 GROUP BY 1)
+        |SELECT s0.user_id, s0.ts_0 AS ts_view, s1.ts_1 AS ts_click, s2.ts_2 AS ts_purchase,
+        |  CAST(1 + (CASE WHEN s1.ts_1 IS NOT NULL THEN 1 ELSE 0 END)
+        |         + (CASE WHEN s2.ts_2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS depth
+        |FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)""".stripMargin,
     "e_latest_asof" ->
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
          |  FROM events WHERE epoch_us(ts) <= $AsOfCutoffUs),

@@ -161,4 +161,44 @@ object EventOps {
       .select(left.columns.map(c => col(s"_l.$c").as(c)) ++
         rightPayload.map(c => col(s"_m.$c").as(c)): _*)
   }
+
+  /** Funnel analysis — the ordered-sequence completion question every
+    * event pipeline answers (view → click → purchase): per entity, the
+    * EARLIEST in-order walk of the step sequence, where step k counts
+    * only at-or-after the entity's step-(k−1) timestamp. One row per
+    * entity that reached step 0, with each reached step's timestamp
+    * (null once the walk stalls) and the depth reached. Greedy
+    * earliest-first is the standard semantics (and optimal here: taking
+    * the earliest valid step-k timestamp can only enlarge the candidate
+    * set for step k+1, so greedy reaches the maximum depth).
+    *
+    * Scale shape: per step, a filtered slim (user, ts) aggregate joined
+    * on the SAME user key — Spark reuses the hash partitioning across
+    * the chain, so the events table shuffles once per step at slim width
+    * and the accumulating per-user relation never re-exchanges. No
+    * windows, no per-user arrays — a state-machine window would sort
+    * every user's full history; the agg-join chain touches only the
+    * step-typed rows. Steps are few by nature (3–6); depth of the chain
+    * is the step count, not data-dependent.
+    */
+  def funnel(events: DataFrame, userCol: String, typeCol: String, tsCol: String,
+             steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs at least 2 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size, s"duplicate steps: $steps")
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("ts_0"))
+    val full = steps.zipWithIndex.tail.foldLeft(first) { case (acc, (st, i)) =>
+      val nxt = events.filter(col(typeCol) === st)
+        .select(col(userCol), col(tsCol).as("_ev_ts"))
+        .join(acc.select(col(userCol), col(s"ts_${i - 1}")), Seq(userCol))
+        .where(col("_ev_ts") >= col(s"ts_${i - 1}"))
+        .groupBy(col(userCol)).agg(min(col("_ev_ts")).as(s"ts_$i"))
+      acc.join(nxt, Seq(userCol), "left")
+    }
+    val depth = steps.indices
+      .map(i => when(col(s"ts_$i").isNotNull, 1L).otherwise(0L)).reduce(_ + _)
+    full.select(
+      col(userCol) +: steps.indices.map(i => col(s"ts_$i").as(s"ts_${steps(i)}")) :+
+        depth.as("depth"): _*)
+  }
 }

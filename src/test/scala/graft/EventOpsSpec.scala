@@ -172,4 +172,40 @@ class EventOpsSpec extends AnyFunSuite {
       .collect()(0)
     assert(got.getLong(2) == 9L && got.getString(3) == "b")
   }
+
+  test("funnel: order matters, greedy earliest walk, stalls keep nulls, step-0-less users absent") {
+    val e = events(Seq(
+      // user 1: full in-order walk; the pre-view click at 00:00 must NOT count
+      (1L, "2024-01-01 00:00:00", 1L, "click"),
+      (1L, "2024-01-01 01:00:00", 2L, "view"),
+      (1L, "2024-01-01 02:00:00", 3L, "click"),
+      (1L, "2024-01-01 03:00:00", 4L, "purchase"),
+      // user 2: purchase BEFORE the click → walk stalls at depth 2
+      (2L, "2024-01-01 01:00:00", 5L, "view"),
+      (2L, "2024-01-01 01:30:00", 6L, "purchase"),
+      (2L, "2024-01-01 02:00:00", 7L, "click"),
+      // user 3: view only
+      (3L, "2024-01-01 01:00:00", 8L, "view"),
+      // user 4: never views → absent from the funnel entirely
+      (4L, "2024-01-01 01:00:00", 9L, "purchase")))
+    val got = EventOps.funnel(e, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0),
+        Option(r.getTimestamp(1)).map(_.toString).orNull,
+        Option(r.getTimestamp(2)).map(_.toString).orNull,
+        Option(r.getTimestamp(3)).map(_.toString).orNull,
+        r.getLong(4))).sortBy(_._1)
+    assert(got.length == 3)
+    assert(got(0) == ((1L, "2024-01-01 01:00:00.0", "2024-01-01 02:00:00.0",
+      "2024-01-01 03:00:00.0", 3L)))
+    assert(got(1) == ((2L, "2024-01-01 01:00:00.0", "2024-01-01 02:00:00.0", null, 2L)))
+    assert(got(2) == ((3L, "2024-01-01 01:00:00.0", null, null, 1L)))
+    // equal timestamps count (>= semantics): view and click at the same instant
+    val tie = events(Seq(
+      (5L, "2024-01-01 01:00:00", 10L, "view"),
+      (5L, "2024-01-01 01:00:00", 11L, "click")))
+    val t = EventOps.funnel(tie, "user_id", "event_type", "ts", Seq("view", "click"))
+      .collect()(0)
+    assert(t.getLong(3) == 2L)
+  }
 }
