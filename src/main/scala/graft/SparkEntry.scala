@@ -1144,6 +1144,14 @@ object SparkEntry {
     "w_link_graph" -> ((s, dir) =>
       graft.web.LinkGraph.domainEdges(
         docs(s, dir).select(synthUrl.as("url"), outlinkText.as("text")), "url", "text")),
+    // per-domain triangle count + clustering coefficient: the link-farm
+    // density signal, via degree-ordered orientation (wedge join bounded
+    // O(sqrt m) per vertex — hub triangles counted at their low-degree
+    // neighbors)
+    "w_link_triangles" -> ((s, dir) =>
+      graft.web.LinkGraph.triangleStats(
+        graft.web.LinkGraph.domainEdges(
+          docs(s, dir).select(synthUrl.as("url"), outlinkText.as("text")), "url", "text"))),
     // fixed-iteration integerized PageRank over the harvested graph: five
     // join rounds over slim (domain, rank) rows; documents appear only in
     // the one edge-building pass
@@ -2504,6 +2512,27 @@ object SparkEntry {
       s"""WITH $linkEdgesCte
          |SELECT src, dst, weight FROM edges""".stripMargin,
     "w_domain_rank" -> domainRankSql(5),
+    // triangle twin: canonical name-ordered triple join over the
+    // undirected simple edge set (orientation is an enumeration detail —
+    // per-domain counts are orientation-free)
+    "w_link_triangles" ->
+      s"""WITH $linkEdgesCte,
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM edges WHERE src <> dst),
+         |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS degree FROM (
+         |        SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) GROUP BY 1),
+         |tri AS (SELECT e1.a AS u, e1.b AS x, e2.b AS y
+         |        FROM und e1 JOIN und e2 ON e2.a = e1.b
+         |        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |pd AS (SELECT v, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+         |        SELECT u AS v FROM tri UNION ALL SELECT x AS v FROM tri
+         |        UNION ALL SELECT y AS v FROM tri) GROUP BY 1)
+         |SELECT deg.v AS domain, degree,
+         |  CAST(coalesce(pd.n_triangles, 0) AS BIGINT) AS n_triangles,
+         |  CAST(CASE WHEN degree >= 2
+         |       THEN 2 * coalesce(pd.n_triangles, 0) * 1000000 // (degree * (degree - 1))
+         |       ELSE 0 END AS BIGINT) AS clustering_ppm
+         |FROM deg LEFT JOIN pd ON pd.v = deg.v""".stripMargin,
     // anchor harvest reconstructed from the page generator's math: every
     // sniffed-html document carries the 11 constant boilerplate anchors
     // (resolved against the synth.example host); citation anchors follow

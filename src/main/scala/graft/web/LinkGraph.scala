@@ -247,4 +247,57 @@ object LinkGraph {
         count(lit(1)).as("mentions"),
         min(col("anchor_text")).as("anchor"))
   }
+
+  /** Per-domain triangle count + clustering coefficient over the
+    * UNDIRECTED domain link graph — the link-farm density signal
+    * PageRank alone misses: a paid-link ring or PBN interlinks densely
+    * (many triangles, high clustering) while organic neighborhoods at
+    * domain granularity are sparse. Rank-suppression / crawl-deprioritize
+    * pipelines read exactly this statistic.
+    *
+    * Counting uses DEGREE-ORDERED orientation (the textbook distributed
+    * triangle algorithm): each undirected edge is oriented from its
+    * lower-(degree, name) endpoint to the higher, making the graph a DAG
+    * in which every vertex's out-degree is O(√m) — so the wedge
+    * self-join, the only superlinear step, is bounded even at web scale
+    * where raw hub degrees are millions (a hub's triangles are counted
+    * at its low-degree neighbors, never by pairing the hub's own
+    * neighborhood). Each triangle is enumerated exactly once, at its
+    * minimum-order vertex, then credited to all three corners.
+    *
+    * `clustering_ppm = 2·t·10^6 DIV (d·(d−1))` (integer-exact; d ≥ 2
+    * guard, 0 otherwise).
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // orientation key: (degree, name) — struct comparison is lexicographic
+    val withOrd = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+    def ord(d: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      struct(d.as("d"), n.as("n"))
+    val aFirst = ord(col("da"), col("a")) < ord(col("db"), col("b"))
+    val oriented = withOrd.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("u"),
+      when(aFirst, col("b")).otherwise(col("a")).as("v"),
+      when(aFirst, ord(col("db"), col("b"))).otherwise(ord(col("da"), col("a"))).as("ordv"))
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.ordv") < col("e2.ordv"))
+      .select(col("e1.u").as("tu"), col("e1.v").as("tx"), col("e2.v").as("ty"))
+      .join(oriented.select(col("u").as("tx"), col("v").as("ty")), Seq("tx", "ty"))
+    val perDomain = tri.select(explode(array(col("tu"), col("tx"), col("ty"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_triangles"))
+    deg.join(perDomain, Seq("v"), "left")
+      .select(col("v").as("domain"), col("d").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("clustering_ppm",
+        when(col("degree") >= 2,
+          expr("2 * n_triangles * 1000000 div (degree * (degree - 1))"))
+          .otherwise(lit(0L)))
+  }
 }

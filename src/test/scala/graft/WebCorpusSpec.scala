@@ -787,6 +787,26 @@ class WebCorpusSpec extends AnyFunSuite {
       (2L, "https://a.example/3", "")))
   }
 
+  test("triangleStats: K4 counts, pendant zero, duplicate/reversed/self edges collapse") {
+    import spark.implicits._
+    // K4 on a,b,c,d (4 triangles; every vertex in 3) plus pendant e-a.
+    // Noise: reversed duplicates, a self-loop, repeated weights.
+    val k4 = Seq("a"->"b","a"->"c","a"->"d","b"->"c","b"->"d","c"->"d")
+    val noisy = k4 ++ k4.map(_.swap) ++ Seq("a"->"a", "e"->"a", "a"->"e")
+    val edges = noisy.toDF("src", "dst").withColumn("weight", lit(1L))
+    val got = graft.web.LinkGraph.triangleStats(edges)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // K4 vertices: degree 3 (+1 for a's pendant), 3 triangles each;
+    // clustering of b/c/d = 2*3/(3*2) = 1.0; a has degree 4 → 2*3/(4*3) = 0.5
+    assert(got("b") == ((3L, 3L, 1000000L)))
+    assert(got("c") == ((3L, 3L, 1000000L)))
+    assert(got("d") == ((3L, 3L, 1000000L)))
+    assert(got("a") == ((4L, 3L, 500000L)))
+    assert(got("e") == ((1L, 0L, 0L)))
+    // total triangle incidences = 3 × the 4 distinct triangles
+    assert(got.values.map(_._2).sum == 12L)
+  }
+
   test("sitemap discover: urlset rows are kind url, index rows kind sitemap; loc-less blocks drop") {
     import spark.implicits._
     val urlset = "<?xml version=\"1.0\"?><urlset>" +
