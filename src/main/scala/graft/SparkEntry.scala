@@ -1163,6 +1163,15 @@ object SparkEntry {
         graft.web.LinkGraph.domainEdges(
           docs(s, dir).select(synthUrl.as("url"), outlinkText.as("text")), "url", "text"),
         iters = 5, weightCap = 3L)),
+    // HITS hubs & authorities over the same harvested graph: per round,
+    // two slim joins + integer L1 renormalization — aggregators earn hub
+    // without inlinks, cited references earn auth without outlinks (the
+    // signal PageRank's single score conflates). weightCap = 3 as above.
+    "w_hits" -> ((s, dir) =>
+      graft.web.LinkGraph.hitsRank(
+        graft.web.LinkGraph.domainEdges(
+          docs(s, dir).select(synthUrl.as("url"), outlinkText.as("text")), "url", "text"),
+        iters = 3, weightCap = 3L)),
     // anchor-text aggregation over REAL synthesized page bytes: sniff-
     // gated map-only regexp harvest, relative hrefs resolved against the
     // page host, one slim (target, page_url, anchor) exchange — payloads
@@ -1481,6 +1490,12 @@ object SparkEntry {
       graft.events.EventOps.funnel(
         s.read.parquet(s"$dir/events.parquet").filter(col("event_id") % 7 === 0),
         "user_id", "event_type", "ts", Seq("view", "click", "purchase"))),
+    // cohort retention: first-seen-day cohorts × activity-day offsets —
+    // one entity-key exchange, in-partition (user, cohort, offset) dedup
+    // (group key ⊇ the partition key), then a metadata-sized cell agg
+    "e_retention" -> ((s, dir) =>
+      graft.events.EventOps.retention(s.read.parquet(s"$dir/events.parquet"),
+        "user_id", "ts", periodMicros = 86400000000L)),
     // as-of pick: latest event per entity before the cutoff — the recency
     // dedup a re-crawl pipeline applies per url (hash agg with map-side
     // partial, deliberately not a window rank; see events/EventOps)
@@ -2001,6 +2016,37 @@ object SparkEntry {
     head + iterCtes + s"\nSELECT domain, rank_mass FROM r$iters"
   }
 
+  /** Unrolled fixed-iteration HITS (twin of
+    * [[graft.web.LinkGraph.hitsRank]]): chained CTEs a1/h1..aN/hN, all
+    * integer (`//` == `DIV` on the non-negative values here). Each round
+    * renormalizes by `max(total DIV HitsScale, 1)` exactly as the Spark
+    * side does, so the hash match proves the integer normalization
+    * semantics, not just the fixpoint direction.
+    */
+  private def hitsSql(iters: Int): String = {
+    val sc = graft.web.LinkGraph.HitsScale
+    val head =
+      s"""WITH $linkEdgesCte,
+         |capped AS (SELECT src, dst, CAST(least(weight, 3) AS BIGINT) AS weight FROM edges),
+         |nodes AS (SELECT DISTINCT domain FROM (SELECT src AS domain FROM capped UNION ALL SELECT dst AS domain FROM capped) t),
+         |h0 AS (SELECT domain, CAST($sc AS BIGINT) AS hub FROM nodes)""".stripMargin
+    val iterCtes = (1 to iters).map { k =>
+      s""",
+         |ar$k AS (SELECT e.dst AS domain, CAST(sum(h.hub * e.weight) AS BIGINT) AS raw
+         |  FROM capped e JOIN h${k - 1} h ON h.domain = e.src GROUP BY 1),
+         |da$k AS (SELECT greatest(sum(raw) // $sc, 1) AS d FROM ar$k),
+         |a$k AS (SELECT n.domain, CAST(COALESCE(ar.raw, 0) // (SELECT d FROM da$k) AS BIGINT) AS auth
+         |  FROM nodes n LEFT JOIN ar$k ar ON ar.domain = n.domain),
+         |hr$k AS (SELECT e.src AS domain, CAST(sum(a.auth * e.weight) AS BIGINT) AS raw
+         |  FROM capped e JOIN a$k a ON a.domain = e.dst GROUP BY 1),
+         |dh$k AS (SELECT greatest(sum(raw) // $sc, 1) AS d FROM hr$k),
+         |h$k AS (SELECT n.domain, CAST(COALESCE(hr.raw, 0) // (SELECT d FROM dh$k) AS BIGINT) AS hub
+         |  FROM nodes n LEFT JOIN hr$k hr ON hr.domain = n.domain)""".stripMargin
+    }.mkString
+    head + iterCtes +
+      s"\nSELECT a.domain, a.auth, h.hub FROM a$iters a JOIN h$iters h ON h.domain = a.domain"
+  }
+
   /** Space-joined word-8-gram over a token-array column `ws` at position
     * `i` — the SQL twin of [[Dedup.shingles]] at n=8, shared by every
     * passage-level oracle (decontamination, frequent grams, export).
@@ -2512,6 +2558,7 @@ object SparkEntry {
       s"""WITH $linkEdgesCte
          |SELECT src, dst, weight FROM edges""".stripMargin,
     "w_domain_rank" -> domainRankSql(5),
+    "w_hits" -> hitsSql(3),
     // triangle twin: canonical name-ordered triple join over the
     // undirected simple edge set (orientation is an enumeration detail —
     // per-domain counts are orientation-free)
@@ -2857,6 +2904,19 @@ object SparkEntry {
         |  CAST(1 + (CASE WHEN s1.ts_1 IS NOT NULL THEN 1 ELSE 0 END)
         |         + (CASE WHEN s2.ts_2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS depth
         |FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)""".stripMargin,
+    // retention twin: same day-index DIV, same first-seen window, same
+    // offset-0 cohort size via first_value over the cell relation
+    "e_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS p FROM events),
+        |f AS (SELECT user_id, p, min(p) OVER (PARTITION BY user_id) AS cohort FROM e),
+        |u AS (SELECT DISTINCT user_id, cohort, p - cohort AS offset_p FROM f),
+        |c AS (SELECT cohort AS cohort_p, offset_p,
+        |      CAST(count(*) AS BIGINT) AS n_active FROM u GROUP BY 1, 2)
+        |SELECT cohort_p, offset_p, n_active,
+        |  first_value(n_active) OVER (PARTITION BY cohort_p ORDER BY offset_p) AS cohort_size,
+        |  CAST(n_active * 1000000 // first_value(n_active)
+        |       OVER (PARTITION BY cohort_p ORDER BY offset_p) AS BIGINT) AS retention_ppm
+        |FROM c""".stripMargin,
     "e_latest_asof" ->
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
          |  FROM events WHERE epoch_us(ts) <= $AsOfCutoffUs),

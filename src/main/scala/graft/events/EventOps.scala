@@ -201,4 +201,47 @@ object EventOps {
       col(userCol) +: steps.indices.map(i => col(s"ts_$i").as(s"ts_${steps(i)}")) :+
         depth.as("depth"): _*)
   }
+
+  /** Cohort retention — the "does the crawl keep seeing this host/user"
+    * matrix every longitudinal corpus asks for: entities are grouped into
+    * cohorts by their FIRST-seen period (`ts_us DIV periodMicros`, an
+    * integer period index — days for 86400e6), and each later period an
+    * entity is active contributes to that cohort's retention at offset
+    * `period − cohort`. Output: one row per (cohort, offset) with
+    * `n_active` (distinct entities), `cohort_size` (the offset-0 count —
+    * every entity is active in its first period by construction) and
+    * `retention_ppm = n_active · 10^6 DIV cohort_size` (integer,
+    * engine-portable).
+    *
+    * Scale shape (10^12 events): ONE exchange on the entity key; the
+    * first-seen period is a window `min` over that partitioning, and the
+    * per-entity (cohort, offset) dedup groups by a superset of the
+    * partition key, so it runs in-partition with no new exchange. Only
+    * then do slim (cohort, offset) rows — bounded by periods², i.e.
+    * metadata-sized — reach the final aggregate; the cohort-size
+    * attachment is a window over that tiny relation. Events never carry
+    * payload columns past the first projection.
+    */
+  def retention(events: DataFrame, userCol: String, tsCol: String,
+                periodMicros: Long): DataFrame = {
+    require(periodMicros > 0, s"periodMicros must be positive, got $periodMicros")
+    // integer DIV, never `/`: double division loses exactness past 2^53
+    // and the oracle replays `//` (micros non-negative ⇒ DIV == floor)
+    val period = expr(s"unix_micros(cast(`$tsCol` as timestamp)) DIV ${periodMicros}L")
+    val w = Window.partitionBy(col(userCol))
+    val perUser = events
+      .select(col(userCol), period.as("p"))
+      .withColumn("cohort", min(col("p")).over(w))
+      .groupBy(col(userCol), col("cohort"), (col("p") - col("cohort")).as("offset_p"))
+      .agg(count(lit(1)).as("_n")) // in-partition dedup: key ⊇ userCol
+    val cells = perUser
+      .groupBy(col("cohort").as("cohort_p"), col("offset_p"))
+      .agg(count(lit(1)).as("n_active"))
+    val wc = Window.partitionBy(col("cohort_p")).orderBy(col("offset_p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cohort_size", first(col("n_active")).over(wc))
+      .select(col("cohort_p"), col("offset_p"), col("n_active"), col("cohort_size"),
+        expr("n_active * 1000000 DIV cohort_size").as("retention_ppm"))
+  }
 }

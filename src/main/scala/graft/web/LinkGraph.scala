@@ -168,6 +168,93 @@ object LinkGraph {
     ranks
   }
 
+  /** Scale for [[hitsRank]]'s L1-normalized scores: 10^9 units of total
+    * mass per side. Deliberately SMALLER than [[RankScale]] — HITS
+    * multiplies un-normalized `score × weight` per edge (a hub's total
+    * contribution GROWS with its out-degree; that asymmetry is the whole
+    * point of the algorithm, and why PageRank's `DIV out_w` decomposition
+    * trick does not apply), so the overflow envelope is
+    * `2·Scale·Σweights < 2^63`, i.e. ~4.6×10^9 total capped link weight
+    * at this scale — a full domain graph under `weightCap = 1`, checked
+    * loudly below.
+    */
+  val HitsScale: Long = 1000000000L
+
+  /** Fixed-iteration HITS (Kleinberg hubs & authorities) over the
+    * weighted domain edge list, entirely in scaled-integer arithmetic.
+    * Each round: `auth_raw(d) = Σ_{s→d} hub(s)·w`, L1-renormalized to
+    * ~[[HitsScale]] by integer division (`raw DIV max(total DIV Scale,
+    * 1)`), then `hub_raw(s) = Σ_{s→d} auth(d)·w` renormalized the same
+    * way — the mutual-reinforcement fixpoint ("good hubs point at good
+    * authorities") that complements [[domainRank]]'s single endorsement
+    * score: a directory/aggregator domain earns `hub` without inlinks,
+    * a cited reference earns `auth` without outlinks. Output one row per
+    * graph node: (domain, auth, hub).
+    *
+    * Renormalization keeps every score < 2·Scale (proof: with
+    * `d = total DIV Scale ≥ 1` and `raw ≤ total`, `raw DIV d ≤
+    * total/(total/Scale − 1) < 2·Scale` once `total ≥ 2·Scale`, and
+    * `raw ≤ total < 2·Scale` below that), so per-edge products stay
+    * under `2·Scale·w` and iteration sums under `2·Scale·Σw` — the
+    * envelope REQUIREd driver-side (one agg over the slim edge list);
+    * the remedy for heavier graphs is `weightCap`, exactly as in
+    * [[domainRank]]. All arithmetic is `DIV` on non-negative longs, so
+    * the DuckDB oracle replays it bit-identically (`//`).
+    *
+    * Scale shape: mirrors [[domainRank]] — the edge list is checkpointed
+    * once and every iteration is two slim (domain, score) joins + aggs
+    * with map-side partials; node payloads never move. Scores are L1
+    * shares of 10^9, so a graph with ≫10^9 near-equal nodes quantizes
+    * the uniform tail to zero — acceptable for a ranking signal (the
+    * head is what curation consumes), documented rather than hidden.
+    */
+  def hitsRank(edges: DataFrame, iters: Int = 3,
+               weightCap: Long = Long.MaxValue): DataFrame = {
+    require(iters >= 1 && iters <= 10, s"iters must be in [1, 10], got $iters")
+    require(weightCap > 0, s"weightCap must be positive, got $weightCap")
+    val capped =
+      if (weightCap == Long.MaxValue) edges
+      else edges.withColumn("weight", least(col("weight"), lit(weightCap)))
+    val e = capped.select(col("src"), col("dst"), col("weight"))
+      .localCheckpoint(eager = false)
+    val totW = e.agg(coalesce(sum(col("weight")), lit(0L))).first().getLong(0)
+    require(totW > 0, "empty edge list")
+    require(totW <= Long.MaxValue / (2 * HitsScale),
+      s"total edge weight $totW × 2·HitsScale would overflow BIGINT in the " +
+        "HITS iteration — pass weightCap to clamp link-farm-scale edge weights")
+    val nodes = e.select(col("src").as("domain"))
+      .union(e.select(col("dst").as("domain"))).distinct()
+      .localCheckpoint(eager = false)
+    // uniform init at full Scale per node: the first renormalization maps
+    // total mass to ~Scale regardless of n, so no `Scale DIV n` underflow
+    var hub = nodes.select(col("domain"), lit(HitsScale).as("hub"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val ar = e.join(hub, e("src") === hub("domain"))
+        .select(col("dst"), (col("hub") * col("weight")).as("c"))
+        .groupBy(col("dst").as("domain")).agg(sum(col("c")).as("raw"))
+      val da = ar.agg(
+        greatest(expr(s"sum(raw) DIV ${HitsScale}L"), lit(1L)).as("d"))
+      auth = nodes.join(ar, Seq("domain"), "left")
+        .crossJoin(broadcast(da))
+        .select(col("domain"),
+          expr("coalesce(raw, CAST(0 AS BIGINT)) DIV d").as("auth"))
+        .localCheckpoint(eager = false)
+      val hr = e.join(auth, e("dst") === auth("domain"))
+        .select(col("src"), (col("auth") * col("weight")).as("c"))
+        .groupBy(col("src").as("domain")).agg(sum(col("c")).as("raw"))
+      val dh = hr.agg(
+        greatest(expr(s"sum(raw) DIV ${HitsScale}L"), lit(1L)).as("d"))
+      hub = nodes.join(hr, Seq("domain"), "left")
+        .crossJoin(broadcast(dh))
+        .select(col("domain"),
+          expr("coalesce(raw, CAST(0 AS BIGINT)) DIV d").as("hub"))
+        .localCheckpoint(eager = false)
+    }
+    auth.join(hub, Seq("domain"))
+      .select(col("domain"), col("auth"), col("hub"))
+  }
+
   /** `<a href=...>anchor</a>` pairs in raw markup — single or double
     * quoted href, first attribute (the shape the synthesized corpus and
     * most crawl HTML emit; a full attribute grammar belongs to the DOM

@@ -208,4 +208,46 @@ class EventOpsSpec extends AnyFunSuite {
       .collect()(0)
     assert(t.getLong(3) == 2L)
   }
+
+  test("retention: cohorts by first-seen day, offsets dedup within day, ppm exact") {
+    // user 1: days 0, 0, 2  (cohort 0 — day-0 twice must count once)
+    // user 2: days 0, 1     (cohort 0)
+    // user 3: days 2, 2     (cohort 2 — its own cohort, not day-0's)
+    val day = 86400L
+    val e = events(Seq(
+      (1L, "2024-01-01 05:00:00", 1L, "view"),
+      (1L, "2024-01-01 09:00:00", 2L, "view"),
+      (1L, "2024-01-03 05:00:00", 3L, "view"),
+      (2L, "2024-01-01 23:00:00", 4L, "view"),
+      (2L, "2024-01-02 01:00:00", 5L, "view"),
+      (3L, "2024-01-03 12:00:00", 6L, "view"),
+      (3L, "2024-01-03 13:00:00", 7L, "view")))
+    val got = EventOps.retention(e, "user_id", "ts", day * 1000000)
+      .orderBy("cohort_p", "offset_p")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val d0 = 19723L // 2024-01-01 in days since epoch
+    assert(got == Seq(
+      (d0, 0L, 2L, 2L, 1000000L),      // cohort day0: users 1,2 active at offset 0
+      (d0, 1L, 1L, 2L, 500000L),       // user 2 on day 1 → 50%
+      (d0, 2L, 1L, 2L, 500000L),       // user 1 on day 2 (deduped within day 0)
+      (d0 + 2, 0L, 1L, 1L, 1000000L))) // user 3 is its OWN cohort
+  }
+
+  test("retention: every cohort has an offset-0 row equal to its size; actives never exceed it") {
+    import spark.implicits._
+    val e = (0L until 300L).map { i =>
+      (i % 23, 1704067200L + (i % 11) * 86400 + i * 37, i, "view")
+    }.toDF("user_id", "epoch_s", "event_id", "event_type")
+      .withColumn("ts", timestamp_seconds(col("epoch_s"))).drop("epoch_s")
+    val r = EventOps.retention(e, "user_id", "ts", 86400L * 1000000)
+    assert(r.filter(col("offset_p") === 0 && col("n_active") =!= col("cohort_size"))
+      .count() == 0)
+    assert(r.filter(col("n_active") > col("cohort_size")).count() == 0)
+    assert(r.filter(col("retention_ppm") > 1000000L).count() == 0)
+    // distinct users across offset-0 rows == distinct users in the input
+    val sizes = r.filter(col("offset_p") === 0).agg(sum("cohort_size"))
+      .collect()(0).getLong(0)
+    assert(sizes == 23L)
+  }
 }

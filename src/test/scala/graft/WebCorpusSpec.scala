@@ -437,6 +437,43 @@ class WebCorpusSpec extends AnyFunSuite {
       s"integerized mass never exceeds the scale: $ranks")
   }
 
+  test("hitsRank: star graph — authority and hub roles separate exactly (hand-replayed integers)") {
+    import spark.implicits._
+    val star = (1 to 6).map(i => (s"leaf$i.com", "hub.org", 1L)).toDF("src", "dst", "weight")
+    val got = graft.web.LinkGraph.hitsRank(star, iters = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.size == 7)
+    // replayed by hand at Scale=1e9: r1 auth(hub)=1e9, hub(leaf)=1e9/6;
+    // r2 auth(hub)=6*166666666 (denom 1), hub(leaf)=.../5; r3 likewise /7
+    assert(got("hub.org") == (1199999994L, 0L),
+      s"pure authority: all auth, zero hub: $got")
+    (1 to 6).foreach { i =>
+      assert(got(s"leaf$i.com") == (0L, 171428570L),
+        s"pure hubs: zero auth, equal hub: $got")
+    }
+  }
+
+  test("hitsRank: deterministic across parallelism; envelope guard fires and weightCap remedies it") {
+    import spark.implicits._
+    val edges = (1 to 40).map(i => (s"s${i % 7}.com", s"d${i % 11}.org", (i % 3 + 1).toLong))
+      .toDF("src", "dst", "weight").groupBy("src", "dst")
+      .agg(org.apache.spark.sql.functions.sum("weight").as("weight"))
+    val r1 = graft.web.LinkGraph.hitsRank(edges.repartition(1), iters = 4)
+    val r8 = graft.web.LinkGraph.hitsRank(edges.repartition(8), iters = 4)
+    assert(r1.except(r8).count() == 0 && r8.except(r1).count() == 0)
+    // scores are bounded by the renormalization proof: < 2·Scale
+    val mx = r1.agg(org.apache.spark.sql.functions.max("auth"),
+      org.apache.spark.sql.functions.max("hub")).collect()(0)
+    assert(mx.getLong(0) < 2 * graft.web.LinkGraph.HitsScale &&
+      mx.getLong(1) < 2 * graft.web.LinkGraph.HitsScale)
+    val farm = Seq(("spam.com", "x.org", Long.MaxValue / 1000000L)).toDF("src", "dst", "weight")
+    val e = intercept[IllegalArgumentException] {
+      graft.web.LinkGraph.hitsRank(farm, 2).collect()
+    }
+    assert(e.getMessage.contains("weightCap"))
+    assert(graft.web.LinkGraph.hitsRank(farm, 2, weightCap = 5L).count() == 2)
+  }
+
   test("domainRank: dangling mass redistributes — total conserved within the integer-remainder bound") {
     import spark.implicits._
     // hub.org is a pure sink (no outlinks): before the dangling term its
