@@ -1717,6 +1717,14 @@ object SparkEntry {
     "d_drop_neardup_cc" -> ((s, dir) =>
       Dedup.dropNearDuplicatesCC(docs(s, dir).select(col("doc_id"), col("text")), "doc_id", "text")
         .select(col("doc_id"))),
+    // quality-ranked survivor: same clusters as the CC variant, but each
+    // keeps its LONGEST member (token count; ties → min id) — the "keep
+    // the best copy, not the first-crawled copy" election; two slim
+    // (label, id, score) aggregates on top of the label fixpoint
+    "d_drop_neardup_best" -> ((s, dir) =>
+      Dedup.dropNearDuplicatesBest(docs(s, dir).select(col("doc_id"), col("text")),
+          "doc_id", "text", TextAnalytics.tokenCount(col("text")))
+        .select(col("doc_id"))),
     // ---- similarity search ----
     "s_dot_topk" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -3536,6 +3544,27 @@ object SparkEntry {
          |lab AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT id FROM lab WHERE id <> label)""".stripMargin,
+    // best-survivor twin: same reachability labels, then max token count
+    // per cluster with min-id tie-break — two scalar steps, exactly the
+    // Spark side's two slim aggregates
+    "d_drop_neardup_best" ->
+      s"""WITH RECURSIVE $lshJaccardChain,
+         |vp AS (SELECT id1, id2 FROM jac WHERE inter * 100 >= uni * 50),
+         |e AS (SELECT id1 AS src, id2 AS dst FROM vp UNION SELECT id2 AS src, id1 AS dst FROM vp),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+         |lab AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
+         |sc AS (SELECT l.id, l.label,
+         |  CAST(CASE WHEN length(trim(d.text)) = 0 THEN 0 ELSE len($tok) END AS BIGINT) AS score
+         |  FROM lab l JOIN documents d ON d.doc_id = l.id),
+         |mx AS (SELECT label, max(score) AS m FROM sc GROUP BY 1),
+         |keepers AS (SELECT sc.label, min(sc.id) AS keep_id
+         |  FROM sc JOIN mx ON mx.label = sc.label AND sc.score = mx.m GROUP BY 1),
+         |drops AS (SELECT sc.id FROM sc JOIN keepers k ON k.label = sc.label
+         |  WHERE sc.id <> k.keep_id)
+         |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM drops)""".stripMargin,
     "d_jaccard_pairs" ->
       s"""WITH $shingleCte,
          |ds AS (SELECT DISTINCT doc_id, source, s FROM sh),

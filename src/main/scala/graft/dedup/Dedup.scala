@@ -250,6 +250,44 @@ object Dedup {
     df.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** [[dropNearDuplicatesCC]] with a QUALITY-RANKED survivor: instead of
+    * the arbitrary minimum id, each duplicate cluster keeps the document
+    * maximizing `score` (ties → minimum id). This is what production
+    * dedup actually wants — near-dup clusters mix a clean original with
+    * truncated scrapes and ad-injected mirrors, and min-id keeps
+    * whichever was crawled first; ranking by a quality signal (length,
+    * classifier score, [[graft.sample.Tiering]] tier) keeps the best copy
+    * (cf. the survivor-selection step in RefinedWeb/FineWeb-style
+    * pipelines). `score` is any integer-valued Column over `df`'s
+    * columns; bigger wins.
+    *
+    * Scale shape: identical to the CC variant up to the label fixpoint
+    * (banded candidates → verify → min-label propagation over the slim
+    * clustered subset). Survivor election adds two slim aggregates over
+    * (label, id, score) triples — max score per label, then min id at
+    * that score — never a window over documents; payloads move only in
+    * the final anti-join (AQE broadcasts the drop list when small).
+    */
+  def dropNearDuplicatesBest(
+      df: DataFrame, idCol: String, textCol: String, score: Column,
+      tauPct: Int = 50, k: Int = 8, rowsPerBand: Int = 2, n: Int = 3
+  ): DataFrame = {
+    val cand = lshCandidatePairs(df, idCol, textCol, k, rowsPerBand)
+    val verified = jaccardForPairs(df, cand, idCol, textCol, n)
+      .filter(col("inter") * lit(100) >= col("uni") * lit(tauPct))
+      .select(col("id1"), col("id2"))
+    val labels = connectedComponents(verified)
+    val scored = labels.join(
+      df.select(col(idCol).as("id"), score.cast("long").as("_score")), Seq("id"))
+    val best = scored.groupBy(col("label")).agg(max(col("_score")).as("_mx"))
+    val keep = scored.join(best, Seq("label"))
+      .filter(col("_score") === col("_mx"))
+      .groupBy(col("label")).agg(min(col("id")).as("_keep"))
+    val drops = scored.join(keep, Seq("label"))
+      .filter(col("id") =!= col("_keep")).select(col("id").as(idCol))
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Corpus-frequent-passage (boilerplate) mass per document: how much of
     * each document consists of word n-grams that appear in at least
     * `minDf` DISTINCT documents (cookie banners, nav footers, license

@@ -206,6 +206,27 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(1L), s"chain must keep exactly the component min, got $kept")
   }
 
+  test("best survivor: cluster keeps its LONGEST member, not the min id; tie breaks to min id") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    // chain 1~2~3 as in the CC test, but now the LAST doc is longest —
+    // the min-id policy would keep 1; the quality policy must keep 3
+    val a = base
+    val b = base + " nu xi omicron pi rho sigma"
+    val c = b + " tau upsilon phi chi psi omega"
+    val d = df(1L -> a, 2L -> b, 3L -> c)
+    val kept = Dedup.dropNearDuplicatesBest(d, "doc_id", "text",
+        graft.text.TextAnalytics.tokenCount(col("text")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L), s"longest member must survive, got $kept")
+    // exact-duplicate cluster: equal scores → min id survives (5 vs 6)
+    val d2 = df(5L -> b, 6L -> b, 9L -> "unrelated content entirely different words here now")
+    val kept2 = Dedup.dropNearDuplicatesBest(d2, "doc_id", "text",
+        graft.text.TextAnalytics.tokenCount(col("text")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(5L, 9L), s"tie → min id; singletons untouched: got $kept2")
+  }
+
   test("simhash: identical → equal; near-dup → small hamming; pairs join finds dups") {
     import spark.implicits._
     val d = df(1L -> longA, 2L -> longA, 3L -> longB, 4L -> longC)
