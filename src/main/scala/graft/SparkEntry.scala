@@ -779,6 +779,12 @@ object SparkEntry {
     // (ties broken by token). TakeOrderedAndProject keeps the "top-k"
     // driver-side cost at k rows; countDistinct is Spark's standard
     // two-phase expand — the price of an exact df at any scale
+    // OOV rate vs the corpus's own top-256 vocabulary: one slim token
+    // agg into TakeOrdered, then a map-only broadcast-literal probe —
+    // documents never shuffle (the synthesis has 31 distinct tokens, so
+    // K=16 leaves real OOV mass at the gated scales)
+    "t_oov_rate" -> ((s, dir) =>
+      TextAnalytics.oovStats(docs(s, dir), "doc_id", "text", vocabSize = 16)),
     "t_vocab_topk" -> ((s, dir) => {
       val toks = when(length(trim(col("text"))) === 0, array().cast("array<string>"))
         .otherwise(split(trim(lower(col("text"))), "\\s+"))
@@ -2961,6 +2967,22 @@ object SparkEntry {
         |      FROM e WHERE event_type = 'view')
         |SELECT l.event_id, l.user_id, l.ts_us, r.view_id, r.view_ts_us
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.ts_us""".stripMargin,
+    // OOV twin: same case-folded tokens, same (tf DESC, token) top-K cut,
+    // left-join null-probe instead of the broadcast literal
+    "t_oov_rate" ->
+      """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |v AS (SELECT token FROM (
+        |  SELECT token, count(*) AS tf FROM t GROUP BY 1
+        |  ORDER BY tf DESC, token LIMIT 16) q),
+        |c AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |      CAST(count(*) FILTER (WHERE v.token IS NULL) AS BIGINT) AS n_oov
+        |      FROM t LEFT JOIN v ON v.token = t.token GROUP BY 1)
+        |SELECT d.doc_id AS doc_id, CAST(COALESCE(c.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(c.n_oov, 0) AS BIGINT) AS n_oov,
+        |  CAST(CASE WHEN COALESCE(c.n_tokens, 0) = 0 THEN 0
+        |       ELSE c.n_oov * 1000000 // c.n_tokens END AS BIGINT) AS oov_ppm
+        |FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id""".stripMargin,
     "t_vocab_topk" ->
       """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
         |  FROM documents WHERE length(trim(text)) > 0)

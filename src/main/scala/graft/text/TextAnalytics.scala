@@ -50,6 +50,50 @@ object TextAnalytics {
   def bpeTokenCount(c: Column): Column =
     regexp_count(c, lit(BpeTokenPattern)).cast("long")
 
+  /** Per-document out-of-vocabulary rate against the corpus's own top-K
+    * (case-folded, whitespace) token vocabulary — the "how much of this
+    * page will a fixed tokenizer vocabulary actually cover" signal a
+    * training pipeline budgets against (high OOV ⇒ boilerplate symbol
+    * soup, wrong language, or mojibake; cf. the vocabulary-coverage
+    * filters in CCNet/C4 lineage). Output per document:
+    * `(id, n_tokens, n_oov, oov_ppm)` with `oov_ppm = n_oov · 10^6 DIV
+    * n_tokens` (0 for empty docs), all integer.
+    *
+    * Scale shape: the vocabulary is ONE slim token-key aggregate with
+    * map-side partials into a TakeOrdered(K) (never a full sort), K
+    * driver-bounded at ≤ 65536 — vocabulary-sized, the canonical
+    * broadcast-side relation. The probe is MAP-ONLY: each document's
+    * token array filters against the broadcast vocabulary literal
+    * (O(K) per token here; a production 32k-entry vocabulary would swap
+    * in a sorted-array binary search behind the same map-only shape).
+    * Documents never shuffle; the corpus is scanned twice (vocab +
+    * probe), which at 10^12 rows is the honest minimum for a
+    * corpus-relative vocabulary — pin the vocab once and re-probe
+    * incrementally for recurring runs.
+    */
+  def oovStats(df: DataFrame, idCol: String, textCol: String,
+               vocabSize: Int = 1024): DataFrame = {
+    require(vocabSize >= 1 && vocabSize <= 65536,
+      s"vocabSize must be in [1, 65536], got $vocabSize")
+    val toksOf: Column => Column = c =>
+      when(length(trim(c)) === 0, array().cast("array<string>"))
+        .otherwise(split(trim(lower(c)), "\\s+"))
+    val vocab = df
+      .select(explode(toksOf(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      .orderBy(desc("tf"), asc("token")) // deterministic under tf ties
+      .limit(vocabSize)
+      .select(col("token")).collect().map(_.getString(0))
+    val vlit = array(vocab.toSeq.map(lit(_)): _*)
+    df.select(col(idCol),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        size(filter(toksOf(col(textCol)), t => not(array_contains(vlit, t))))
+          .cast("long").as("n_oov"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(expr("n_oov * 1000000 DIV n_tokens")).as("oov_ppm"))
+  }
+
   /** Fixed English stopword list for the quality-signal ratio (the
     * C4/Gopher-style rule "a natural-language document contains common
     * function words"; Gopher's published form requires ≥ 2 of a small

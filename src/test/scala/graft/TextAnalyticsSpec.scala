@@ -212,4 +212,25 @@ class TextAnalyticsSpec extends AnyFunSuite {
     assert(one("AAAA BBBB CCCC DDDD EEEE FFFF", isQuality(col("text"))) == false)
     assert(one("a.b.c. d.e.f. g.h.i. j,k,l! m?n?o? p;q;r", isQuality(col("text"))) == false)
   }
+
+  test("oovStats: top-K by tf with token tie-break, case-folded probe, empty doc zeros, exact ppm") {
+    import spark.implicits._
+    // tf: aa×4, bb×3, cc×2, dd×1 → vocabSize=2 keeps {aa, bb}
+    val d = Seq(
+      (1L, "aa aa bb cc"),      // 4 tokens, oov {cc} → 1 → 250000 ppm
+      (2L, "AA bb BB cc dd"),   // case-folds: oov {cc, dd} → 2/5 → 400000
+      (3L, "aa"),               // 0 oov
+      (4L, "   ")).toDF("doc_id", "text") // empty → 0/0/0
+    val got = oovStats(d, "doc_id", "text", vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((4L, 1L, 250000L)), s"got $got")
+    assert(got(2L) == ((5L, 2L, 400000L)), s"got $got")
+    assert(got(3L) == ((1L, 0L, 0L)), s"got $got")
+    assert(got(4L) == ((0L, 0L, 0L)), s"got $got")
+    // tf tie at 1: dd vs ee — token ASC wins the last vocab slot
+    val t = Seq((1L, "zz zz dd ee")).toDF("doc_id", "text")
+    val g2 = oovStats(t, "doc_id", "text", vocabSize = 2)
+      .collect()(0)
+    assert((g2.getLong(1), g2.getLong(2)) == ((4L, 1L)), "vocab {zz, dd}: only ee is OOV")
+  }
 }
