@@ -1103,6 +1103,14 @@ object SparkEntry {
       UrlOps.domainStats(
         docs(s, dir).select(synthUrl.as("url"), TextAnalytics.isQuality(col("text")).as("q")),
         "url", "q")),
+    // domain-concentration data card: exact Gini + top share over the
+    // per-domain doc counts via the counts-of-counts closed form — the
+    // only ordered relation is distinct count VALUES (metadata-sized);
+    // DECIMAL(38,0) arithmetic, HUGEINT-replayed by the oracle
+    "w_domain_gini" -> ((s, dir) =>
+      graft.stats.CorpusStats.concentration(
+        docs(s, dir).select(
+          UrlOps.registeredDomain(UrlOps.host(synthUrl)).as("domain")), "domain")),
     // smoothed per-domain quality prior: α pseudo-observations at the
     // global rate, so thin domains regress to the corpus mean instead of
     // outranking well-sampled ones — the frontier's ranking signal
@@ -2518,6 +2526,23 @@ object SparkEntry {
          |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
          |  CAST(count(*) FILTER (WHERE $qualityPredSql) AS BIGINT) AS n_quality
          |FROM p5 GROUP BY 1""".stripMargin,
+    // gini twin: same counts-of-counts closed form, HUGEINT for the
+    // 10^26-scale numerator, same non-negative floor division
+    "w_domain_gini" ->
+      s"""WITH $urlCte,
+         |counts AS (SELECT domain, count(*) AS cnt FROM p5 GROUP BY 1),
+         |cc AS (SELECT cnt, count(*) AS m FROM counts GROUP BY 1),
+         |w AS (SELECT cnt, m, COALESCE(sum(m) OVER (ORDER BY cnt
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS a FROM cc),
+         |t AS (SELECT
+         |  CAST(sum(CAST(cnt AS HUGEINT) * (m * a + m * (m + 1) // 2)) AS HUGEINT) AS sumic,
+         |  CAST(sum(m) AS HUGEINT) AS n,
+         |  CAST(sum(CAST(cnt AS HUGEINT) * m) AS HUGEINT) AS s,
+         |  CAST(max(cnt) AS HUGEINT) AS mx FROM w)
+         |SELECT CAST(n AS BIGINT) AS n_keys, CAST(s AS BIGINT) AS n_docs,
+         |  CAST(((2 * sumic - (n + 1) * s) * 1000000) // (n * s) AS BIGINT) AS gini_ppm,
+         |  CAST((mx * 1000000) // s AS BIGINT) AS top_share_ppm
+         |FROM t""".stripMargin,
     // prior twin: same per-domain counts, same one-row global rate, same
     // positive integer DIV smoothing
     "w_domain_prior" ->

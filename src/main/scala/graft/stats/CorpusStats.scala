@@ -207,4 +207,53 @@ object CorpusStats {
         when(size(col("s")) > 0, element_at(col("s"), size(col("s"))))
           .otherwise(lit(0L)).as("s_max"))
   }
+
+  /** Concentration of a corpus over a key (domain, source, language):
+    * exact Gini coefficient of the per-key document counts plus the top
+    * key's share, as one data-card row `(n_keys, n_docs, gini_ppm,
+    * top_share_ppm)`. The diversity number a curation pass watches — a
+    * corpus where one domain holds half the documents (top_share → 5·10^5,
+    * gini → 1) trains very differently from a flat one (gini → 0); cf.
+    * the per-source mixture tables in Gopher/Pile data cards.
+    *
+    * Exact at any scale WITHOUT a global rank: Gini over sorted counts
+    * `c_1 ≤ … ≤ c_n` needs `Σ i·c_i`, and ranks within a tie group are
+    * interchangeable (equal c), so grouping by COUNT VALUE gives the
+    * closed form `Σ_groups c·(m·a + m(m+1)/2)` where `m` is the group
+    * size and `a` the number of keys in smaller groups. The relation
+    * that needs ordering is counts-of-COUNTS — bounded by the number of
+    * distinct count values, O(√Σc) under any distribution (a few
+    * thousand at 10^12 docs) — so the one window here runs over a
+    * metadata-sized relation, never over keys or documents.
+    *
+    * `gini_ppm := ((2·Σi·c_i − (n+1)·S) · 10^6) DIV (n·S)` computed in
+    * DECIMAL(38,0): the numerator reaches ~10^26 at the design point
+    * (n ~ 10^8 keys, S ~ 10^12 docs), past BIGINT but comfortably inside
+    * 38 digits; DuckDB replays it in HUGEINT. Chebyshev's sum inequality
+    * makes the numerator non-negative, so floor-vs-truncate division
+    * never diverges between the engines.
+    */
+  def concentration(d: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = d.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val cc = counts.groupBy(col("cnt")).agg(count(lit(1)).as("m"))
+    val wExcl = Window.orderBy(col("cnt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dec: Column => Column = _.cast("decimal(38,0)")
+    cc.withColumn("a", coalesce(sum(col("m")).over(wExcl), lit(0L)))
+      .select(
+        (dec(col("cnt")) *
+          (dec(col("m")) * dec(col("a")) + dec(expr("m * (m + 1) DIV 2"))))
+          .as("contrib"),
+        col("m"), (dec(col("cnt")) * dec(col("m"))).as("docs"), col("cnt"))
+      .agg(sum(col("contrib")).as("sumic"), sum(col("m")).as("n"),
+        sum(col("docs")).as("s"), max(col("cnt")).as("mx"))
+      .select(
+        col("n").cast("long").as("n_keys"),
+        col("s").cast("long").as("n_docs"),
+        expr("CAST(((2 * sumic - (n + 1) * s) * 1000000) DIV (n * s) AS BIGINT)")
+          .as("gini_ppm"),
+        expr("CAST((CAST(mx AS DECIMAL(38,0)) * 1000000) DIV s AS BIGINT)")
+          .as("top_share_ppm"))
+  }
 }

@@ -264,4 +264,27 @@ class CorpusOpsSpec extends AnyFunSuite {
       "SELECT graft_heavy_topk(k, CAST(1 AS BIGINT), 4) AS hh FROM VALUES ('a'), ('a'), ('b') t(k)")
     assert(hhRows(viaSql) == Seq(("a", 2L, 0L), ("b", 1L, 0L)))
   }
+
+  test("concentration: hand-computed Gini via counts-of-counts; uniform → 0; skewed > 0") {
+    import spark.implicits._
+    // counts sorted [1,1,4]: sumic=15, gini = (30-24)/18 → 333333 ppm;
+    // top share 4/6 → 666666 ppm
+    val d = (Seq.fill(4)("A") ++ Seq("B", "C")).map(Tuple1(_)).toDF("domain")
+    val r = CorpusStats.concentration(d, "domain").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, 6L, 333333L, 666666L)), s"got $r")
+    // uniform counts → gini exactly 0, top share = 1/n
+    val u = Seq("A", "A", "B", "B", "C", "C").map(Tuple1(_)).toDF("domain")
+    val ru = CorpusStats.concentration(u, "domain").collect()(0)
+    assert(ru.getLong(2) == 0L && ru.getLong(3) == 333333L, s"got $ru")
+    // single key: degenerate, gini 0, top share 10^6
+    val s1 = Seq("A", "A", "A").map(Tuple1(_)).toDF("domain")
+    val r1 = CorpusStats.concentration(s1, "domain").collect()(0)
+    assert(r1.getLong(2) == 0L && r1.getLong(3) == 1000000L, s"got $r1")
+    // determinism across parallelism
+    val big = (1 to 500).map(i => Tuple1(s"d${i % 37}")).toDF("domain")
+    val a1 = CorpusStats.concentration(big.repartition(1), "domain").collect()(0)
+    val a8 = CorpusStats.concentration(big.repartition(8), "domain").collect()(0)
+    assert(a1 == a8)
+  }
 }
