@@ -1317,6 +1317,24 @@ object SparkEntry {
         .withColumn("domain", concat(lit("mirror-"), col("domain")))
       graft.web.Mirrors.mirrorPairs(base.unionAll(mirrored), "domain", "fp", tauPct = 50)
     }),
+    // mirror FAMILIES: transitive closure of the pair relation — one
+    // curation decision per family (keep the lexicographic-min member);
+    // min-label propagation over whole-domain pairs, never fingerprints
+    "w_mirror_families" -> ((s, dir) => {
+      def slim(d: DataFrame) = d.select(
+        UrlOps.registeredDomain(UrlOps.host(synthUrl)).as("domain"),
+        TextAnalytics.fingerprint(col("text")).as("fp"))
+      val base = slim(docs(s, dir))
+      // TWO mirror tiers chain a->mirror-a->mirror2-a transitively: the
+      // full clone pairs with both others, the %14 sub-clone only with
+      // its supersets — the family must still unite all three
+      val m1 = slim(docs(s, dir).filter(col("doc_id") % 7 === 0))
+        .withColumn("domain", concat(lit("mirror-"), col("domain")))
+      val m2 = slim(docs(s, dir).filter(col("doc_id") % 14 === 0))
+        .withColumn("domain", concat(lit("mirror2-"), col("domain")))
+      graft.web.Mirrors.mirrorFamilies(
+        base.unionAll(m1).unionAll(m2), "domain", "fp", tauPct = 50)
+    }),
     // writing-system detection over multi-script synthesis: four
     // replace-and-measure passes + argmax, map-only codegen
     "t_script" -> ((s, dir) => {
@@ -3046,6 +3064,34 @@ object SparkEntry {
          |SELECT d1, d2, shared, CAST(z1.n_fp AS BIGINT) AS n1, CAST(z2.n_fp AS BIGINT) AS n2
          |FROM p JOIN sz z1 ON p.d1 = z1.domain JOIN sz z2 ON p.d2 = z2.domain
          |WHERE shared * 100 >= least(z1.n_fp, z2.n_fp) * 50""".stripMargin,
+    // family twin: same pair chain over the three-tier synthesis, then
+    // undirected reachability; family = min reached domain (string min)
+    "w_mirror_families" ->
+      s"""WITH RECURSIVE $urlCte,
+         |mb AS (SELECT domain, $fpSql AS fp FROM p5
+         |       UNION ALL
+         |       SELECT 'mirror-' || domain AS domain, $fpSql AS fp FROM p5 WHERE doc_id % 7 = 0
+         |       UNION ALL
+         |       SELECT 'mirror2-' || domain AS domain, $fpSql AS fp FROM p5 WHERE doc_id % 14 = 0),
+         |c AS (SELECT DISTINCT domain, fp FROM mb),
+         |ok AS (SELECT fp FROM c GROUP BY fp HAVING count(*) >= 2 AND count(*) <= 10),
+         |sl AS (SELECT c.domain, c.fp FROM c JOIN ok USING (fp)),
+         |sz AS (SELECT domain, count(*) AS n_fp FROM c GROUP BY domain),
+         |p AS (SELECT a.domain AS d1, b.domain AS d2, CAST(count(*) AS BIGINT) AS shared
+         |      FROM sl a JOIN sl b ON a.fp = b.fp AND a.domain < b.domain GROUP BY 1, 2),
+         |vp AS (SELECT d1, d2 FROM p JOIN sz z1 ON p.d1 = z1.domain
+         |       JOIN sz z2 ON p.d2 = z2.domain
+         |       WHERE shared * 100 >= least(z1.n_fp, z2.n_fp) * 50),
+         |e AS (SELECT d1 AS src, d2 AS dst FROM vp UNION SELECT d2 AS src, d1 AS dst FROM vp),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+         |lab AS (SELECT id AS domain, min(r) AS family FROM reach GROUP BY 1),
+         |fs AS (SELECT family, CAST(count(*) AS BIGINT) AS n_members FROM lab GROUP BY 1)
+         |SELECT lab.domain AS domain, lab.family AS family, fs.n_members,
+         |  (lab.domain = lab.family) AS is_canonical
+         |FROM lab JOIN fs USING (family)""".stripMargin,
     "t_repetition" ->
       s"""WITH t AS (SELECT doc_id,
          |  CASE WHEN length(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\\s+') END AS l

@@ -56,4 +56,32 @@ object Mirrors {
       .filter(col("shared") * lit(100) >= least(col("n1"), col("n2")) * lit(tauPct))
       .select(col("d1"), col("d2"), col("shared"), col("n1"), col("n2"))
   }
+
+  /** Mirror FAMILIES: the transitive closure of [[mirrorPairs]] — a site
+    * mirrored on three hosts yields three pairwise rows, but curation
+    * wants ONE decision per family ("keep a.com, drop its clones"), and
+    * pairwise containment is not transitive, so the family is the
+    * connected component. Output one row per domain that belongs to any
+    * mirror family: `(domain, family, n_members, is_canonical)` with
+    * `family` = lexicographic-min member (the deterministic survivor a
+    * downstream blocklist keeps) and `n_members` ≥ 2.
+    *
+    * Scale shape: pair generation as [[mirrorPairs]]; the component
+    * fixpoint is [[graft.dedup.Dedup.connectedComponents]]'s bounded
+    * min-label propagation over the PAIR relation — mirror pairs are
+    * vanishingly sparse next to the corpus (pairs of whole domains), so
+    * each round is a slim equi-join; family sizes are one more slim agg.
+    * Documents and fingerprints never enter the loop.
+    */
+  def mirrorFamilies(d: DataFrame, domainCol: String, fpCol: String,
+                     tauPct: Int, maxFpDomains: Int = 10): DataFrame = {
+    val pairs = mirrorPairs(d, domainCol, fpCol, tauPct, maxFpDomains)
+      .select(col("d1").as("id1"), col("d2").as("id2"))
+    val labels = graft.dedup.Dedup.connectedComponents(pairs)
+      .select(col("id").as("domain"), col("label").as("family"))
+    val sizes = labels.groupBy(col("family")).agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, Seq("family"))
+      .select(col("domain"), col("family"), col("n_members"),
+        (col("domain") === col("family")).as("is_canonical"))
+  }
 }

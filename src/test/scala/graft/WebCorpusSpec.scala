@@ -925,4 +925,22 @@ class WebCorpusSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(loose.contains(("b.org", "c.net")))
   }
+
+  test("mirror families: transitive closure unites chained pairs; canonical = min; isolated domains absent") {
+    import spark.implicits._
+    // a~b and b~c pair (50% of the smaller side) but a~c share NOTHING —
+    // only the closure puts all three in one family
+    val rows = Seq(
+      "a.com" -> "f1", "a.com" -> "f2", "a.com" -> "f3", "a.com" -> "f4",
+      "b.org" -> "f3", "b.org" -> "f4", "b.org" -> "f5", "b.org" -> "f6",
+      "c.net" -> "f5", "c.net" -> "f6", "c.net" -> "f7", "c.net" -> "f8",
+      "lone.io" -> "f9", "lone.io" -> "f10")
+    val d = rows.toDF("domain", "fp")
+    val fams = graft.web.Mirrors.mirrorFamilies(d, "domain", "fp", tauPct = 50)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(fams == Set(
+      ("a.com", "a.com", 3L, true),
+      ("b.org", "a.com", 3L, false),
+      ("c.net", "a.com", 3L, false)), s"got $fams")
+  }
 }
