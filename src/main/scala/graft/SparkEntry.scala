@@ -1798,6 +1798,17 @@ object SparkEntry {
         .select(col("qid"), col("vid"),
           floor(col("score") * lit(1e9)).cast("long").as("score_q"), col("rn").cast("long").as("rn"))
     }),
+    // product quantization (Jégou et al.): m=16 subspaces × ks=64 integer
+    // codewords (seed + one Lloyd round; the config that holds recall on
+    // this near-uniform corpus — finer subspaces beat more codewords),
+    // ADC scoring = 16 LUT lookups per vector over the broadcast
+    // per-query tables — codes never shuffle, and the encoded corpus is
+    // bytes-per-vector, the memory-resident scan PQ exists for
+    "s_pq_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 10), 5, m = 16, ks = 64)
+        .select(col("qid"), col("vid"), col("score"), col("rn").cast("long").as("rn"))
+    }),
     "s_embed_neardup" -> ((s, dir) =>
       // vec_id cap bounds the exact self-join at bench scale; the sf0.01
       // correctness table has 500 vectors, all under the cap
@@ -3807,6 +3818,47 @@ object SparkEntry {
          |  SELECT qid, qe, cid, row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cid) AS rn FROM qsc) WHERE rn <= 4),
          |s AS (SELECT qid, vid, ${cosQSql("qe", "ve")} AS score
          |      FROM qp JOIN asn ON qp.cell = asn.cell JOIN v ON asn.avid = v.vid WHERE qid <> vid)""".stripMargin),
+    // PQ twin: same seed/Lloyd/assignment chain per subspace (integer L2,
+    // min-cid ties), LUT join + sum instead of the broadcast map probe —
+    // different shape, identical integers
+    "s_pq_topk" ->
+      """WITH seeds AS (SELECT vec_id, embedding FROM embeddings
+        |  QUALIFY row_number() OVER (ORDER BY vec_id) <= 64),
+        |sd AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS e FROM seeds),
+        |ss AS (SELECT unnest(generate_series(0, 15)) AS s),
+        |cb0 AS (SELECT ss.s, sd.cid, list_transform(generate_series(1, 4), i ->
+        |  CAST(floor(CAST(e[ss.s * 4 + i] AS DOUBLE) * 1000) AS BIGINT)) AS ce FROM sd, ss),
+        |v AS (SELECT vec_id AS vid, embedding AS ve FROM embeddings),
+        |vs AS (SELECT vid, ss.s, list_transform(generate_series(1, 4), i ->
+        |  CAST(floor(CAST(ve[ss.s * 4 + i] AS DOUBLE) * 1000) AS BIGINT)) AS vq FROM v, ss),
+        |d0 AS (SELECT vid, vs.s, cid,
+        |  list_sum(list_transform(generate_series(1, 4), i -> (vq[i] - ce[i]) * (vq[i] - ce[i]))) AS dist
+        |  FROM vs JOIN cb0 ON cb0.s = vs.s),
+        |a0 AS (SELECT vid, s, cid FROM (SELECT vid, s, cid,
+        |  row_number() OVER (PARTITION BY vid, s ORDER BY dist, cid) AS rn FROM d0) WHERE rn = 1),
+        |pm AS (SELECT vs.s, a0.cid, g.i AS dim,
+        |  CAST((sum(vq[g.i]) + count(*) * 1048576) // count(*) - 1048576 AS BIGINT) AS q
+        |  FROM vs JOIN a0 ON a0.vid = vs.vid AND a0.s = vs.s,
+        |       (SELECT unnest(generate_series(1, 4)) AS i) g
+        |  GROUP BY vs.s, a0.cid, g.i),
+        |cb AS (SELECT s, cid, list(q ORDER BY dim) AS ce FROM pm GROUP BY s, cid),
+        |d1 AS (SELECT vid, vs.s, cid,
+        |  list_sum(list_transform(generate_series(1, 4), i -> (vq[i] - ce[i]) * (vq[i] - ce[i]))) AS dist
+        |  FROM vs JOIN cb ON cb.s = vs.s),
+        |asn AS (SELECT vid, s, cid FROM (SELECT vid, s, cid,
+        |  row_number() OVER (PARTITION BY vid, s ORDER BY dist, cid) AS rn FROM d1) WHERE rn = 1),
+        |q0 AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |qs AS (SELECT qid, ss.s, list_transform(generate_series(1, 4), i ->
+        |  CAST(floor(CAST(qe[ss.s * 4 + i] AS DOUBLE) * 1000) AS BIGINT)) AS qq FROM q0, ss),
+        |lut AS (SELECT qid, cb.s, cb.cid,
+        |  CAST(list_sum(list_transform(generate_series(1, 4), i -> qq[i] * ce[i])) AS BIGINT) AS pdot
+        |  FROM qs JOIN cb ON cb.s = qs.s),
+        |sc AS (SELECT lut.qid, asn.vid, CAST(sum(pdot) AS BIGINT) AS score
+        |  FROM asn JOIN lut ON lut.s = asn.s AND lut.cid = asn.cid
+        |  WHERE lut.qid <> asn.vid GROUP BY 1, 2)
+        |SELECT qid, vid, score, rn FROM (SELECT qid, vid, score,
+        |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, vid) AS rn FROM sc)
+        |WHERE rn <= 5""".stripMargin,
     "s_embed_neardup_lsh" ->
       s"""WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000),
          |bands AS (SELECT vec_id, tt.t AS t, ${lshSigSql("embedding", "4", "tt.t * 4")} AS sig

@@ -351,6 +351,149 @@ object Similarity {
     if (brute.isEmpty) 1.0 else (ivf & brute).size.toDouble / brute.size
   }
 
+  // ---------------------------------------------------------------------- PQ
+
+  /** Stride separating subspace ids in the flattened LUT key: supports
+    * codebooks up to 4096 codewords per subspace (PQ convention is ≤ 256).
+    */
+  val PqCidStride: Long = 4096L
+
+  /** Product-quantization codebooks: split the `dim`-dimensional space
+    * into `m` subspaces of `dim/m` components; per subspace, seed `ks`
+    * codewords from the `ks` smallest-id corpus vectors' subvectors
+    * (codeword ids 0..ks−1 in seed order), run ONE Lloyd round (integer
+    * mean of the quantized components, [[LloydMeanBias]]-shifted so
+    * truncation == floor on both engines), and return the refined
+    * codebooks as slim `(s, cid, ce: array<long>)` rows — quantized
+    * integer codewords, ≤ m·ks of them (codewords that lose every member
+    * drop out, as in [[ivfAssign]]). Assignment metric is integer L2 on
+    * the quantized subvectors (ties → smallest cid): exact, engine-
+    * portable, and the textbook PQ quantizer (Jégou et al. 2011).
+    *
+    * Scale shape: seeds are a TakeOrdered(ks); the subvector explode is
+    * map-side (m slim rows per vector, total payload = one corpus
+    * width); assignment scores against the BROADCAST codebook reduce to
+    * (vid, s, cid) triples via a map-side-partial min-struct argmin; the
+    * Lloyd mean runs on slim (s, cid, dim, component) quadruples.
+    * Vectors never shuffle.
+    */
+  def pqCodebooks(corpus: DataFrame, m: Int, ks: Int, dim: Int = 64): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(ks >= 1 && ks <= PqCidStride, s"ks=$ks out of range")
+    val d = dim / m
+    val seeds = corpus.select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(ks)
+      .withColumn("cid",
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("long"))
+    val cb0 = seeds.select(explode(array((0 until m).map(s =>
+        struct(lit(s.toLong).as("s"), col("cid"),
+          qsub(col("embedding"), s, d).as("ce"))): _*)).as("e"))
+      .select(col("e.s").as("s"), col("e.cid").as("cid"), col("e.ce").as("ce"))
+    val subs = subVectors(corpus, m, d)
+    val asn0 = pqAssign(subs, cb0)
+    val perDim = subs.join(asn0, Seq("vid", "s"))
+      .select(col("s"), col("cid"), posexplode(col("vq")).as(Seq("dim", "x")))
+      .groupBy(col("s"), col("cid"), col("dim"))
+      .agg(sum(col("x")).as("sm"), count(lit(1)).as("n"))
+      .select(col("s"), col("cid"), col("dim"),
+        (expr(s"(sm + n * ${LloydMeanBias}L) DIV n") - LloydMeanBias).as("q"))
+    perDim.groupBy(col("s"), col("cid"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("q")))).as("dq"))
+      .select(col("s"), col("cid"), expr("transform(dq, p -> p.q)").as("ce"))
+  }
+
+  /** Quantized subvector `s` (0-based) of a dim-`m·d` embedding. */
+  private def qsub(e: Column, s: Int, d: Int): Column =
+    transform(sequence(lit(s * d + 1), lit(s * d + d)),
+      i => floor(element_at(e, i.cast("int")).cast("double") * 1000).cast("long"))
+
+  /** (vid, s, vq) quantized subvector rows — map-only explode. */
+  private def subVectors(corpus: DataFrame, m: Int, d: Int): DataFrame =
+    corpus.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+      .select(col("vid"), explode(array((0 until m).map(s =>
+        struct(lit(s.toLong).as("s"), qsub(col("ve"), s, d).as("vq"))): _*)).as("e"))
+      .select(col("vid"), col("e.s").as("s"), col("e.vq").as("vq"))
+
+  /** Nearest codeword per (vector, subspace) by integer L2, ties to the
+    * smallest cid — min-struct argmin with map-side partials.
+    */
+  private def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame =
+    subs.join(broadcast(cb), Seq("s"))
+      .select(col("vid"), col("s"), col("cid"),
+        expr("aggregate(zip_with(vq, ce, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+          .as("dist"))
+      .groupBy(col("vid"), col("s"))
+      .agg(min(struct(col("dist"), col("cid"))).as("b"))
+      .select(col("vid"), col("s"), col("b.cid").as("cid"))
+
+  /** Encode the corpus against `cb`: one `codes` array per vector
+    * (`codes[s]` = codeword id of subspace s). THE point of PQ at corpus
+    * scale: m codes of log2(ks) bits replace dim floats — 8 bytes/vector
+    * at the faiss-conventional m=8, ks=256 vs 256 bytes raw, so 10^9
+    * encoded vectors fit in ~8 GB and the ADC scan runs memory-resident
+    * where the exact scan pages through 100× the bytes.
+    */
+  def pqEncode(corpus: DataFrame, cb: DataFrame, m: Int, dim: Int = 64): DataFrame =
+    pqAssign(subVectors(corpus, m, dim / m), cb)
+      .groupBy(col("vid"))
+      .agg(sort_array(collect_list(struct(col("s"), col("cid")))).as("sc"))
+      .select(col("vid"), expr("transform(sc, p -> p.cid)").as("codes"))
+
+  /** PQ approximate top-k by ASYMMETRIC DISTANCE (ADC): per query,
+    * precompute the m×ks lookup table of exact partial dots between the
+    * query's quantized subvectors and every codeword, then score each
+    * encoded vector as the sum of m table lookups — `score(q, v) =
+    * Σ_s ⟨q_s, cb[s][codes_v[s]]⟩`, the inner-product ADC of Jégou et
+    * al. All arithmetic is exact integers (quantized components), so the
+    * DuckDB oracle replays it value-exactly.
+    *
+    * Scale shape: codebooks and the per-query LUTs are tiny broadcast
+    * relations (m·ks partial dots per query); scoring is MAP-ONLY over
+    * the encoded corpus (codes never shuffle; the only exchange after
+    * encoding is the per-query top-k window on slim (qid, vid, score)
+    * survivors). Encoding happens once and persists next to the corpus
+    * in a real deployment; the scan cost is the 8-byte codes, not the
+    * embeddings. Recall is bounded by quantization distortion — measured
+    * ≥ 0.6 recall@5 at the gated m=8, ks=16 on the test corpora
+    * (SimilaritySpec), with ks=256 the production knob.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 8, ks: Int = 16, dim: Int = 64): DataFrame = {
+    val d = dim / m
+    val cb = pqCodebooks(corpus, m, ks, dim)
+    val codes = pqEncode(corpus, cb, m, dim)
+    val qsubs = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .select(col("qid"), explode(array((0 until m).map(s =>
+        struct(lit(s.toLong).as("s"), qsub(col("qe"), s, d).as("qq"))): _*)).as("e"))
+      .select(col("qid"), col("e.s").as("s"), col("e.qq").as("qq"))
+    val lut = qsubs.join(broadcast(cb), Seq("s"))
+      .select(col("qid"), (col("s") * lit(PqCidStride) + col("cid")).as("key"),
+        expr("aggregate(zip_with(qq, ce, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+          .as("pdot"))
+      .groupBy(col("qid"))
+      .agg(map_from_entries(collect_list(struct(col("key"), col("pdot")))).as("lut"))
+    val scored = codes.crossJoin(broadcast(lut))
+      .filter(col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"),
+        expr(s"aggregate(sequence(0, ${m - 1}), 0L, (acc, s) -> " +
+          s"acc + element_at(lut, s * ${PqCidStride}L + element_at(codes, CAST(s + 1 AS INT))))")
+          .as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** Recall@k of [[pqTopK]] against [[bruteForceTopK]] on the quantized
+    * dot (the metric ADC approximates). Driver-side sizes only.
+    */
+  def pqRecallAtK(corpus: DataFrame, queries: DataFrame, k: Int,
+                  m: Int = 8, ks: Int = 16): Double = {
+    val brute = bruteForceTopK(corpus, queries, k)
+      .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = pqTopK(corpus, queries, k, m, ks)
+      .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (brute.isEmpty) 1.0 else (pq & brute).size.toDouble / brute.size
+  }
+
   // --------------------------------------------------------------------- ANN
 
   /** LSH-bucketed approximate top-k with MULTI-PROBE and MULTI-TABLE:

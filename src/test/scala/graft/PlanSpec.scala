@@ -91,6 +91,19 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("graft_qdot"), s"scoring must use the native expression:\n$plan")
   }
 
+  test("PQ top-k: codebooks and LUTs broadcast; codes scored map-side, never sort-merged") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val df = graft.sim.Similarity.pqTopK(e, e.filter(col("vec_id") < 3), 2,
+      m = 8, ks = 8)
+    val plan = finalPlan(df)
+    // assignment joins the subvector rows against broadcast codebooks and
+    // the ADC scan cross-joins broadcast per-query LUTs — the encoded
+    // corpus must never be the build side or sort-merge against anything
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"codebooks/LUTs must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"codes must never sort-merge:\n$plan")
+  }
+
   test("stratified sampling is a broadcast join + map-only filter (no corpus shuffle)") {
     val df = SparkEntry.queries("q_sample_stratified")(spark, sfDir)
     val plan = finalPlan(df)

@@ -212,6 +212,52 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("pq: codes are m-long with cid < ks; identical vectors encode identically") {
+    val dup = vecs(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      1L -> Seq(1f, 0f, 0f, 0f),   // exact duplicate of 0
+      2L -> Seq(0f, 1f, 0f, 0f),
+      3L -> Seq(-1f, 0f, 0.5f, 0f))
+    val cb = Similarity.pqCodebooks(dup, m = 2, ks = 4, dim = 4)
+    val codes = Similarity.pqEncode(dup, cb, m = 2, dim = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes.size == 4 && codes.values.forall(c => c.length == 2 && c.forall(x => x >= 0 && x < 4)))
+    assert(codes(0L) == codes(1L), s"duplicates must share codes: $codes")
+    assert(codes(0L) != codes(3L), s"opposite vector must differ: $codes")
+  }
+
+  test("pq ADC is EXACT when every vector is a codeword (clusters of identical members)") {
+    // 4 distinct vectors, each duplicated: after one Lloyd round every
+    // codeword is the mean of identical members == the vector itself, so
+    // ADC == exact quantized dot for every (query, vector) pair
+    val base = Seq(
+      Seq(1f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f),
+      Seq(0f, 0f, 1f, 0f), Seq(-0.5f, 0.5f, 0f, 0.7f))
+    val dup = vecs((0L until 8L).map(i => i -> base((i % 4).toInt)): _*)
+    val q = dup.filter(col("vec_id") === 0)
+    val pq = Similarity.pqTopK(dup, q, 7, m = 2, ks = 4, dim = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    val brute = Similarity.bruteForceTopK(dup, q, 7)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(pq == brute, s"ADC must equal exact qdot on codeword-exact corpus:\n$pq\n$brute")
+  }
+
+  test("recall: PQ ADC@5 on real embeddings — gated m=16, ks=64 holds the floor") {
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    // measured 0.30 / 0.32 / 0.64 at (8,16) / (16,16) / (16,64): on this
+    // near-uniform corpus FINER SUBSPACES beat more codewords (8-dim
+    // random cells quantize poorly at any ks); the gated config is the
+    // one that holds recall
+    for ((m, ks) <- Seq((8, 16), (16, 16))) {
+      info(s"PQ recall@5 at sf0.01 (m=$m, ks=$ks): " +
+        Similarity.pqRecallAtK(e, q, 5, m = m, ks = ks))
+    }
+    val gated = Similarity.pqRecallAtK(e, q, 5, m = 16, ks = 64)
+    info(s"PQ recall@5 at sf0.01 (m=16, ks=64, the gated config): $gated")
+    assert(gated >= 0.5, s"gated PQ recall@5 was $gated")
+  }
+
   test("planesFor grows the signature with the corpus") {
     assert(Similarity.planesFor(1000L) == 4)
     assert(Similarity.planesFor(1000000000L, 10000L) == 17)
