@@ -779,7 +779,22 @@ object SparkEntry {
     // (ties broken by token). TakeOrderedAndProject keeps the "top-k"
     // driver-side cost at k rows; countDistinct is Spark's standard
     // two-phase expand — the price of an exact df at any scale
-    // OOV rate vs the corpus's own top-256 vocabulary: one slim token
+    // tokenizer fertility per language: BPE-ish tokens per whitespace
+    // token in ppm — the "subword inflation" data-card row a multilingual
+    // mixture budget reads; one slim (lang) aggregate
+    "t_fertility" -> ((s, dir) =>
+      docs(s, dir).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalytics.tokenCount(col("text")).cast("long")).as("ws_tokens"),
+          sum(TextAnalytics.bpeTokenCount(col("text"))).as("bpe_tokens"))
+        .select(col("lang"), col("n_docs"), col("ws_tokens"), col("bpe_tokens"),
+          expr("bpe_tokens * 1000000 DIV greatest(ws_tokens, 1L)").as("fertility_ppm"))),
+    // order-invariant corpus digest: XOR of 40-bit (id, fingerprint)
+    // hashes — the reproducibility-manifest row that pins a training
+    // run's exact input under any partitioning; one map-side-partial agg
+    "q_corpus_digest" -> ((s, dir) =>
+      graft.stats.CorpusStats.corpusDigest(docs(s, dir), "doc_id", "text")),
+    // OOV rate vs the corpus's own top-K vocabulary: one slim token
     // agg into TakeOrdered, then a map-only broadcast-literal probe —
     // documents never shuffle (the synthesis has 31 distinct tokens, so
     // K=16 leaves real OOV mass at the gated scales)
@@ -1103,6 +1118,19 @@ object SparkEntry {
       UrlOps.domainStats(
         docs(s, dir).select(synthUrl.as("url"), TextAnalytics.isQuality(col("text")).as("q")),
         "url", "q")),
+    // url-structure frontier features: depth / param count / root flag —
+    // the pre-fetch prioritization signals, map-only string expressions
+    // (%11 docs get a root url so depth 0 / is_root true really occur)
+    "w_url_features" -> ((s, dir) => {
+      val u = when(col("doc_id") % 11 === 0,
+        concat(lit("https://root"), (col("doc_id") % 5).cast("string"), lit(".com/")))
+        .otherwise(synthUrl)
+      docs(s, dir).select(col("doc_id"), u.as("url"))
+        .select(col("doc_id"),
+          UrlOps.pathDepth(col("url")).as("path_depth"),
+          UrlOps.queryParamCount(col("url")).as("n_params"),
+          (UrlOps.pathDepth(col("url")) === 0).as("is_root"))
+    }),
     // domain-concentration data card: exact Gini + top share over the
     // per-domain doc counts via the counts-of-counts closed form — the
     // only ordered relation is distinct count VALUES (metadata-sized);
@@ -1709,6 +1737,11 @@ object SparkEntry {
     "d_minhash_sig" -> ((s, dir) =>
       Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", 8)
         .withColumnRenamed("id", "doc_id")),
+    // MinHash Jaccard ESTIMATOR on the banded candidates: matches·10^6
+    // DIV k from the signatures already in hand — no second text pass
+    // (the exact verify re-shingles both sides of every pair)
+    "d_minhash_est" -> ((s, dir) =>
+      Dedup.minhashEstimates(docs(s, dir), "doc_id", "text", 8, 2)),
     "d_lsh_pairs" -> ((s, dir) =>
       Dedup.lshCandidatePairs(docs(s, dir), "doc_id", "text", 8, 2)),
     "d_jaccard_pairs" -> ((s, dir) =>
@@ -2335,6 +2368,24 @@ object SparkEntry {
          |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tok) END AS BIGINT) AS n_ws,
          |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe
          |FROM documents""".stripMargin,
+    // fertility twin: same per-doc counts, lang rollup, positive DIV
+    "t_fertility" ->
+      s"""WITH a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tok) END) AS BIGINT) AS ws_tokens,
+         |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]'))) AS BIGINT) AS bpe_tokens
+         |FROM documents GROUP BY 1)
+         |SELECT lang, n_docs, ws_tokens, bpe_tokens,
+         |  CAST(bpe_tokens * 1000000 // greatest(ws_tokens, 1) AS BIGINT) AS fertility_ppm
+         |FROM a""".stripMargin,
+    // digest twin: same (id, fingerprint) key, same 40-bit hash, XOR
+    "q_corpus_digest" ->
+      s"""WITH f AS (SELECT CAST(doc_id AS VARCHAR) || ':' || $fpSql AS key, $fpSql AS fp
+         |  FROM documents),
+         |h AS (SELECT ('0x' || substr(md5(key), 1, 10))::BIGINT AS hv, fp FROM f)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fp,
+         |  CAST(bit_xor(hv) AS BIGINT) AS digest40
+         |FROM h""".stripMargin,
     "t_bpe_pairs" ->
       """WITH t AS (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]')) AS token FROM documents),
         |v AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM t WHERE len(token) >= 2 GROUP BY token),
@@ -2555,6 +2606,24 @@ object SparkEntry {
          |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
          |  CAST(count(*) FILTER (WHERE $qualityPredSql) AS BIGINT) AS n_quality
          |FROM p5 GROUP BY 1""".stripMargin,
+    // url-features twin: same fragment strip, authority split, and
+    // path/query cuts; %11 root-url override replayed with a CASE
+    "w_url_features" ->
+      s"""WITH $urlCte,
+         |uu AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0
+         |  THEN 'https://root' || CAST(doc_id % 5 AS VARCHAR) || '.com/' ELSE url END AS u2 FROM u),
+         |nf AS (SELECT doc_id, regexp_replace(u2, '#.*$$', '') AS nfu FROM uu),
+         |r AS (SELECT doc_id, CASE WHEN instr(nfu, '://') = 0 THEN nfu
+         |  ELSE substr(nfu, instr(nfu, '://') + 3) END AS rest FROM nf),
+         |pq AS (SELECT doc_id, regexp_replace(rest, '^[^/?]*', '') AS pathq FROM r),
+         |f AS (SELECT doc_id, split_part(pathq, '?', 1) AS path,
+         |  CASE WHEN instr(pathq, '?') = 0 THEN ''
+         |       ELSE substr(pathq, instr(pathq, '?') + 1) END AS q FROM pq)
+         |SELECT doc_id,
+         |  CAST(len(list_filter(string_split(path, '/'), x -> x <> '')) AS BIGINT) AS path_depth,
+         |  CAST(CASE WHEN q = '' THEN 0 ELSE len(string_split(q, '&')) END AS BIGINT) AS n_params,
+         |  (len(list_filter(string_split(path, '/'), x -> x <> '')) = 0) AS is_root
+         |FROM f""".stripMargin,
     // gini twin: same counts-of-counts closed form, HUGEINT for the
     // 10^26-scale numerator, same non-negative floor division
     "w_domain_gini" ->
@@ -3631,6 +3700,23 @@ object SparkEntry {
     "d_lsh_jaccard" ->
       s"""WITH $lshJaccardChain
          |SELECT id1, id2, inter, uni FROM jac""".stripMargin,
+    // estimator twin: same signatures and banding, component-match sum
+    "d_minhash_est" -> {
+      val m = (0 until 8)
+        .map(h => s"(CASE WHEN sa.mh$h = sb.mh$h THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH $shingleCte,
+         |sig AS (SELECT doc_id, $minhashSelect FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS bv FROM sig UNION ALL
+         |  SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig UNION ALL
+         |  SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig UNION ALL
+         |  SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT id1, id2, CAST($m AS BIGINT) AS matches,
+         |  CAST(($m) * 1000000 // 8 AS BIGINT) AS est_ppm
+         |FROM cand JOIN sig sa ON sa.doc_id = cand.id1 JOIN sig sb ON sb.doc_id = cand.id2""".stripMargin
+    },
     "d_drop_neardup" ->
       s"""WITH $lshJaccardChain,
          |drops AS (SELECT DISTINCT id2 FROM jac WHERE inter * 100 >= uni * 50)

@@ -130,6 +130,49 @@ object Dedup {
     exploded.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** MinHash Jaccard ESTIMATE for LSH candidate pairs: the fraction of
+    * matching signature components, `est_ppm = matches · 10^6 DIV k` —
+    * the unbiased estimator (E[match] = J, standard error ~1/√k) that
+    * corpus-scale dedup acts on when exact verification is skipped: the
+    * exact path ([[jaccardForPairs]]) re-shingles BOTH documents of every
+    * candidate pair — a second full pass over text — while the estimator
+    * answers from the k components already in hand. Output
+    * (id1, id2, matches, est_ppm) for every banded candidate pair.
+    *
+    * Scale shape: signatures are computed ONCE (lazy checkpoint — three
+    * consumers: banding, and both sides of the match join); candidates
+    * come from the usual constant-width band equi-join; the match count
+    * is a codegen'd k-term comparison on the slim (id, k×32-hex) rows.
+    * Text never enters after the signature pass.
+    */
+  def minhashEstimates(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    require(k % rowsPerBand == 0, s"rowsPerBand=$rowsPerBand must divide k=$k")
+    val sig = minhashSignatures(df, idCol, textCol, k).localCheckpoint(eager = false)
+    val bandStructs = (0 until k / rowsPerBand).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), concat_ws("|", parts: _*).as("bv"))
+    }
+    val bands = sig.select(col("id"), explode(array(bandStructs: _*)).as("bd"))
+      .select(col("id"), col("bd.band").as("band"), col("bd.bv").as("bv"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
+    val s1 = sig.select(col("id").as("id1") +:
+      (0 until k).map(h => col(s"mh$h").as(s"_a$h")): _*)
+    val s2 = sig.select(col("id").as("id2") +:
+      (0 until k).map(h => col(s"mh$h").as(s"_b$h")): _*)
+    val matches = (0 until k)
+      .map(h => when(col(s"_a$h") === col(s"_b$h"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cand.join(s1, "id1").join(s2, "id2")
+      .select(col("id1"), col("id2"), matches.as("matches"))
+      .select(col("id1"), col("id2"), col("matches"),
+        expr(s"matches * 1000000 DIV $k").as("est_ppm"))
+  }
+
   /** (id, band, bv) exploded LSH banding of the MinHash signature:
     * k/rowsPerBand bands, band value = concat of its signature rows.
     * Two documents are near-dup candidates iff they collide on ≥1 band.

@@ -208,6 +208,31 @@ object CorpusStats {
           .otherwise(lit(0L)).as("s_max"))
   }
 
+  /** Order-invariant corpus digest — the reproducibility manifest row a
+    * training run records to PIN its input ("this exact corpus, any
+    * partitioning"): `(n_docs, n_distinct_fp, digest40)` where `digest40`
+    * is the XOR of a portable 40-bit hash of every `(id, content
+    * fingerprint)` pair. XOR is commutative/associative, so the digest is
+    * identical under any partitioning, ordering, or cluster size — and
+    * any single changed/added/dropped row flips it (40-bit collision odds
+    * are the documented trade for engine portability; the (n_docs,
+    * n_distinct_fp) pair rides along as the cheap second check).
+    * Re-running a pinned experiment starts by re-deriving this row and
+    * comparing it to the manifest.
+    *
+    * Scale shape: one map-side-partial XOR/count aggregate (a single
+    * 1-row result); the distinct-fingerprint count shuffles slim 32-hex
+    * keys only. Text never moves.
+    */
+  def corpusDigest(d: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = graft.text.TextAnalytics.fingerprint(col(textCol))
+    d.select(col(idCol).cast("string").as("_id"), fp.as("_fp"))
+      .select(hash40(concat(col("_id"), lit(":"), col("_fp"))).as("hv"), col("_fp"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("_fp")).as("n_distinct_fp"),
+        expr("bit_xor(hv)").as("digest40"))
+  }
+
   /** Concentration of a corpus over a key (domain, source, language):
     * exact Gini coefficient of the per-key document counts plus the top
     * key's share, as one data-card row `(n_keys, n_docs, gini_ppm,

@@ -130,6 +130,28 @@ object UrlOps {
       when(pathq === "", lit("/")).otherwise(pathq))
   }
 
+  /** URL-structure features — the crawl-prioritization signals a frontier
+    * scores BEFORE fetching (no content yet, only the url): `path_depth`
+    * (non-empty `/`-segments — shallow pages are hubs/landing pages, deep
+    * ones long-tail), `n_params` (query-parameter count — high counts
+    * correlate with faceted-search/session churn), and `is_root`. All
+    * derived from the fragment-stripped url with the same authority split
+    * as [[host]]; map-only string expressions, replayed exactly by the
+    * SQL oracle.
+    */
+  def pathDepth(u: Column): Column = {
+    val pathq = regexp_replace(afterScheme(stripFragment(u)), "^[^/?]*", "")
+    val path = substring_index(pathq, "?", 1)
+    size(filter(split(path, "/"), s => s =!= "")).cast("long")
+  }
+
+  def queryParamCount(u: Column): Column = {
+    val pathq = regexp_replace(afterScheme(stripFragment(u)), "^[^/?]*", "")
+    val q = when(instr(pathq, "?") === 0, lit(""))
+      .otherwise(pathq.substr(instr(pathq, "?") + 1, length(pathq)))
+    when(q === "", lit(0L)).otherwise(size(split(q, "&")).cast("long"))
+  }
+
   /** Registered domain: the last two dot-labels of the host, with any
     * port stripped first (the canonical host deliberately KEEPS
     * non-default ports, but a blocklist keyed by domain must not let

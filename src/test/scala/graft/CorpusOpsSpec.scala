@@ -265,6 +265,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(hhRows(viaSql) == Seq(("a", 2L, 0L), ("b", 1L, 0L)))
   }
 
+  test("corpusDigest: partitioning-invariant; flips on any changed row; counts distinct fps") {
+    import spark.implicits._
+    val d = (1L to 100L).map(i => (i, s"text body number ${i % 40}")).toDF("doc_id", "text")
+    val a = CorpusStats.corpusDigest(d.repartition(1), "doc_id", "text").collect()(0)
+    val b = CorpusStats.corpusDigest(d.repartition(8), "doc_id", "text").collect()(0)
+    assert(a == b, "digest must be order/partitioning invariant")
+    assert(a.getLong(0) == 100L && a.getLong(1) == 40L)
+    val mutated = (1L to 100L).map(i =>
+      (i, if (i == 57L) "changed!" else s"text body number ${i % 40}")).toDF("doc_id", "text")
+    val c = CorpusStats.corpusDigest(mutated, "doc_id", "text").collect()(0)
+    assert(c.getLong(2) != a.getLong(2), "one changed row must flip the digest")
+    val dropped = d.filter(col("doc_id") =!= 57L)
+    val e = CorpusStats.corpusDigest(dropped, "doc_id", "text").collect()(0)
+    assert(e.getLong(2) != a.getLong(2) && e.getLong(0) == 99L)
+  }
+
   test("concentration: hand-computed Gini via counts-of-counts; uniform → 0; skewed > 0") {
     import spark.implicits._
     // counts sorted [1,1,4]: sumic=15, gini = (30-24)/18 → 333333 ppm;

@@ -206,6 +206,23 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(1L), s"chain must keep exactly the component min, got $kept")
   }
 
+  test("minhashEstimates: identical docs estimate 10^6 exactly; estimate stays in [0, 10^6]") {
+    import spark.implicits._
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = t + " extra words tail here now"
+    val d = df(1L -> t, 2L -> t, 3L -> near,
+      9L -> "completely different content with no shared shingles at all")
+    val est = Dedup.minhashEstimates(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(est((1L, 2L)) == ((8L, 1000000L)), s"identical docs: all components match: $est")
+    est.values.foreach { case (m, ppm) =>
+      assert(m >= 0 && m <= 8 && ppm >= 0 && ppm <= 1000000L)
+      assert(ppm == m * 1000000L / 8)
+    }
+    assert(!est.keySet.exists(p => p._1 == 9L || p._2 == 9L),
+      "disjoint doc must never become a candidate")
+  }
+
   test("best survivor: cluster keeps its LONGEST member, not the min id; tie breaks to min id") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"

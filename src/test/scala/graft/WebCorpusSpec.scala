@@ -926,6 +926,24 @@ class WebCorpusSpec extends AnyFunSuite {
     assert(loose.contains(("b.org", "c.net")))
   }
 
+  test("url features: depth counts non-empty segments, params split on &, fragment/query never leak into depth") {
+    import spark.implicits._
+    def f(u: String): (Long, Long) = {
+      val r = Seq(u).toDF("url")
+        .select(graft.web.UrlOps.pathDepth(col("url")),
+          graft.web.UrlOps.queryParamCount(col("url"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(f("https://a.com/x/y/z") == ((3L, 0L)))
+    assert(f("https://a.com/") == ((0L, 0L)))
+    assert(f("https://a.com") == ((0L, 0L)))
+    assert(f("https://a.com/x?a=1&b=2&c=3") == ((1L, 3L)))
+    assert(f("https://a.com?a=1") == ((0L, 1L)))           // path-less query
+    assert(f("https://a.com/x//y/") == ((2L, 0L)))         // empty segments drop
+    assert(f("https://a.com/x#frag/with/slashes") == ((1L, 0L))) // fragment out
+    assert(f("https://a.com/x?q=v#f") == ((1L, 1L)))
+  }
+
   test("mirror families: transitive closure unites chained pairs; canonical = min; isolated domains absent") {
     import spark.implicits._
     // a~b and b~c pair (50% of the smaller side) but a~c share NOTHING —
