@@ -1737,6 +1737,17 @@ object SparkEntry {
     "d_minhash_sig" -> ((s, dir) =>
       Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", 8)
         .withColumnRenamed("id", "doc_id")),
+    // content-defined chunking: native O(n) rolling-hash cuts
+    // (graft_cdc_cuts), row-local explode — the insertion-robust passage
+    // partition; only slim (id, idx, start, len, md5) rows leave the stage
+    "d_cdc_chunks" -> ((s, dir) =>
+      graft.dedup.CdcDedup.chunks(docs(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+    // chunks shared across documents: one chunk-hash aggregate — the
+    // cross-crawl shared-passage catalog fixed-offset dedup misses
+    "d_cdc_shared" -> ((s, dir) =>
+      graft.dedup.CdcDedup.sharedChunks(
+        graft.dedup.CdcDedup.chunks(docs(s, dir), "doc_id", "text"))),
     // MinHash Jaccard ESTIMATOR on the banded candidates: matches·10^6
     // DIV k from the signatures already in hand — no second text pass
     // (the exact verify re-shingles both sides of every pair)
@@ -1980,6 +1991,24 @@ object SparkEntry {
     * shared by the fingerprint and incremental-dedup oracles.
     */
   private val fpSql = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+  /** Shared CTE chain for the CDC oracles: per-character code points,
+    * rolling-hash cut positions (w=16, divisor=64, the gated config),
+    * chunk bounds with the end sentinel, exploded (doc, chunk) rows
+    * `cdcf(doc_id, gi, st, en, cs)` — the SQL twin of
+    * [[graft.functions.CdcCuts]] + [[graft.dedup.CdcDedup.chunks]].
+    */
+  private val cdcChunkCte =
+    """cdcc AS (SELECT doc_id, text, list_transform(string_split(text, ''), x -> CAST(unicode(x) AS BIGINT)) AS cs
+      |  FROM documents WHERE length(text) > 0),
+      |cdch AS (SELECT doc_id, text, cs, len(cs) AS n,
+      |  list_filter(generate_series(16, len(cs)), i ->
+      |    list_reduce(cs[i-15:i], (h, x) -> (h * 257 + x) % 1000000007) % 64 = 0) AS cuts FROM cdcc),
+      |cdcb AS (SELECT doc_id, text, n,
+      |  list_concat(list_concat([CAST(0 AS BIGINT)], cuts),
+      |    CASE WHEN len(cuts) = 0 OR cuts[-1] <> n THEN [n] ELSE [] END) AS bounds FROM cdch),
+      |cdce AS (SELECT doc_id, text, bounds, unnest(generate_series(1, len(bounds) - 1)) AS gi FROM cdcb),
+      |cdcf AS (SELECT doc_id, text, gi, bounds[gi] AS st, bounds[gi + 1] AS en FROM cdce)""".stripMargin
 
   /** Shared CTE chain: the synthetic messy url (twin of [[synthUrl]]) and
     * its canonical decomposition (twin of [[UrlOps.canonicalize]]). The
@@ -3700,6 +3729,21 @@ object SparkEntry {
     "d_lsh_jaccard" ->
       s"""WITH $lshJaccardChain
          |SELECT id1, id2, inter, uni FROM jac""".stripMargin,
+    // CDC twin: per-character code points, the same polynomial rolling
+    // hash replayed per window via list_reduce (fold seeded by the first
+    // element == fold from 0), same sentinel bound, md5 per slice
+    "d_cdc_chunks" ->
+      s"""WITH $cdcChunkCte
+         |SELECT doc_id, CAST(gi - 1 AS BIGINT) AS chunk_idx,
+         |  CAST(st + 1 AS BIGINT) AS start_cp, CAST(en - st AS BIGINT) AS len_cp,
+         |  md5(substring(text, CAST(st + 1 AS INTEGER), CAST(en - st AS INTEGER))) AS chunk_md5
+         |FROM cdcf""".stripMargin,
+    "d_cdc_shared" ->
+      s"""WITH $cdcChunkCte,
+         |ch AS (SELECT doc_id, md5(substring(text, CAST(st + 1 AS INTEGER), CAST(en - st AS INTEGER))) AS chunk_md5 FROM cdcf)
+         |SELECT chunk_md5, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_occurrences
+         |FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
     // estimator twin: same signatures and banding, component-match sum
     "d_minhash_est" -> {
       val m = (0 until 8)

@@ -187,6 +187,14 @@ object GraftFunctions {
     CorruptMojibakeExpression(children.head)
   }
 
+  val CdcCutsName = "graft_cdc_cuts"
+  private val cdcCutsInfo = new ExpressionInfo(classOf[CdcCutsExpression].getName, CdcCutsName)
+
+  val cdcCutsBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 3, s"$CdcCutsName takes exactly 3 arguments, got ${children.length}")
+    CdcCutsExpression(children.head, children(1), children(2))
+  }
+
   val HeavyName = "graft_heavy_topk"
   private val heavyInfo = new ExpressionInfo(classOf[SpaceSavingTopK].getName, HeavyName)
 
@@ -209,6 +217,7 @@ object GraftFunctions {
     reg.registerFunction(FunctionIdentifier(KmvName), kmvInfo, kmvBuilder)
     reg.registerFunction(FunctionIdentifier(BottomKName), bottomkInfo, bottomkBuilder)
     reg.registerFunction(FunctionIdentifier(HeavyName), heavyInfo, heavyBuilder)
+    reg.registerFunction(FunctionIdentifier(CdcCutsName), cdcCutsInfo, cdcCutsBuilder)
     reg.registerFunction(FunctionIdentifier(FixMojibakeName), fixMojibakeInfo, fixMojibakeBuilder)
     reg.registerFunction(FunctionIdentifier(MojibakeName), mojibakeInfo, mojibakeBuilder)
     // optimizer surface parity with GraftExtensions (idempotent: guard
@@ -274,6 +283,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier(GraftFunctions.MojibakeName),
         new ExpressionInfo(classOf[CorruptMojibakeExpression].getName, GraftFunctions.MojibakeName),
         GraftFunctions.mojibakeBuilder))
+    ext.injectFunction(
+      (FunctionIdentifier(GraftFunctions.CdcCutsName),
+        new ExpressionInfo(classOf[CdcCutsExpression].getName, GraftFunctions.CdcCutsName),
+        GraftFunctions.cdcCutsBuilder))
     ext.injectOptimizerRule(_ => CollapseIdempotentNormalization)
   }
 }
