@@ -403,6 +403,10 @@ object Bench {
     val ndExact = graft.sim.Similarity.nearDupPairs(ndCorpus, 400000L).count()
     val ndLsh = graft.sim.Similarity.nearDupPairsLsh(ndCorpus, 400000L).count()
     val ndRecall = if (ndExact == 0) 1.0 else ndLsh.toDouble / ndExact
+    // PQ ADC recall at the gated (m, ks) — the memory-resident scan's
+    // distortion is a per-run quality number, like the other two ANN paths
+    val pqRecall = graft.sim.Similarity.pqRecallAtK(
+      embs, embs.filter(col("vec_id") < 10), 5, m = 16, ks = 64)
     spark.stop()
 
     import graft.util.JsonFmt.d
@@ -434,7 +438,7 @@ object Bench {
     val scaling =
       s""""cores_n":$n,"cores_4n":$n4,"sec_n":${d(secN, 3)},"sec_4n":${d(secN4, 3)},"docs_per_sec_n":${d(thrN, 1)},"docs_per_sec_4n":${d(thrN4, 1)},"pairs_total":${pairs.size},"clean_pairs":${clean.size},"contended":$contended,"cpu_occupancy_inflation":${dOpt(cpuInflation, 3)},"efficiency_hw_normalized":${dOpt(effHwNormalized, 3)},"efficiency_min_ratio":${dOpt(effMinRatio, 3)},"detail_file":${js(detailFile.toString)},"efficiency":${dOpt(eff, 3)}"""
     println(
-      s"""{"metric":"total","value":${d(total, 3)},"unit":"sec","queries_total":${queries.size},"queries_ok":${queries.count(_._3.isEmpty)},"queries_sec":${d(queries.map(_._2).sum, 3)},"queries_slowest":$slowest,"query_errors":$qErrs,"sf":"$sfDir","extract":{"docs":$docs,"docs_per_sec":${d(thrN4, 1)},"sec":${d(secN4, 3)}},"quality":{"ann_planes":$annPlanes,"ann_recall_at_5":${d(annRecall, 3)},"ivf_cells":$ivfCells,"ivf_recall_at_5":${d(ivfRecall, 3)},"neardup_lsh_recall":${d(ndRecall, 3)},"neardup_pairs_exact":$ndExact,"neardup_pairs_lsh":$ndLsh},"scaling":{$scaling}}"""
+      s"""{"metric":"total","value":${d(total, 3)},"unit":"sec","queries_total":${queries.size},"queries_ok":${queries.count(_._3.isEmpty)},"queries_sec":${d(queries.map(_._2).sum, 3)},"queries_slowest":$slowest,"query_errors":$qErrs,"sf":"$sfDir","extract":{"docs":$docs,"docs_per_sec":${d(thrN4, 1)},"sec":${d(secN4, 3)}},"quality":{"ann_planes":$annPlanes,"ann_recall_at_5":${d(annRecall, 3)},"ivf_cells":$ivfCells,"ivf_recall_at_5":${d(ivfRecall, 3)},"pq_recall_at_5":${d(pqRecall, 3)},"neardup_lsh_recall":${d(ndRecall, 3)},"neardup_pairs_exact":$ndExact,"neardup_pairs_lsh":$ndLsh},"scaling":{$scaling}}"""
     )
     if (queries.exists(_._3.isDefined)) sys.exit(1)
   }

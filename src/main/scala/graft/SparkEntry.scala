@@ -1550,6 +1550,26 @@ object SparkEntry {
       graft.events.EventOps.funnel(
         s.read.parquet(s"$dir/events.parquet").filter(col("event_id") % 7 === 0),
         "user_id", "event_type", "ts", Seq("view", "click", "purchase"))),
+    // event-type transitions: the order-1 Markov matrix per entity
+    // sequence — one entity-key exchange + a metadata-sized pair rollup
+    "e_transitions" -> ((s, dir) =>
+      graft.events.EventOps.transitions(s.read.parquet(s"$dir/events.parquet"),
+        "user_id", "event_type", "ts", "event_id")),
+    // redirect-chain resolution by POINTER JUMPING: R slim self-joins
+    // follow 2^R hops (6 rounds = 64); synthetic chains of 7 with two
+    // planted 2-cycles — loops come back resolved=false, never hang
+    "w_redirects" -> ((s, dir) => {
+      val u = docs(s, dir).select(col("doc_id").as("id"),
+        concat(lit("https://r"), (col("doc_id") % 13).cast("string"),
+          lit(".example/p"), col("doc_id").cast("string")).as("url"))
+      val fwd = u.as("a").join(u.as("b"), col("b.id") === col("a.id") + 1)
+        .filter(col("a.id") % 7 =!= 6)
+        .select(col("a.url").as("src"), col("b.url").as("dst"))
+      val back = u.as("a").join(u.as("b"), col("b.id") === col("a.id") - 1)
+        .filter(col("a.id") % 7 === 6 && col("a.id") % 41 === 0)
+        .select(col("a.url").as("src"), col("b.url").as("dst"))
+      graft.web.Redirects.resolve(fwd.unionAll(back), "src", "dst", rounds = 6)
+    }),
     // cohort retention: first-seen-day cohorts × activity-day offsets —
     // one entity-key exchange, in-partition (user, cohort, offset) dedup
     // (group key ⊇ the partition key), then a metadata-sized cell agg
@@ -3070,6 +3090,36 @@ object SparkEntry {
         |  CAST(1 + (CASE WHEN s1.ts_1 IS NOT NULL THEN 1 ELSE 0 END)
         |         + (CASE WHEN s2.ts_2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS depth
         |FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)""".stripMargin,
+    // transitions twin: same (ts, id)-ordered lead, same pair rollup
+    "e_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |l AS (SELECT event_type AS from_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS to_type FROM e)
+        |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |FROM l WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    // redirects twin: same synthesized edges; bounded recursive walk to
+    // 64 hops, last row per src, terminal = no outgoing edge
+    "w_redirects" ->
+      """WITH RECURSIVE uu AS (SELECT doc_id AS id,
+        |  'https://r' || CAST(doc_id % 13 AS VARCHAR) || '.example/p' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |eb AS (SELECT a.url AS src, b.url AS dst FROM uu a JOIN uu b ON b.id = a.id + 1
+        |       WHERE a.id % 7 <> 6
+        |       UNION ALL
+        |       SELECT a.url AS src, b.url AS dst FROM uu a JOIN uu b ON b.id = a.id - 1
+        |       WHERE a.id % 7 = 6 AND a.id % 41 = 0),
+        |e AS (SELECT DISTINCT src, dst FROM eb),
+        |walk(src, cur, hops) AS (
+        |  SELECT src, dst, CAST(1 AS BIGINT) FROM e
+        |  UNION ALL
+        |  SELECT w.src, e2.dst, w.hops + 1 FROM walk w JOIN e e2 ON e2.src = w.cur
+        |  WHERE w.hops < 64),
+        |lst AS (SELECT src, max(hops) AS hops FROM walk GROUP BY src),
+        |fin AS (SELECT w.src, w.cur AS final, w.hops FROM walk w
+        |        JOIN lst l ON l.src = w.src AND l.hops = w.hops)
+        |SELECT src, final, hops,
+        |  NOT EXISTS (SELECT 1 FROM e e3 WHERE e3.src = fin.final) AS resolved
+        |FROM fin""".stripMargin,
     // retention twin: same day-index DIV, same first-seen window, same
     // offset-0 cohort size via first_value over the cell relation
     "e_retention" ->

@@ -202,6 +202,31 @@ object EventOps {
         depth.as("depth"): _*)
   }
 
+  /** Event-type transition counts — the order-1 Markov matrix over each
+    * entity's event sequence (`view→click`, `click→purchase`, …): the
+    * clickstream structure summary funnels sample one path of. One row
+    * per (from_type, to_type) with the corpus-wide transition count;
+    * consecutive-pair semantics under the deterministic `(ts, id)`
+    * order.
+    *
+    * Scale shape: ONE entity-key exchange feeds the `lead` window (same
+    * partitioning discipline as [[sessionize]]); the transition rollup
+    * then aggregates slim (from, to) pairs with map-side partials —
+    * event-type alphabets are tiny, so the final relation is
+    * metadata-sized.
+    */
+  def transitions(events: DataFrame, userCol: String, typeCol: String,
+                  tsCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col("ts_us"), col(idCol))
+    events
+      .select(col(userCol), col(idCol), col(typeCol),
+        unix_micros(col(tsCol).cast("timestamp")).as("ts_us"))
+      .withColumn("_next", lead(col(typeCol), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("_next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Cohort retention — the "does the crawl keep seeing this host/user"
     * matrix every longitudinal corpus asks for: entities are grouped into
     * cohorts by their FIRST-seen period (`ts_us DIV periodMicros`, an

@@ -209,6 +209,21 @@ class EventOpsSpec extends AnyFunSuite {
     assert(t.getLong(3) == 2L)
   }
 
+  test("transitions: consecutive pairs per user in (ts, id) order; no cross-user pairs") {
+    val e = events(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "view"),
+      (1L, "2024-01-01 00:00:10", 2L, "click"),
+      (1L, "2024-01-01 00:00:20", 3L, "view"),
+      (2L, "2024-01-01 00:00:05", 4L, "purchase"), // isolated single event
+      (3L, "2024-01-01 00:00:00", 5L, "view"),
+      (3L, "2024-01-01 00:00:00", 6L, "click")))   // tie → id order
+    val got = EventOps.transitions(e, "user_id", "event_type", "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("view", "click") -> 2L,   // user 1 and user 3 (tie broken by id)
+      ("click", "view") -> 1L))
+  }
+
   test("retention: cohorts by first-seen day, offsets dedup within day, ppm exact") {
     // user 1: days 0, 0, 2  (cohort 0 — day-0 twice must count once)
     // user 2: days 0, 1     (cohort 0)

@@ -926,6 +926,34 @@ class WebCorpusSpec extends AnyFunSuite {
     assert(loose.contains(("b.org", "c.net")))
   }
 
+  test("redirects: chains resolve with exact hop counts; cycles flagged; budget doubles per round; conflicts rejected") {
+    import spark.implicits._
+    // chain a→b→c→d; 2-cycle x↔y; isolated terminal (dst-only) needs no row
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"), ("y", "x"))
+      .toDF("src", "dst")
+    val got = graft.web.Redirects.resolve(e, "src", "dst", rounds = 3)
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got("a") == (("d", 3L, true)))
+    assert(got("b") == (("d", 2L, true)))
+    assert(got("c") == (("d", 1L, true)))
+    assert(!got("x")._3 && !got("y")._3, s"cycle must come back unresolved: $got")
+    assert(got("x")._2 == 8L, "cycle walks the full 2^rounds budget")
+    // a 20-hop chain: unresolved at rounds=4 (budget 16), resolved at 5
+    val long = (0 until 20).map(i => (s"n$i", s"n${i + 1}")).toDF("src", "dst")
+    val r4 = graft.web.Redirects.resolve(long, "src", "dst", rounds = 4)
+      .filter(col("src") === "n0").collect()(0)
+    assert(!r4.getBoolean(3) && r4.getLong(2) == 16L)
+    val r5 = graft.web.Redirects.resolve(long, "src", "dst", rounds = 5)
+      .filter(col("src") === "n0").collect()(0)
+    assert(r5.getBoolean(3) && r5.getString(1) == "n20" && r5.getLong(2) == 20L)
+    // conflicting sources fail loudly
+    val conflict = Seq(("a", "b"), ("a", "c")).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      graft.web.Redirects.resolve(conflict, "src", "dst")
+    }
+    assert(ex.getMessage.contains("conflicting redirect"))
+  }
+
   test("url features: depth counts non-empty segments, params split on &, fragment/query never leak into depth") {
     import spark.implicits._
     def f(u: String): (Long, Long) = {
