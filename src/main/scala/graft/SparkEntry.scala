@@ -1349,19 +1349,22 @@ object SparkEntry {
     // curation decision per family (keep the lexicographic-min member);
     // min-label propagation over whole-domain pairs, never fingerprints
     "w_mirror_families" -> ((s, dir) => {
-      def slim(d: DataFrame) = d.select(
-        UrlOps.registeredDomain(UrlOps.host(synthUrl)).as("domain"),
-        TextAnalytics.fingerprint(col("text")).as("fp"))
-      val base = slim(docs(s, dir))
       // TWO mirror tiers chain a->mirror-a->mirror2-a transitively: the
       // full clone pairs with both others, the %14 sub-clone only with
-      // its supersets — the family must still unite all three
-      val m1 = slim(docs(s, dir).filter(col("doc_id") % 7 === 0))
+      // its supersets — the family must still unite all three. The
+      // corpus is fingerprinted ONCE (lazy checkpoint); both clone tiers
+      // are filters over that pass, not re-normalizations (the 3×-md5
+      // version benched 8.7 s at sf0.1; this shape shares the scan)
+      val base0 = docs(s, dir).select(col("doc_id"),
+          UrlOps.registeredDomain(UrlOps.host(synthUrl)).as("domain"),
+          TextAnalytics.fingerprint(col("text")).as("fp"))
+        .localCheckpoint(eager = false)
+      val m1 = base0.filter(col("doc_id") % 7 === 0)
         .withColumn("domain", concat(lit("mirror-"), col("domain")))
-      val m2 = slim(docs(s, dir).filter(col("doc_id") % 14 === 0))
+      val m2 = base0.filter(col("doc_id") % 14 === 0)
         .withColumn("domain", concat(lit("mirror2-"), col("domain")))
       graft.web.Mirrors.mirrorFamilies(
-        base.unionAll(m1).unionAll(m2), "domain", "fp", tauPct = 50)
+        base0.unionAll(m1).unionAll(m2).drop("doc_id"), "domain", "fp", tauPct = 50)
     }),
     // writing-system detection over multi-script synthesis: four
     // replace-and-measure passes + argmax, map-only codegen
@@ -1768,6 +1771,18 @@ object SparkEntry {
     "d_cdc_shared" -> ((s, dir) =>
       graft.dedup.CdcDedup.sharedChunks(
         graft.dedup.CdcDedup.chunks(docs(s, dir), "doc_id", "text"))),
+    // cross-version chunk delta: the delta-encoding ratio between two
+    // crawls — %3 docs get a PREFIX edit, the case CDC keeps near-full
+    // reuse on where fixed-offset chunking reports ~0
+    "d_cdc_delta" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val v2 = d.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(lit("UPDATE "), col("text")))
+          .otherwise(col("text")).as("text"))
+      graft.dedup.CdcDedup.versionDelta(
+          d.select(col("doc_id"), col("text")), v2, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+    }),
     // MinHash Jaccard ESTIMATOR on the banded candidates: matches·10^6
     // DIV k from the signatures already in hand — no second text pass
     // (the exact verify re-shingles both sides of every pair)
@@ -2018,17 +2033,19 @@ object SparkEntry {
     * `cdcf(doc_id, gi, st, en, cs)` — the SQL twin of
     * [[graft.functions.CdcCuts]] + [[graft.dedup.CdcDedup.chunks]].
     */
-  private val cdcChunkCte =
-    """cdcc AS (SELECT doc_id, text, list_transform(string_split(text, ''), x -> CAST(unicode(x) AS BIGINT)) AS cs
-      |  FROM documents WHERE length(text) > 0),
-      |cdch AS (SELECT doc_id, text, cs, len(cs) AS n,
-      |  list_filter(generate_series(16, len(cs)), i ->
-      |    list_reduce(cs[i-15:i], (h, x) -> (h * 257 + x) % 1000000007) % 64 = 0) AS cuts FROM cdcc),
-      |cdcb AS (SELECT doc_id, text, n,
-      |  list_concat(list_concat([CAST(0 AS BIGINT)], cuts),
-      |    CASE WHEN len(cuts) = 0 OR cuts[-1] <> n THEN [n] ELSE [] END) AS bounds FROM cdch),
-      |cdce AS (SELECT doc_id, text, bounds, unnest(generate_series(1, len(bounds) - 1)) AS gi FROM cdcb),
-      |cdcf AS (SELECT doc_id, text, gi, bounds[gi] AS st, bounds[gi + 1] AS en FROM cdce)""".stripMargin
+  private def cdcChunkCteFor(p: String, textExpr: String): String =
+    s"""${p}c AS (SELECT doc_id, $textExpr AS text FROM documents WHERE length($textExpr) > 0),
+       |${p}c2 AS (SELECT doc_id, text, list_transform(string_split(text, ''), x -> CAST(unicode(x) AS BIGINT)) AS cs FROM ${p}c),
+       |${p}h AS (SELECT doc_id, text, cs, len(cs) AS n,
+       |  list_filter(generate_series(16, len(cs)), i ->
+       |    list_reduce(cs[i-15:i], (h, x) -> (h * 257 + x) % 1000000007) % 64 = 0) AS cuts FROM ${p}c2),
+       |${p}b AS (SELECT doc_id, text, n,
+       |  list_concat(list_concat([CAST(0 AS BIGINT)], cuts),
+       |    CASE WHEN len(cuts) = 0 OR cuts[-1] <> n THEN [n] ELSE [] END) AS bounds FROM ${p}h),
+       |${p}e AS (SELECT doc_id, text, bounds, unnest(generate_series(1, len(bounds) - 1)) AS gi FROM ${p}b),
+       |${p}f AS (SELECT doc_id, text, gi, bounds[gi] AS st, bounds[gi + 1] AS en FROM ${p}e)""".stripMargin
+
+  private val cdcChunkCte = cdcChunkCteFor("cdc", "text")
 
   /** Shared CTE chain: the synthetic messy url (twin of [[synthUrl]]) and
     * its canonical decomposition (twin of [[UrlOps.canonicalize]]). The
@@ -3794,6 +3811,24 @@ object SparkEntry {
          |SELECT chunk_md5, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
          |  CAST(count(*) AS BIGINT) AS n_occurrences
          |FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+    // delta twin: both versions' chunk chains, per-doc v1 hash set via
+    // DISTINCT, left-join null marks the new chunks
+    "d_cdc_delta" ->
+      s"""WITH ${cdcChunkCteFor("xa", "text")},
+         |${cdcChunkCteFor("xb", "CASE WHEN doc_id % 3 = 0 THEN 'UPDATE ' || text ELSE text END")},
+         |o AS (SELECT DISTINCT doc_id,
+         |  md5(substring(text, CAST(st + 1 AS INTEGER), CAST(en - st AS INTEGER))) AS h FROM xaf),
+         |nw AS (SELECT doc_id,
+         |  md5(substring(text, CAST(st + 1 AS INTEGER), CAST(en - st AS INTEGER))) AS h,
+         |  en - st AS l FROM xbf),
+         |j AS (SELECT nw.doc_id, nw.l, (o.h IS NULL) AS isnew
+         |      FROM nw LEFT JOIN o ON o.doc_id = nw.doc_id AND o.h = nw.h)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(count(*) FILTER (WHERE isnew) AS BIGINT) AS n_new,
+         |  CAST(sum(l) AS BIGINT) AS cp_total,
+         |  CAST(COALESCE(sum(l) FILTER (WHERE isnew), 0) AS BIGINT) AS cp_new,
+         |  CAST((sum(l) - COALESCE(sum(l) FILTER (WHERE isnew), 0)) * 1000000 // sum(l) AS BIGINT) AS reuse_ppm
+         |FROM j GROUP BY 1""".stripMargin,
     // estimator twin: same signatures and banding, component-match sum
     "d_minhash_est" -> {
       val m = (0 until 8)

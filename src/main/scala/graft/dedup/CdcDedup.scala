@@ -58,6 +58,37 @@ object CdcDedup {
         md5(expr("substring(_t, _c.st + 1, _c.en - _c.st)")).as("chunk_md5"))
   }
 
+  /** Cross-version chunk delta — the storage/transfer payoff CDC exists
+    * for: given two crawls of the same documents, how much of each new
+    * version is REUSED chunks (already in the store from version 1) vs
+    * genuinely new bytes. Per version-2 document: chunk count, new-chunk
+    * count, code points total/new, and `reuse_ppm` — the delta-encoding
+    * ratio (restic/borg dedup factor; for a prefix-edited page CDC keeps
+    * reuse near 10^6 where fixed-offset chunking would report ~0).
+    * A version-2 chunk is reused iff ITS OWN document's version-1 chunk
+    * set contains the hash (per-document store semantics — the
+    * corpus-wide variant is [[sharedChunks]] over the union).
+    *
+    * Scale shape: two map-only chunk passes, one slim (id, md5)
+    * distinct, one (id, md5)-keyed left join of slim rows, one per-id
+    * aggregate — text never shuffles.
+    */
+  def versionDelta(v1: DataFrame, v2: DataFrame, idCol: String, textCol: String,
+                   w: Int = 16, divisor: Int = 64): DataFrame = {
+    val old1 = chunks(v1, idCol, textCol, w, divisor)
+      .select(col("id"), col("chunk_md5")).distinct()
+      .withColumn("_seen", lit(1))
+    chunks(v2, idCol, textCol, w, divisor)
+      .join(old1, Seq("id", "chunk_md5"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("_seen").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(col("len_cp")).as("cp_total"),
+        sum(when(col("_seen").isNull, col("len_cp")).otherwise(0L)).as("cp_new"))
+      .select(col("id"), col("n_chunks"), col("n_new"), col("cp_total"), col("cp_new"),
+        expr("(cp_total - cp_new) * 1000000 DIV cp_total").as("reuse_ppm"))
+  }
+
   /** Chunks shared across documents: `(chunk_md5, n_docs, n_occurrences)`
     * for every chunk hash on ≥ 2 distinct documents — the candidate
     * shared-passage catalog a cross-crawl dedup or delta-storage layer

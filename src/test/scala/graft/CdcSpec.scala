@@ -91,6 +91,22 @@ class CdcSpec extends AnyFunSuite {
     assert(sc == (h1 & h2), "sharedChunks catalog == the hash intersection")
   }
 
+  test("versionDelta: unchanged docs fully reuse; a prefix edit keeps most bytes reused") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val long = new String((0 until 2000).map(_ => ('a' + rnd.nextInt(26)).toChar).toArray)
+    val v1 = Seq((1L, long), (2L, long)).toDF("doc_id", "text")
+    val v2 = Seq((1L, long), (2L, "EDIT " + long)).toDF("doc_id", "text")
+    val got = CdcDedup.versionDelta(v1, v2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val (n1, t1, new1, r1) = got(1L)
+    assert(n1 == 0L && new1 == 0L && r1 == 1000000L, s"identical version: full reuse: $got")
+    assert(t1 == 2000L)
+    val (_, _, newCp2, reuse2) = got(2L)
+    assert(reuse2 >= 750000L, s"prefix edit must keep most bytes reused (CDC re-aligns): $got")
+    assert(newCp2 > 0L, "the edited head really is new")
+  }
+
   test("cut positions are code points, not UTF-16 units or bytes") {
     // 😀 is 1 code point, 2 UTF-16 units, 4 UTF-8 bytes: with w=2 and a
     // divisor accepting everything, cuts must be every code-point index
