@@ -775,20 +775,20 @@ object SparkEntry {
           col("_ls").getField("stop").as("stop_tokens"),
           (col("_ls").getField("stop") >= 2).as("has_min_stop"))
     }),
-    // corpus vocabulary: term + document frequency, deterministic top-50
-    // (ties broken by token). TakeOrderedAndProject keeps the "top-k"
-    // driver-side cost at k rows; countDistinct is Spark's standard
-    // two-phase expand — the price of an exact df at any scale
     // tokenizer fertility per language: BPE-ish tokens per whitespace
     // token in ppm — the "subword inflation" data-card row a multilingual
-    // mixture budget reads; one slim (lang) aggregate
+    // mixture budget reads; one slim (lang) aggregate. The ×10^6 runs in
+    // DECIMAL(38,0): a language's token sum reaches ~10^14 at the design
+    // point and the BIGINT product would wrap silently (same envelope
+    // handling as w_domain_gini; the oracle widens to HUGEINT)
     "t_fertility" -> ((s, dir) =>
       docs(s, dir).groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(TextAnalytics.tokenCount(col("text")).cast("long")).as("ws_tokens"),
           sum(TextAnalytics.bpeTokenCount(col("text"))).as("bpe_tokens"))
         .select(col("lang"), col("n_docs"), col("ws_tokens"), col("bpe_tokens"),
-          expr("bpe_tokens * 1000000 DIV greatest(ws_tokens, 1L)").as("fertility_ppm"))),
+          expr("CAST((CAST(bpe_tokens AS DECIMAL(38,0)) * 1000000) DIV greatest(ws_tokens, 1L) AS BIGINT)")
+            .as("fertility_ppm"))),
     // order-invariant corpus digest: XOR of 40-bit (id, fingerprint)
     // hashes — the reproducibility-manifest row that pins a training
     // run's exact input under any partitioning; one map-side-partial agg
@@ -800,6 +800,10 @@ object SparkEntry {
     // K=16 leaves real OOV mass at the gated scales)
     "t_oov_rate" -> ((s, dir) =>
       TextAnalytics.oovStats(docs(s, dir), "doc_id", "text", vocabSize = 16)),
+    // corpus vocabulary: term + document frequency, deterministic top-50
+    // (ties broken by token). TakeOrderedAndProject keeps the "top-k"
+    // driver-side cost at k rows; countDistinct is Spark's standard
+    // two-phase expand — the price of an exact df at any scale
     "t_vocab_topk" -> ((s, dir) => {
       val toks = when(length(trim(col("text"))) === 0, array().cast("array<string>"))
         .otherwise(split(trim(lower(col("text"))), "\\s+"))
@@ -2441,7 +2445,7 @@ object SparkEntry {
          |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]'))) AS BIGINT) AS bpe_tokens
          |FROM documents GROUP BY 1)
          |SELECT lang, n_docs, ws_tokens, bpe_tokens,
-         |  CAST(bpe_tokens * 1000000 // greatest(ws_tokens, 1) AS BIGINT) AS fertility_ppm
+         |  CAST(CAST(bpe_tokens AS HUGEINT) * 1000000 // greatest(ws_tokens, 1) AS BIGINT) AS fertility_ppm
          |FROM a""".stripMargin,
     // digest twin: same (id, fingerprint) key, same 40-bit hash, XOR
     "q_corpus_digest" ->

@@ -149,12 +149,7 @@ object Dedup {
                        k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     require(k % rowsPerBand == 0, s"rowsPerBand=$rowsPerBand must divide k=$k")
     val sig = minhashSignatures(df, idCol, textCol, k).localCheckpoint(eager = false)
-    val bandStructs = (0 until k / rowsPerBand).map { b =>
-      val parts = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), concat_ws("|", parts: _*).as("bv"))
-    }
-    val bands = sig.select(col("id"), explode(array(bandStructs: _*)).as("bd"))
-      .select(col("id"), col("bd.band").as("band"), col("bd.bv").as("bv"))
+    val bands = bandsFromSignatures(sig, k, rowsPerBand)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
@@ -177,8 +172,15 @@ object Dedup {
     * k/rowsPerBand bands, band value = concat of its signature rows.
     * Two documents are near-dup candidates iff they collide on ≥1 band.
     */
-  def lshBands(df: DataFrame, idCol: String, textCol: String, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val sig = minhashSignatures(df, idCol, textCol, k)
+  def lshBands(df: DataFrame, idCol: String, textCol: String, k: Int = 8, rowsPerBand: Int = 2): DataFrame =
+    bandsFromSignatures(minhashSignatures(df, idCol, textCol, k), k, rowsPerBand)
+
+  /** Banding over an ALREADY-COMPUTED signature relation `(id, mh0..mhk)`
+    * — the one banding construction every LSH consumer shares (a layout
+    * change here reaches candidates and estimator alike, in lockstep
+    * with the SQL twin's band CTE).
+    */
+  private def bandsFromSignatures(sig: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
     val bandStructs = (0 until k / rowsPerBand).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), concat_ws("|", parts: _*).as("bv"))
@@ -284,13 +286,23 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       tauPct: Int = 50, k: Int = 8, rowsPerBand: Int = 2, n: Int = 3
   ): DataFrame = {
+    val labels = clusterLabels(df, idCol, textCol, tauPct, k, rowsPerBand, n)
+    val drops = labels.filter(col("id") =!= col("label")).select(col("id").as(idCol))
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
+  /** The shared candidates → verify → component-label prefix of BOTH
+    * cluster-based survivor policies ([[dropNearDuplicatesCC]],
+    * [[dropNearDuplicatesBest]]): the two policies must elect from the
+    * SAME clusters, so the clustering lives in one place.
+    */
+  private def clusterLabels(df: DataFrame, idCol: String, textCol: String,
+                            tauPct: Int, k: Int, rowsPerBand: Int, n: Int): DataFrame = {
     val cand = lshCandidatePairs(df, idCol, textCol, k, rowsPerBand)
     val verified = jaccardForPairs(df, cand, idCol, textCol, n)
       .filter(col("inter") * lit(100) >= col("uni") * lit(tauPct))
       .select(col("id1"), col("id2"))
-    val labels = connectedComponents(verified)
-    val drops = labels.filter(col("id") =!= col("label")).select(col("id").as(idCol))
-    df.join(drops, Seq(idCol), "left_anti")
+    connectedComponents(verified)
   }
 
   /** [[dropNearDuplicatesCC]] with a QUALITY-RANKED survivor: instead of
@@ -315,11 +327,7 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String, score: Column,
       tauPct: Int = 50, k: Int = 8, rowsPerBand: Int = 2, n: Int = 3
   ): DataFrame = {
-    val cand = lshCandidatePairs(df, idCol, textCol, k, rowsPerBand)
-    val verified = jaccardForPairs(df, cand, idCol, textCol, n)
-      .filter(col("inter") * lit(100) >= col("uni") * lit(tauPct))
-      .select(col("id1"), col("id2"))
-    val labels = connectedComponents(verified)
+    val labels = clusterLabels(df, idCol, textCol, tauPct, k, rowsPerBand, n)
     val scored = labels.join(
       df.select(col(idCol).as("id"), score.cast("long").as("_score")), Seq("id"))
     val best = scored.groupBy(col("label")).agg(max(col("_score")).as("_mx"))

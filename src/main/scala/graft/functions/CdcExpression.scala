@@ -83,6 +83,10 @@ case class CdcCutsExpression(first: Expression, second: Expression, third: Expre
       case (StringType, IntegerType, IntegerType) =>
         if (!second.foldable || !third.foldable)
           TypeCheckResult.TypeCheckFailure(s"$prettyName w and divisor must be literals")
+        else if (second.eval() == null || third.eval() == null)
+          // a NULL literal is foldable and IntegerType — reject it here
+          // or .intValue() NPEs out of the analyzer
+          TypeCheckResult.TypeCheckFailure(s"$prettyName w and divisor must be non-null literals")
         else {
           val w = second.eval().asInstanceOf[Number].intValue()
           val d = third.eval().asInstanceOf[Number].intValue()

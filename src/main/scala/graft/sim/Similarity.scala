@@ -454,8 +454,11 @@ object Similarity {
     * survivors). Encoding happens once and persists next to the corpus
     * in a real deployment; the scan cost is the 8-byte codes, not the
     * embeddings. Recall is bounded by quantization distortion — measured
-    * ≥ 0.6 recall@5 at the gated m=8, ks=16 on the test corpora
-    * (SimilaritySpec), with ks=256 the production knob.
+    * recall@5 on the near-uniform test corpus: 0.64 at the GATED m=16,
+    * ks=64, but only 0.30 at this method's m=8, ks=16 defaults (finer
+    * subspaces beat more codewords there — 8-dim random cells quantize
+    * poorly at any ks; full sweep in SimilaritySpec). Size m/ks to the
+    * corpus; ks=256 is the faiss-conventional production knob.
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              m: Int = 8, ks: Int = 16, dim: Int = 64): DataFrame = {
