@@ -1436,6 +1436,21 @@ object SparkEntry {
       graft.pipeline.Sharder.epochOrder(
         docs(s, dir).select(col("doc_id")), "doc_id", seed = 7L, numShards = 8)
         .select(col("doc_id"), col("shard"), col("pos"))),
+    // curriculum schedule: LM-scored quality tiers consumed best-first,
+    // seeded reproducible order within each (tier, shard) — the
+    // curriculum-learning feed; one (tier, shard) exchange
+    "q_curriculum" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = LangModel.bigramModel(d.where(col("lang") === "en"), "doc_id", "text", minCount = 2)
+      val scored = LangModel.lmScore(d, model, "doc_id", "text")
+        .select(col("doc_id"), col("avg_ppm"))
+      val tiers = graft.sample.Tiering.assignTiers(scored, "avg_ppm", numTiers = 3)
+        .select(col("doc_id"), col("tier"))
+      graft.pipeline.Sharder.curriculumOrder(tiers, "doc_id", "tier",
+          seed = 7L, numShards = 8)
+        .select(col("doc_id"), col("tier").cast("long").as("tier"),
+          col("shard"), col("pos"))
+    }),
     // token-budget sequence packing (trainer feed): ONE stream-key
     // Exchange, prefix-sum + offset windows share its sort, bins from
     // integer DIV — docs never split, bins within one doc of capacity
@@ -2968,6 +2983,24 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, bucket, CAST((rn - 1 + phase) % 8 AS BIGINT) AS shard FROM r""".stripMargin,
     // epoch-shuffle twin: same seeded md5 order key, same leading-32-bit
     // shard window, same dense within-shard row_number
+    // curriculum twin: the tier chain (integer tier index), then the
+    // epoch-shuffle md5 key with positions within (tier, shard)
+    "q_curriculum" ->
+      s"""WITH $lmScoreCte,
+         |h AS (SELECT avg_ppm AS s, count(*) AS c FROM sc GROUP BY 1),
+         |cm AS (SELECT s, sum(c) OVER (ORDER BY s) AS cum, sum(c) OVER () AS n FROM h),
+         |bnd AS (SELECT min(CASE WHEN cum * 3 >= n THEN s END) AS b1,
+         |               min(CASE WHEN cum * 3 >= n * 2 THEN s END) AS b2 FROM cm),
+         |ctier AS (SELECT sc.doc_id,
+         |  CAST((CASE WHEN sc.avg_ppm > bnd.b1 THEN 1 ELSE 0 END) +
+         |       (CASE WHEN sc.avg_ppm > bnd.b2 THEN 1 ELSE 0 END) AS BIGINT) AS tier
+         |  FROM sc, bnd),
+         |ckey AS (SELECT doc_id, tier, md5('7:' || CAST(doc_id AS VARCHAR)) AS okey FROM ctier),
+         |csh AS (SELECT doc_id, tier, okey,
+         |  CAST(('0x' || substr(okey, 1, 8))::BIGINT % 8 AS BIGINT) AS shard FROM ckey)
+         |SELECT doc_id, tier, shard,
+         |  CAST(row_number() OVER (PARTITION BY tier, shard ORDER BY okey, doc_id) - 1 AS BIGINT) AS pos
+         |FROM csh""".stripMargin,
     "q_epoch_shuffle" ->
       """WITH k AS (SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS okey FROM documents),
         |s AS (SELECT doc_id, okey,

@@ -101,6 +101,33 @@ object Sharder {
     * range exchange over the full corpus for an order nobody reads
     * globally.
     */
+  /** [[epochOrder]] with a CURRICULUM dimension: positions are assigned
+    * within `(tier, shard)` instead of `shard`, so a trainer consumes the
+    * tier groups in quality order (highest first — the curriculum-
+    * learning schedule: clean text before tail scrapings) while each
+    * tier's internal order stays the reproducible seeded permutation and
+    * each tier still fans out over `numShards` parallel readers. Same
+    * seed → byte-identical schedule; changing only the seed reshuffles
+    * WITHIN tiers without moving any document across tiers.
+    *
+    * Scale shape: identical to [[epochOrder]] — one `(tier, shard)`
+    * exchange + in-partition sort; tiers are few (3–5), so the shard
+    * fan-out still dominates parallelism and no window is global.
+    */
+  def curriculumOrder(d: DataFrame, idCol: String, tierCol: String,
+                      seed: Long, numShards: Int): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val key = md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string")))
+    val shard = pmod(conv(substring(col("graft_okey"), 1, 8), 16, 10).cast("long"),
+      lit(numShards.toLong))
+    val w = Window.partitionBy(col(tierCol), col("shard"))
+      .orderBy(col("graft_okey"), col(idCol))
+    d.withColumn("graft_okey", key)
+      .withColumn("shard", shard)
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("graft_okey")
+  }
+
   def epochOrder(d: DataFrame, idCol: String, seed: Long, numShards: Int): DataFrame = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
     val key = md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string")))

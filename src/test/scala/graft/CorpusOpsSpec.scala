@@ -50,6 +50,29 @@ class CorpusOpsSpec extends AnyFunSuite {
       "within-shard order must not be id order")
   }
 
+  test("curriculumOrder: positions dense within (tier, shard); tiers never move with the seed; within-tier order matches epochOrder") {
+    import spark.implicits._
+    val d = (0L until 1200L).map(i => (i, i % 3)).toDF("doc_id", "tier")
+    val a = Sharder.curriculumOrder(d, "doc_id", "tier", seed = 7L, numShards = 4)
+    val rows = a.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 1200)
+    rows.groupBy(r => (r._2, r._3)).foreach { case (k, g) =>
+      assert(g.map(_._4).sorted.toSeq == (0L until g.length), s"positions not dense in $k")
+    }
+    // a new seed reshuffles but every doc keeps its tier
+    val b = Sharder.curriculumOrder(d, "doc_id", "tier", seed = 9L, numShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(r => r._1 -> r._2).toMap == b.map(r => r._1 -> r._2).toMap,
+      "seed must never move a document across tiers")
+    assert(rows.toSet != b.toSet, "seed must reshuffle within tiers")
+    // within one tier the schedule IS the epoch permutation of that slice
+    val slice = d.filter(col("tier") === 1).select("doc_id")
+    val epoch = Sharder.epochOrder(slice, "doc_id", 7L, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val tier1 = rows.filter(_._2 == 1L).map(r => (r._1, r._3, r._4)).toSet
+    assert(tier1 == epoch, "per-tier schedule must equal epochOrder on the tier slice")
+  }
+
   test("assignShards: rare giant documents honor the additive balance bound") {
     import spark.implicits._
     // a handful of 5000-weight giants over a small-doc corpus: the giant
