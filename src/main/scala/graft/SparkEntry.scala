@@ -1907,6 +1907,15 @@ object SparkEntry {
       Similarity.pqTopK(e, e.filter(col("vec_id") < 10), 5, m = 16, ks = 64)
         .select(col("qid"), col("vid"), col("score"), col("rn").cast("long").as("rn"))
     }),
+    // IVF-PQ: the composition billion-scale indexes ship — coarse cells
+    // prune candidates, PQ ADC ranks the survivors from bytes-per-vector
+    // codes; embeddings never enter the probe
+    "s_ivfpq_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10), 5,
+        numCells = Similarity.cellsFor(e.count()), nProbe = 4, m = 16, ks = 64)
+        .select(col("qid"), col("vid"), col("score"), col("rn").cast("long").as("rn"))
+    }),
     "s_embed_neardup" -> ((s, dir) =>
       // vec_id cap bounds the exact self-join at bench scale; the sf0.01
       // correctness table has 500 vectors, all under the cap
@@ -4070,6 +4079,61 @@ object SparkEntry {
          |  SELECT qid, qe, cid, row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cid) AS rn FROM qsc) WHERE rn <= 4),
          |s AS (SELECT qid, vid, ${cosQSql("qe", "ve")} AS score
          |      FROM qp JOIN asn ON qp.cell = asn.cell JOIN v ON asn.avid = v.vid WHERE qid <> vid)""".stripMargin),
+    // IVF-PQ twin: the s_ivf_topk coarse chain (no Lloyd) feeding the
+    // s_pq_topk codebook/LUT chain; candidates = probed cells' members,
+    // ranked by the same integer ADC sum
+    "s_ivfpq_topk" ->
+      s"""WITH cl AS (
+         |  SELECT least(65536, greatest(4,
+         |    CASE WHEN (c0+1)*(c0+1) <= n THEN c0+1 WHEN c0*c0 > n THEN c0-1 ELSE c0 END)) AS c
+         |  FROM (SELECT count(*) AS n, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS c0 FROM embeddings)),
+         |cent AS (SELECT vec_id AS ccid, embedding AS cce FROM embeddings, cl
+         |         QUALIFY row_number() OVER (ORDER BY vec_id) <= c),
+         |v AS (SELECT vec_id AS vid, embedding AS ve FROM embeddings),
+         |vsc AS (SELECT vid, ccid, ${qdotSql("ve", "cce")} AS cs FROM v, cent),
+         |cellasn AS (SELECT avid, ccid AS cell FROM (
+         |  SELECT vid AS avid, ccid, row_number() OVER (PARTITION BY vid ORDER BY cs DESC, ccid) AS rn FROM vsc) WHERE rn = 1),
+         |seeds AS (SELECT vec_id, embedding FROM embeddings
+         |  QUALIFY row_number() OVER (ORDER BY vec_id) <= 64),
+         |sd AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS e FROM seeds),
+         |ss AS (SELECT unnest(generate_series(0, 15)) AS s),
+         |cb0 AS (SELECT ss.s, sd.cid, list_transform(generate_series(1, 4), i ->
+         |  CAST(floor(CAST(e[ss.s * 4 + i] AS DOUBLE) * 1000) AS BIGINT)) AS ce FROM sd, ss),
+         |vs AS (SELECT vid, ss.s, list_transform(generate_series(1, 4), i ->
+         |  CAST(floor(CAST(ve[ss.s * 4 + i] AS DOUBLE) * 1000) AS BIGINT)) AS vq FROM v, ss),
+         |d0 AS (SELECT vid, vs.s, cid,
+         |  list_sum(list_transform(generate_series(1, 4), i -> (vq[i] - ce[i]) * (vq[i] - ce[i]))) AS dist
+         |  FROM vs JOIN cb0 ON cb0.s = vs.s),
+         |a0 AS (SELECT vid, s, cid FROM (SELECT vid, s, cid,
+         |  row_number() OVER (PARTITION BY vid, s ORDER BY dist, cid) AS rn FROM d0) WHERE rn = 1),
+         |pm AS (SELECT vs.s, a0.cid, g.i AS dim,
+         |  CAST((sum(vq[g.i]) + count(*) * 1048576) // count(*) - 1048576 AS BIGINT) AS q
+         |  FROM vs JOIN a0 ON a0.vid = vs.vid AND a0.s = vs.s,
+         |       (SELECT unnest(generate_series(1, 4)) AS i) g
+         |  GROUP BY vs.s, a0.cid, g.i),
+         |cb AS (SELECT s, cid, list(q ORDER BY dim) AS ce FROM pm GROUP BY s, cid),
+         |d1 AS (SELECT vid, vs.s, cid,
+         |  list_sum(list_transform(generate_series(1, 4), i -> (vq[i] - ce[i]) * (vq[i] - ce[i]))) AS dist
+         |  FROM vs JOIN cb ON cb.s = vs.s),
+         |pqasn AS (SELECT vid, s, cid FROM (SELECT vid, s, cid,
+         |  row_number() OVER (PARTITION BY vid, s ORDER BY dist, cid) AS rn FROM d1) WHERE rn = 1),
+         |q0 AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |qs AS (SELECT qid, ss.s, list_transform(generate_series(1, 4), i ->
+         |  CAST(floor(CAST(qe[ss.s * 4 + i] AS DOUBLE) * 1000) AS BIGINT)) AS qq FROM q0, ss),
+         |lut AS (SELECT qid, cb.s, cb.cid,
+         |  CAST(list_sum(list_transform(generate_series(1, 4), i -> qq[i] * ce[i])) AS BIGINT) AS pdot
+         |  FROM qs JOIN cb ON cb.s = qs.s),
+         |qsc AS (SELECT qid, ccid, ${qdotSql("qe", "cce")} AS cs FROM q0, cent),
+         |qp AS (SELECT qid, ccid AS cell FROM (
+         |  SELECT qid, ccid, row_number() OVER (PARTITION BY qid ORDER BY cs DESC, ccid) AS rn FROM qsc) WHERE rn <= 4),
+         |sc AS (SELECT qp.qid, ca.avid AS vid, CAST(sum(l.pdot) AS BIGINT) AS score
+         |  FROM qp JOIN cellasn ca ON ca.cell = qp.cell
+         |  JOIN pqasn p ON p.vid = ca.avid
+         |  JOIN lut l ON l.qid = qp.qid AND l.s = p.s AND l.cid = p.cid
+         |  WHERE qp.qid <> ca.avid GROUP BY 1, 2)
+         |SELECT qid, vid, score, rn FROM (SELECT qid, vid, score,
+         |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, vid) AS rn FROM sc)
+         |WHERE rn <= 5""".stripMargin,
     // PQ twin: same seed/Lloyd/assignment chain per subspace (integer L2,
     // min-cid ties), LUT join + sum instead of the broadcast map probe —
     // different shape, identical integers

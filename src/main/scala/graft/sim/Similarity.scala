@@ -485,6 +485,61 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** IVF-PQ approximate top-k — the composition billion-scale indexes
+    * actually ship (faiss `IVFxx,PQyy`; Jégou et al. 2011 §V): the coarse
+    * quantizer ([[ivfAssign]]) prunes the corpus to `nProbe` cells per
+    * query, and the CANDIDATES are ranked by PQ asymmetric distance
+    * ([[pqTopK]]'s LUT scan) instead of exact scoring — so the probe
+    * touches only cell-pruned CODES (bytes per vector), never the
+    * embeddings. IVF buys sublinear candidate count, PQ buys a
+    * memory-resident scan of what remains; recall compounds both
+    * approximations (measured in SimilaritySpec and reported per-run by
+    * Bench for the parents; the composite trades recall for the smallest
+    * probe cost of the three paths).
+    *
+    * Scale shape: union of the parents' — centroids, codebooks, and
+    * per-query LUTs broadcast; assignment and encoding reduce to slim
+    * triples; the probe join is a broadcast hash join on cell id over
+    * (vid, cell, codes) rows; embeddings move exactly once (the
+    * cell-label join inside encoding's input). All integer, value-exact
+    * under the DuckDB oracle.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                numCells: Int, nProbe: Int = 4,
+                m: Int = 16, ks: Int = 64, dim: Int = 64): DataFrame = {
+    val qd = qdotNative(corpus) _
+    val (cent, asn) = ivfAssign(corpus, numCells, lloydRounds = 0)
+    val cb = pqCodebooks(corpus, m, ks, dim)
+    val codes = pqEncode(corpus, cb, m, dim).join(asn.withColumnRenamed("vid", "vid2"),
+      col("vid") === col("vid2")).drop("vid2")
+    val d = dim / m
+    val qsubs = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .select(col("qid"), col("qe"), explode(array((0 until m).map(s =>
+        struct(lit(s.toLong).as("s"), qsub(col("qe"), s, d).as("qq"))): _*)).as("e"))
+      .select(col("qid"), col("qe"), col("e.s").as("s"), col("e.qq").as("qq"))
+    val lut = qsubs.join(broadcast(cb), Seq("s"))
+      .select(col("qid"), (col("s") * lit(PqCidStride) + col("cid")).as("key"),
+        expr("aggregate(zip_with(qq, ce, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+          .as("pdot"))
+      .groupBy(col("qid"))
+      .agg(map_from_entries(collect_list(struct(col("key"), col("pdot")))).as("lut"))
+    val qw = Window.partitionBy("qid").orderBy(col("cs").desc, col("cid"))
+    val qp = broadcast(
+      queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        .crossJoin(cent)
+        .select(col("qid"), col("cid"), qd(col("qe"), col("ce")).as("cs"))
+        .withColumn("rn", row_number().over(qw)).filter(col("rn") <= nProbe)
+        .select(col("qid"), col("cid").as("cell"))
+        .join(lut, Seq("qid")))
+    val scored = codes.join(qp, "cell").filter(col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"),
+        expr(s"aggregate(sequence(0, ${m - 1}), 0L, (acc, s) -> " +
+          s"acc + element_at(lut, s * ${PqCidStride}L + element_at(codes, CAST(s + 1 AS INT))))")
+          .as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   /** Recall@k of [[pqTopK]] against [[bruteForceTopK]] on the quantized
     * dot (the metric ADC approximates). Driver-side sizes only.
     */
