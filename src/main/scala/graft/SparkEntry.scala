@@ -1927,6 +1927,20 @@ object SparkEntry {
     // embedding-level dedup with the CC survivor policy: the exact pair
     // set (capped baseline) feeds the same min-label propagation the
     // document path uses — one survivor per near-duplicate CLUSTER
+    // SemDeDup (Abbas et al. 2023): near-dup pairs scoped WITHIN coarse
+    // cells — O(n·√n) instead of the all-pairs scan; one survivor per
+    // component; cross-cell pairs missed by the published design
+    "s_semdedup" -> ((s, dir) => {
+      val e = embs(s, dir).filter(col("vec_id") < 1000)
+      Similarity.semDedup(e, numCells = Similarity.cellsFor(e.count()),
+        minQDot = 400000L)
+    }),
+    // reciprocity: fraction of a domain's outlink targets linking back —
+    // the link-exchange signal one hop before triangles (2-cycles)
+    "w_link_recip" -> ((s, dir) =>
+      graft.web.LinkGraph.reciprocity(
+        graft.web.LinkGraph.domainEdges(
+          docs(s, dir).select(synthUrl.as("url"), outlinkText.as("text")), "url", "text"))),
     "s_embed_drop_cc" -> ((s, dir) => {
       val e = embs(s, dir).filter(col("vec_id") < 1000)
       val pairs = Similarity.nearDupPairs(e, 400000L).select(col("id1"), col("id2"))
@@ -2790,6 +2804,17 @@ object SparkEntry {
          |SELECT src, dst, weight FROM edges""".stripMargin,
     "w_domain_rank" -> domainRankSql(5),
     "w_hits" -> hitsSql(3),
+    // reciprocity twin: distinct non-loop pairs left-joined to their own
+    // reversal, per-source rollup
+    "w_link_recip" ->
+      s"""WITH $linkEdgesCte,
+         |e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+         |j AS (SELECT e.src, e.dst, (r.src IS NOT NULL) AS has_back
+         |      FROM e LEFT JOIN e r ON r.src = e.dst AND r.dst = e.src)
+         |SELECT src AS domain, CAST(count(*) AS BIGINT) AS n_out,
+         |  CAST(count(*) FILTER (WHERE has_back) AS BIGINT) AS n_recip,
+         |  CAST(count(*) FILTER (WHERE has_back) * 1000000 // count(*) AS BIGINT) AS recip_ppm
+         |FROM j GROUP BY 1""".stripMargin,
     // triangle twin: canonical name-ordered triple join over the
     // undirected simple edge set (orientation is an enumeration detail —
     // per-domain counts are orientation-free)
@@ -4010,6 +4035,31 @@ object SparkEntry {
          |      FROM q JOIN v USING (tbl, sig) WHERE qid <> vid GROUP BY qid, vid)""".stripMargin),
     // same recursive-CTE reachability as d_drop_neardup_cc, over the
     // exact embedding pair set
+    // SemDeDup twin: the no-Lloyd coarse assignment scopes the pair
+    // join to cells; the reach/label tail is the usual CC oracle
+    "s_semdedup" ->
+      s"""WITH RECURSIVE v AS (SELECT vec_id AS vid, embedding AS ve FROM embeddings WHERE vec_id < 1000),
+         |cl AS (
+         |  SELECT least(65536, greatest(4,
+         |    CASE WHEN (c0+1)*(c0+1) <= n THEN c0+1 WHEN c0*c0 > n THEN c0-1 ELSE c0 END)) AS c
+         |  FROM (SELECT count(*) AS n, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS c0 FROM v)),
+         |cent AS (SELECT vid AS cid, ve AS ce FROM v, cl
+         |         QUALIFY row_number() OVER (ORDER BY vid) <= c),
+         |vsc AS (SELECT vid, cid, ${qdotSql("ve", "ce")} AS cs FROM v, cent),
+         |asn AS (SELECT avid, cid AS cell FROM (
+         |  SELECT vid AS avid, cid, row_number() OVER (PARTITION BY vid ORDER BY cs DESC, cid) AS rn FROM vsc) WHERE rn = 1),
+         |vp AS (SELECT a.avid AS id1, b.avid AS id2
+         |  FROM asn a JOIN asn b ON a.cell = b.cell AND a.avid < b.avid
+         |  JOIN v va ON va.vid = a.avid JOIN v vb ON vb.vid = b.avid
+         |  WHERE ${qdotSql("va.ve", "vb.ve")} >= 400000),
+         |e AS (SELECT id1 AS src, id2 AS dst FROM vp UNION SELECT id2 AS src, id1 AS dst FROM vp),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+         |lab AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+         |SELECT vid AS vec_id FROM v
+         |WHERE vid NOT IN (SELECT id FROM lab WHERE id <> label)""".stripMargin,
     "s_embed_drop_cc" ->
       s"""WITH RECURSIVE v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000),
          |vp AS (

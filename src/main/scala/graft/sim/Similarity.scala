@@ -540,6 +540,41 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    * embeddings with the coarse quantizer, then find near-duplicate
+    * PAIRS only WITHIN each cluster (quantized dot ≥ `minQDot`) and keep
+    * one document per connected component. The published recipe's point
+    * is exactly this scoping: the all-pairs scan is O(n²), but pairing
+    * within √n-sized k-means cells is O(n·√n) total — same budget as the
+    * IVF assignment that produces the cells — at the accepted cost of
+    * missing near-dup pairs that straddle a cell boundary (the paper's
+    * own trade; the LSH family here catches those when completeness
+    * matters). Returns the surviving `vec_id`s.
+    *
+    * Scale shape: cells from [[ivfAssign]] (broadcast centroids, slim
+    * argmax triples); the pair join is cell-keyed — each cell's members
+    * self-join locally, hot cells are ordinary skewed join keys (AQE
+    * splits); the survivor fixpoint is
+    * [[graft.dedup.Dedup.connectedComponents]] over the sparse verified
+    * pairs. Embeddings move once (the cell-label join).
+    */
+  def semDedup(corpus: DataFrame, numCells: Int, minQDot: Long): DataFrame = {
+    val qd = qdotNative(corpus) _
+    val (_, asn) = ivfAssign(corpus, numCells, lloydRounds = 0)
+    val assigned = corpus.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+      .join(asn, "vid")
+    val pairs = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("id1"), col("b.vid").as("id2"),
+        qd(col("a.ve"), col("b.ve")).as("q"))
+      .filter(col("q") >= minQDot)
+      .select(col("id1"), col("id2"))
+    val drops = graft.dedup.Dedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("label")).select(col("id").as("vec_id"))
+    corpus.join(drops, Seq("vec_id"), "left_anti").select(col("vec_id"))
+  }
+
   /** Recall@k of [[pqTopK]] against [[bruteForceTopK]] on the quantized
     * dot (the metric ADC approximates). Driver-side sizes only.
     */

@@ -255,6 +255,31 @@ object LinkGraph {
       .select(col("domain"), col("auth"), col("hub"))
   }
 
+  /** Per-domain link reciprocity — the link-exchange signal: what
+    * fraction of a domain's distinct outlink targets link BACK. Organic
+    * linking is largely one-directional (reference → source); paid link
+    * exchanges and blog-ring schemes produce near-total reciprocity, so
+    * a high `recip_ppm` on a non-trivial `n_out` flags the same farms
+    * [[triangleStats]] catches, one hop earlier (2-cycles are not
+    * triangles). Self-loops excluded; multi-edges collapse first.
+    *
+    * Scale shape: one distinct over slim (src, dst) pairs, one
+    * equi-join against the REVERSED pair relation (same key space, same
+    * partitioning — no broadcast needed, both sides are the edge list),
+    * one per-domain aggregate with map-side partials.
+    */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    val e = edges.filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    val r = e.select(col("dst").as("src"), col("src").as("dst"), lit(1).as("_r"))
+    e.join(r, Seq("src", "dst"), "left")
+      .groupBy(col("src").as("domain"))
+      .agg(count(lit(1)).as("n_out"),
+        sum(coalesce(col("_r"), lit(0))).cast("long").as("n_recip"))
+      .select(col("domain"), col("n_out"), col("n_recip"),
+        expr("n_recip * 1000000 DIV n_out").as("recip_ppm"))
+  }
+
   /** `<a href=...>anchor</a>` pairs in raw markup — single or double
     * quoted href, first attribute (the shape the synthesized corpus and
     * most crawl HTML emit; a full attribute grammar belongs to the DOM

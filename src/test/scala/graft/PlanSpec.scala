@@ -422,6 +422,8 @@ class PlanSpec extends AnyFunSuite {
       assert(SparkEntry.queries("t_lang_id")(spark, sfDir).collect() != null)
       assert(SparkEntry.queries("q_training_export")(spark, sfDir).collect() != null)
       assert(SparkEntry.queries("q_web_ingest")(spark, sfDir).collect() != null)
+      // the round-4 native CDC expression must codegen, not fall back
+      assert(SparkEntry.queries("d_cdc_chunks")(spark, sfDir).collect() != null)
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 

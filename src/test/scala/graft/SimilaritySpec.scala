@@ -284,6 +284,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"composite recall collapsed: $recall")
   }
 
+  test("semDedup: within-cell duplicates collapse to the min id; distinct clusters untouched") {
+    // v0 == v10 (exact duplicates → same cell, qdot 10^6 ≥ threshold);
+    // v2 and v3 are far from everything — all three survivors expected
+    val dup = vecs(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      10L -> Seq(1f, 0f, 0f, 0f),
+      2L -> Seq(0f, 1f, 0f, 0f),
+      3L -> Seq(0f, 0f, 1f, 0f))
+    val kept = Similarity.semDedup(dup, numCells = 2, minQDot = 400000L)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.contains(0L) && !kept.contains(10L), s"duplicate must collapse to min id: $kept")
+    assert(kept.contains(2L) && kept.contains(3L), s"distinct vectors survive: $kept")
+  }
+
   test("planesFor grows the signature with the corpus") {
     assert(Similarity.planesFor(1000L) == 4)
     assert(Similarity.planesFor(1000000000L, 10000L) == 17)

@@ -926,6 +926,22 @@ class WebCorpusSpec extends AnyFunSuite {
     assert(loose.contains(("b.org", "c.net")))
   }
 
+  test("reciprocity: back-links counted per source; self-loops and duplicate edges collapse") {
+    import spark.implicits._
+    val e = Seq(
+      ("a.com", "b.org", 3L), ("b.org", "a.com", 1L), // reciprocal pair
+      ("a.com", "c.net", 2L),                         // one-way
+      ("d.io", "d.io", 5L),                           // self-loop: excluded
+      ("c.net", "c2.net", 1L), ("c.net", "c2.net", 4L) // duplicate edge: one
+    ).toDF("src", "dst", "weight")
+    val got = graft.web.LinkGraph.reciprocity(e)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      "a.com" -> ((2L, 1L, 500000L)),
+      "b.org" -> ((1L, 1L, 1000000L)),
+      "c.net" -> ((1L, 0L, 0L))), s"got $got")
+  }
+
   test("redirects: chains resolve with exact hop counts; cycles flagged; budget doubles per round; conflicts rejected") {
     import spark.implicits._
     // chain a→b→c→d; 2-cycle x↔y; isolated terminal (dst-only) needs no row
