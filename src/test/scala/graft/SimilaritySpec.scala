@@ -298,6 +298,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(kept.contains(2L) && kept.contains(3L), s"distinct vectors survive: $kept")
   }
 
+  test("semDedup: a hot cell of 60 identical vectors collapses to one survivor") {
+    // the skew case — one cell holds a mass-duplicate cluster whose
+    // local self-join is quadratic (1770 pairs) and whose component must
+    // still converge to the single min-id survivor
+    val many = vecs((0L until 60L).map(i => i -> Seq(1f, 0f, 0f, 0f)) ++
+      Seq(100L -> Seq(0f, 1f, 0f, 0f), 101L -> Seq(0f, 0f, 1f, 0f)): _*)
+    val kept = Similarity.semDedup(many, numCells = 3, minQDot = 400000L)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 100L, 101L), s"got $kept")
+  }
+
   test("planesFor grows the signature with the corpus") {
     assert(Similarity.planesFor(1000L) == 4)
     assert(Similarity.planesFor(1000000000L, 10000L) == 17)
