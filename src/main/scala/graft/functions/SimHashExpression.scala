@@ -187,6 +187,14 @@ object GraftFunctions {
     CorruptMojibakeExpression(children.head)
   }
 
+  val LDotName = "graft_ldot"
+  private val ldotInfo = new ExpressionInfo(classOf[LongDotExpression].getName, LDotName)
+
+  val ldotBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2, s"$LDotName takes exactly 2 arguments, got ${children.length}")
+    LongDotExpression(children.head, children(1))
+  }
+
   val CdcCutsName = "graft_cdc_cuts"
   private val cdcCutsInfo = new ExpressionInfo(classOf[CdcCutsExpression].getName, CdcCutsName)
 
@@ -218,6 +226,7 @@ object GraftFunctions {
     reg.registerFunction(FunctionIdentifier(BottomKName), bottomkInfo, bottomkBuilder)
     reg.registerFunction(FunctionIdentifier(HeavyName), heavyInfo, heavyBuilder)
     reg.registerFunction(FunctionIdentifier(CdcCutsName), cdcCutsInfo, cdcCutsBuilder)
+    reg.registerFunction(FunctionIdentifier(LDotName), ldotInfo, ldotBuilder)
     reg.registerFunction(FunctionIdentifier(FixMojibakeName), fixMojibakeInfo, fixMojibakeBuilder)
     reg.registerFunction(FunctionIdentifier(MojibakeName), mojibakeInfo, mojibakeBuilder)
     // optimizer surface parity with GraftExtensions (idempotent: guard
@@ -287,6 +296,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier(GraftFunctions.CdcCutsName),
         new ExpressionInfo(classOf[CdcCutsExpression].getName, GraftFunctions.CdcCutsName),
         GraftFunctions.cdcCutsBuilder))
+    ext.injectFunction(
+      (FunctionIdentifier(GraftFunctions.LDotName),
+        new ExpressionInfo(classOf[LongDotExpression].getName, GraftFunctions.LDotName),
+        GraftFunctions.ldotBuilder))
     ext.injectOptimizerRule(_ => CollapseIdempotentNormalization)
   }
 }

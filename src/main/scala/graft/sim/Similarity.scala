@@ -416,15 +416,28 @@ object Similarity {
 
   /** Nearest codeword per (vector, subspace) by integer L2, ties to the
     * smallest cid — min-struct argmin with map-side partials.
+    *
+    * The distance is computed as `ssq(c) − 2·⟨v, c⟩` via the native
+    * codegen'd `graft_ldot` — equal to `Σ(v−c)² − ssq(v)` exactly, and
+    * `ssq(v)` is constant per (vid, s), so the argmin AND its (dist, cid)
+    * tie structure are identical to the plain L2 form (every distance
+    * shifts by the same constant). The HOF zip_with/aggregate form this
+    * replaces ran interpreted per (subvector, codeword) pair and
+    * dominated the benched assignment cost; `ssq(c)` is precomputed once
+    * on the tiny codebook side.
     */
-  private def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame =
-    subs.join(broadcast(cb), Seq("s"))
+  private def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(subs.sparkSession)
+    val ldot = graft.functions.GraftFunctions.LDotName
+    val cbq = cb.withColumn("_ssq", call_function(ldot, col("ce"), col("ce")))
+    subs.join(broadcast(cbq), Seq("s"))
       .select(col("vid"), col("s"), col("cid"),
-        expr("aggregate(zip_with(vq, ce, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+        (col("_ssq") - lit(2L) * call_function(ldot, col("vq"), col("ce")))
           .as("dist"))
       .groupBy(col("vid"), col("s"))
       .agg(min(struct(col("dist"), col("cid"))).as("b"))
       .select(col("vid"), col("s"), col("b.cid").as("cid"))
+  }
 
   /** Encode the corpus against `cb`: one `codes` array per vector
     * (`codes[s]` = codeword id of subspace s). THE point of PQ at corpus
@@ -471,7 +484,7 @@ object Similarity {
       .select(col("qid"), col("e.s").as("s"), col("e.qq").as("qq"))
     val lut = qsubs.join(broadcast(cb), Seq("s"))
       .select(col("qid"), (col("s") * lit(PqCidStride) + col("cid")).as("key"),
-        expr("aggregate(zip_with(qq, ce, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+        call_function(graft.functions.GraftFunctions.LDotName, col("qq"), col("ce"))
           .as("pdot"))
       .groupBy(col("qid"))
       .agg(map_from_entries(collect_list(struct(col("key"), col("pdot")))).as("lut"))
@@ -519,7 +532,7 @@ object Similarity {
       .select(col("qid"), col("qe"), col("e.s").as("s"), col("e.qq").as("qq"))
     val lut = qsubs.join(broadcast(cb), Seq("s"))
       .select(col("qid"), (col("s") * lit(PqCidStride) + col("cid")).as("key"),
-        expr("aggregate(zip_with(qq, ce, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+        call_function(graft.functions.GraftFunctions.LDotName, col("qq"), col("ce"))
           .as("pdot"))
       .groupBy(col("qid"))
       .agg(map_from_entries(collect_list(struct(col("key"), col("pdot")))).as("lut"))

@@ -260,4 +260,37 @@ class NativeSignalsSpec extends AnyFunSuite {
       finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
     assert(interpreted == codegen)
   }
+
+  test("graft_ldot: parity with the HOF fold; null element and length-mismatch poison to NULL; codegen == interpreted") {
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 200).map { _ =>
+      val n = 1 + rnd.nextInt(8)
+      ((0 until n).map(_ => rnd.nextLong() % 100000L),
+        (0 until n).map(_ => rnd.nextLong() % 100000L))
+    }
+    val d = rows.toDF("a", "b")
+    val got = d.select(
+        call_function("graft_ldot", col("a"), col("b")).as("n"),
+        expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)").as("h"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // length mismatch and null element → NULL, exactly like the HOF
+    val edge = Seq(
+      (Seq(1L, 2L), Seq(1L, 2L, 3L)),
+      (Seq(1L, 2L, 3L), Seq(4L, 5L, 6L))).toDF("a", "b")
+      .union(spark.sql("SELECT array(1L, NULL, 3L) AS a, array(1L, 2L, 3L) AS b"))
+    val e = edge.select(
+        call_function("graft_ldot", col("a"), col("b")).as("n"),
+        expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)").as("h"))
+      .collect()
+    e.foreach(r => assert(r.isNullAt(0) == r.isNullAt(1) &&
+      (r.isNullAt(0) || r.getLong(0) == r.getLong(1))))
+    // interpreted matches codegen
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val interp = try d.select(call_function("graft_ldot", col("a"), col("b")))
+      .collect().map(_.getLong(0)).toSeq
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(interp == got.map(_.getLong(0)).toSeq)
+  }
 }
