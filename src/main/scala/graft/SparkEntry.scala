@@ -794,6 +794,12 @@ object SparkEntry {
     // run's exact input under any partitioning; one map-side-partial agg
     "q_corpus_digest" -> ((s, dir) =>
       graft.stats.CorpusStats.corpusDigest(docs(s, dir), "doc_id", "text")),
+    // per-document keyphrases: top-3 terms by the integer tf·10^6 DIV df
+    // surrogate (rank-equivalent to TF-IDF within a doc) — slim term
+    // aggregates, vocabulary-bounded df join, per-DOC top-k window
+    "t_keyphrases" -> ((s, dir) =>
+      TextAnalytics.keyphrases(docs(s, dir), "doc_id", "text", k = 3)
+        .withColumnRenamed("id", "doc_id")),
     // OOV rate vs the corpus's own top-K vocabulary: one slim token
     // agg into TakeOrdered, then a map-only broadcast-literal probe —
     // documents never shuffle (the synthesis has 31 distinct tokens, so
@@ -3257,6 +3263,20 @@ object SparkEntry {
         |      FROM e WHERE event_type = 'view')
         |SELECT l.event_id, l.user_id, l.ts_us, r.view_id, r.view_ts_us
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.ts_us""".stripMargin,
+    // keyphrase twin: same case-folded terms, same integer surrogate,
+    // same (score DESC, term) per-doc cut
+    "t_keyphrases" ->
+      """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+        |  CAST(tf.tf * 1000000 // dfq.df AS BIGINT) AS score_ppm
+        |  FROM tf JOIN dfq USING (term))
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, score_ppm FROM (
+        |  SELECT doc_id, term, tf, df, score_ppm,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score_ppm DESC, term) AS rank
+        |  FROM sc) WHERE rank <= 3""".stripMargin,
     // OOV twin: same case-folded tokens, same (tf DESC, token) top-K cut,
     // left-join null-probe instead of the broadcast literal
     "t_oov_rate" ->

@@ -94,6 +94,44 @@ object TextAnalytics {
           .otherwise(expr("n_oov * 1000000 DIV n_tokens")).as("oov_ppm"))
   }
 
+  /** Per-document keyphrases: the top-`k` terms by TF-IDF — the light
+    * document-labeling signal (topic facets, cluster names, index
+    * previews) a corpus card surfaces per page. The score is the
+    * integer surrogate `tf · 10^6 DIV df`: within one document the
+    * corpus size N is constant, so ranking by `tf/df` is ranking by
+    * `tf · (N/df)` — classic TF-IDF up to the shared factor — while
+    * staying DIV-exact and engine-portable (a float `ln(N/df)` would
+    * rank near-identically but defeat the value-exact oracle). Ties →
+    * term ascending. Case-folded whitespace terms, like the vocabulary
+    * ops.
+    *
+    * Output: one row per (id, rank) with the term, tf, df, score_ppm.
+    *
+    * Scale shape: tf is one (id, term) aggregate with map-side
+    * partials; df is one term-keyed aggregate of the DISTINCT (id,
+    * term) slims (it falls out of the same relation); the join back is
+    * term-keyed (df is vocabulary-bounded — AQE broadcasts it); the
+    * top-k window partitions by DOCUMENT, so no global sort exists
+    * anywhere. Text never shuffles — only slim term rows.
+    */
+  def keyphrases(df: DataFrame, idCol: String, textCol: String,
+                 k: Int = 3): DataFrame = {
+    require(k >= 1 && k <= 100, s"k must be in [1, 100], got $k")
+    val toks = when(length(trim(col(textCol))) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(lower(col(textCol))), "\\s+"))
+    val tf = df.select(col(idCol).as("id"), explode(toks).as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("score_ppm").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .select(col("id"), col("term"), col("tf"), col("df"),
+        expr("tf * 1000000 DIV df").as("score_ppm"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank"), col("term"), col("tf"), col("df"), col("score_ppm"))
+  }
+
   /** Fixed English stopword list for the quality-signal ratio (the
     * C4/Gopher-style rule "a natural-language document contains common
     * function words"; Gopher's published form requires ≥ 2 of a small

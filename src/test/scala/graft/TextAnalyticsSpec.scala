@@ -213,6 +213,29 @@ class TextAnalyticsSpec extends AnyFunSuite {
     assert(one("a.b.c. d.e.f. g.h.i. j,k,l! m?n?o? p;q;r", isQuality(col("text"))) == false)
   }
 
+  test("keyphrases: rare terms outrank common ones; ties break on term; rank dense per doc") {
+    import spark.implicits._
+    // "common" appears in all 3 docs (df 3); each doc has a unique term
+    // (df 1) that must outrank it despite equal tf
+    val d = Seq(
+      (1L, "common alpha alpha"),
+      (2L, "common beta"),
+      (3L, "common gamma common")).toDF("doc_id", "text")
+    val got = keyphrases(d, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(5))).toMap
+    // doc 1: alpha tf2/df1 → 2e6, common tf1/df3 → 333333
+    assert(got((1L, 1L)) == (("alpha", 2000000L)), s"got $got")
+    assert(got((1L, 2L)) == (("common", 333333L)))
+    // doc 3: common tf2/df3 → 666666 vs gamma tf1/df1 → 1e6: gamma first
+    assert(got((3L, 1L)) == (("gamma", 1000000L)))
+    assert(got((3L, 2L)) == (("common", 666666L)))
+    // tie: two unique terms with equal tf → term asc
+    val t = Seq((9L, "zed ant")).toDF("doc_id", "text")
+    val r = keyphrases(t, "doc_id", "text", k = 2)
+      .orderBy("rank").collect().map(_.getString(2)).toSeq
+    assert(r == Seq("ant", "zed"))
+  }
+
   test("oovStats: top-K by tf with token tie-break, case-folded probe, empty doc zeros, exact ppm") {
     import spark.implicits._
     // tf: aa×4, bb×3, cc×2, dd×1 → vocabSize=2 keeps {aa, bb}
