@@ -2747,7 +2747,12 @@ object SparkEntry {
          |w AS (SELECT cnt, m, COALESCE(sum(m) OVER (ORDER BY cnt
          |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS a FROM cc),
          |t AS (SELECT
-         |  CAST(sum(CAST(cnt AS HUGEINT) * (m * a + m * (m + 1) // 2)) AS HUGEINT) AS sumic,
+         |  -- m·a and the m·(m+1)/2 tie term widened BEFORE the products
+         |  -- (BIGINT m*(m+1) wraps past m ≈ 3e9; Spark mirrors with the
+         |  -- even-half split in DECIMAL(38,0))
+         |  CAST(sum(CAST(cnt AS HUGEINT) * (CAST(m AS HUGEINT) * a +
+         |    (CASE WHEN m % 2 = 0 THEN m // 2 ELSE m END) *
+         |    CAST(CASE WHEN m % 2 = 0 THEN m + 1 ELSE (m + 1) // 2 END AS HUGEINT))) AS HUGEINT) AS sumic,
          |  CAST(sum(m) AS HUGEINT) AS n,
          |  CAST(sum(CAST(cnt AS HUGEINT) * m) AS HUGEINT) AS s,
          |  CAST(max(cnt) AS HUGEINT) AS mx FROM w)

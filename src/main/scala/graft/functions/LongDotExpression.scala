@@ -57,9 +57,15 @@ case class LongDotExpression(left: Expression, right: Expression)
     LDot.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // ctx.freshName, NOT a fixed local: two graft_ldot calls can land in
+    // ONE codegen scope (non-nullable array inputs skip the nullSafeExec
+    // brace scope), and a duplicate declaration is a Janino compile error
+    // that silently drops the whole stage to interpreted execution —
+    // defeating the kernel's purpose.
     val v = nullSafeCodeGen(ctx, ev, (a, b) => {
-      s"""java.lang.Long ldr = graft.functions.LDot.compute($a, $b);
-         |if (ldr == null) { ${ev.isNull} = true; } else { ${ev.value} = ldr.longValue(); }
+      val ldr = ctx.freshName("ldr")
+      s"""java.lang.Long $ldr = graft.functions.LDot.compute($a, $b);
+         |if ($ldr == null) { ${ev.isNull} = true; } else { ${ev.value} = $ldr.longValue(); }
          |""".stripMargin
     })
     v

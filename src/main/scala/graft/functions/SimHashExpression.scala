@@ -203,6 +203,16 @@ object GraftFunctions {
     CdcCutsExpression(children.head, children(1), children(2))
   }
 
+  val SortedContainsName = "graft_sorted_contains"
+  private val sortedContainsInfo =
+    new ExpressionInfo(classOf[SortedContainsExpression].getName, SortedContainsName)
+
+  val sortedContainsBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2,
+      s"$SortedContainsName takes exactly 2 arguments, got ${children.length}")
+    SortedContainsExpression(children.head, children(1))
+  }
+
   val HeavyName = "graft_heavy_topk"
   private val heavyInfo = new ExpressionInfo(classOf[SpaceSavingTopK].getName, HeavyName)
 
@@ -227,6 +237,7 @@ object GraftFunctions {
     reg.registerFunction(FunctionIdentifier(HeavyName), heavyInfo, heavyBuilder)
     reg.registerFunction(FunctionIdentifier(CdcCutsName), cdcCutsInfo, cdcCutsBuilder)
     reg.registerFunction(FunctionIdentifier(LDotName), ldotInfo, ldotBuilder)
+    reg.registerFunction(FunctionIdentifier(SortedContainsName), sortedContainsInfo, sortedContainsBuilder)
     reg.registerFunction(FunctionIdentifier(FixMojibakeName), fixMojibakeInfo, fixMojibakeBuilder)
     reg.registerFunction(FunctionIdentifier(MojibakeName), mojibakeInfo, mojibakeBuilder)
     // optimizer surface parity with GraftExtensions (idempotent: guard
@@ -300,6 +311,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier(GraftFunctions.LDotName),
         new ExpressionInfo(classOf[LongDotExpression].getName, GraftFunctions.LDotName),
         GraftFunctions.ldotBuilder))
+    ext.injectFunction(
+      (FunctionIdentifier(GraftFunctions.SortedContainsName),
+        new ExpressionInfo(classOf[SortedContainsExpression].getName, GraftFunctions.SortedContainsName),
+        GraftFunctions.sortedContainsBuilder))
     ext.injectOptimizerRule(_ => CollapseIdempotentNormalization)
   }
 }

@@ -268,7 +268,13 @@ object CorpusStats {
     cc.withColumn("a", coalesce(sum(col("m")).over(wExcl), lit(0L)))
       .select(
         (dec(col("cnt")) *
-          (dec(col("m")) * dec(col("a")) + dec(expr("m * (m + 1) DIV 2"))))
+          (dec(col("m")) * dec(col("a")) +
+            // tie term m·(m+1)/2 via the even-half split so EVERY factor
+            // stays in BIGINT range before the DECIMAL(38,0) product:
+            // m*(m+1) computed in BIGINT wraps silently past m ≈ 3·10^9 —
+            // a plausible count=1 tie group at a 10^10-key corpus
+            dec(expr("CASE WHEN m % 2 = 0 THEN m DIV 2 ELSE m END")) *
+            dec(expr("CASE WHEN m % 2 = 0 THEN m + 1 ELSE (m + 1) DIV 2 END"))))
           .as("contrib"),
         col("m"), (dec(col("cnt")) * dec(col("m"))).as("docs"), col("cnt"))
       .agg(sum(col("contrib")).as("sumic"), sum(col("m")).as("n"),

@@ -293,4 +293,52 @@ class NativeSignalsSpec extends AnyFunSuite {
       finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
     assert(interp == got.map(_.getLong(0)).toSeq)
   }
+
+  test("graft_ldot: two calls in ONE codegen scope (non-nullable inputs) compile with fallback disabled") {
+    // non-nullable array children skip nullSafeExec's brace scope, so a
+    // FIXED local name in doGenCode declares twice in the same Java scope
+    // — a Janino compile error that silently drops the stage to
+    // interpreted execution unless fallback is off (the regression this
+    // test pins: the local must come from ctx.freshName)
+    graft.functions.GraftFunctions.register(spark)
+    val d = Seq((2L, 3L)).toDF("n", "m")
+    val a1 = transform(sequence(lit(1L), col("n")), x => x * 2L)
+    val a2 = transform(sequence(lit(1L), col("m")), x => x * 2L)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    val r = try d.select(
+        call_function("graft_ldot", a1, a1).as("x"),
+        call_function("graft_ldot", a2, a2).as("y")).collect()(0)
+      finally spark.conf.set("spark.sql.codegen.fallback", "true")
+    assert(r.getLong(0) == 20L && r.getLong(1) == 56L, s"got $r")
+  }
+
+  test("graft_sorted_contains: parity with array_contains on a 32768-entry vocab; UTF-8 byte order; nulls; empty array") {
+    graft.functions.GraftFunctions.register(spark)
+    // vocabulary crossing the UTF-16-vs-UTF-8 ordering trap: U+FFFF sorts
+    // ABOVE the surrogate-pair emoji in Java String order but BELOW it in
+    // UTF-8 byte order — the probe's contracted sort must place it right
+    val tricky = Seq("￿", "😀", "zz", "", "a")
+    val vocab = graft.functions.SortedContains.sorted(
+      tricky ++ (0 until 32763).map(i => f"tok$i%05d"))
+    assert(vocab.length == 32768)
+    val vlit = lit(vocab)
+    val probes = (tricky ++ Seq("tok00000", "tok32762", "tok32763", "absent",
+      "😁", "zzz")).toDF("t")
+    val got = probes.select(col("t"),
+        call_function("graft_sorted_contains", vlit, col("t")).as("bin"),
+        array_contains(vlit, col("t")).as("lin")).collect()
+    got.foreach(r => assert(r.getBoolean(1) == r.getBoolean(2),
+      s"probe '${r.getString(0)}': binary ${r.getBoolean(1)} vs linear ${r.getBoolean(2)}"))
+    assert(got.count(_.getBoolean(1)) == tricky.size + 2)
+    // null key / null array → NULL; empty array → false for any key
+    val e = spark.sql(
+      "SELECT graft_sorted_contains(array('a'), CAST(NULL AS STRING)) AS a, " +
+        "graft_sorted_contains(CAST(NULL AS ARRAY<STRING>), 'x') AS b")
+      .collect()(0)
+    assert(e.isNullAt(0) && e.isNullAt(1))
+    val emp = Seq("x").toDF("t")
+      .select(call_function("graft_sorted_contains",
+        lit(Array.empty[String]), col("t"))).collect()(0)
+    assert(!emp.getBoolean(0))
+  }
 }

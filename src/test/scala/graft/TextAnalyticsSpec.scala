@@ -256,4 +256,30 @@ class TextAnalyticsSpec extends AnyFunSuite {
       .collect()(0)
     assert((g2.getLong(1), g2.getLong(2)) == ((4L, 1L)), "vocab {zz, dd}: only ee is OOV")
   }
+
+  test("oovStats: empty corpus and all-blank corpus — empty vocab is a typed literal, not an analysis error") {
+    import spark.implicits._
+    // the regression: an empty vocab built as array() types as
+    // array<null> and array_contains fails ANALYSIS; the sorted-literal
+    // probe must stay array<string> and simply match nothing
+    val blank = Seq((1L, "   "), (2L, "")).toDF("doc_id", "text")
+    val gotBlank = oovStats(blank, "doc_id", "text", vocabSize = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(gotBlank == Map(1L -> ((0L, 0L, 0L)), 2L -> ((0L, 0L, 0L))), s"got $gotBlank")
+    val empty = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
+    assert(oovStats(empty, "doc_id", "text", vocabSize = 4).collect().isEmpty)
+  }
+
+  test("oovStats: green at the production vocabSize=32768 with the O(log K) probe") {
+    import spark.implicits._
+    // corpus with > 2 distinct tokens so the big-K run is exercised end
+    // to end; at K=32768 every corpus token is in-vocab by construction
+    // (top-K covers all), so every row must read 0 OOV — and a smaller K
+    // on the same corpus must still find OOV rows (probe not degenerate)
+    val d = (0L until 50L).map(i => (i, s"tok$i common${i % 3} aa")).toDF("doc_id", "text")
+    val big = oovStats(d, "doc_id", "text", vocabSize = 32768).collect()
+    assert(big.length == 50 && big.forall(_.getLong(2) == 0L))
+    val small = oovStats(d, "doc_id", "text", vocabSize = 4).collect()
+    assert(small.exists(_.getLong(2) > 0L))
+  }
 }
