@@ -10,7 +10,12 @@ import org.apache.spark.sql.functions._
   *    materialization of `extracted_text`);
   *  - the north_rule scaling evidence: the SAME job on the SAME input at
   *    two parallelism levels (local[N] vs local[4N] — the sandbox analog
-  *    of N vs 4N executors), efficiency = thr(4N) / (4 × thr(N));
+  *    of N vs 4N executors), efficiency = thr(4N) / (4 × thr(N)) — at
+  *    TWO level pairs per run: the committed 2→8 pairs (per-executor
+  *    memory-headroom analog) and the high-core 8→32 pairs
+  *    (`scaling_hi`; memory-bandwidth + GC contention at full occupancy,
+  *    what a 100×-scale executor feels), each with its own clean-pair
+  *    exclusion and raw/min-ratio/hw-normalized figures;
   *  - op-suite summary (count, ok count, total seconds, 3 slowest) +
   *    the error list for the SparkEntry op suite;
   *  - approximation quality (ANN recall@5, near-dup LSH recall).
@@ -287,16 +292,16 @@ object Bench {
     val cooldownSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN_SEC", "20").toInt
     case class Pair(docs: Long, runN: Run, runN4: Run, probe: Double, stealPct: Double)
     val allRuns = Vector.newBuilder[Run]
-    def runPair(): Pair = {
+    def runPair(nn: Int): Pair = {
       val pairStat = procStat()
-      val probeN = cpuProbe(n)
-      val (d, bestN, runsN) = extractAtCores(n, sfDir, replicate)
-      val probeN4 = cpuProbe(n4)
-      val (_, bestN4, runsN4) = extractAtCores(n4, sfDir, replicate)
+      val probeN = cpuProbe(nn)
+      val (d, bestN, runsN) = extractAtCores(nn, sfDir, replicate)
+      val probeN4 = cpuProbe(4 * nn)
+      val (_, bestN4, runsN4) = extractAtCores(4 * nn, sfDir, replicate)
       allRuns ++= runsN; allRuns ++= runsN4
       Pair(d, bestN, bestN4, probeN4 / (4.0 * probeN), stealSince(pairStat))
     }
-    var pairs = (1 to numPairs).map(_ => runPair()).toVector
+    var pairs = (1 to numPairs).map(_ => runPair(n)).toVector
     val docs = pairs.head.docs
     // true median: even-length input averages the two middles — taking the
     // upper-middle would systematically pick the better sample when the
@@ -326,54 +331,91 @@ object Bench {
     while (pairs.count(!pairContended(_)) < 2 && pairs.size < maxPairs
         && System.nanoTime() < retryDeadline) {
       Thread.sleep(cooldownSec * 1000L)
-      pairs :+= runPair()
+      pairs :+= runPair(n)
+    }
+    // HIGH-CORE scaling pairs (default 8→32): the committed 2→8 pairs
+    // mirror per-executor memory headroom; 8→32 is the harder claim —
+    // memory-bandwidth and GC contention appear at high occupancy, which
+    // is what a 100×-scale executor feels. Same pair machinery, same
+    // exclusion telemetry, published under "scaling_hi" whatever it
+    // measures (the honest number is the deliverable; raw vs
+    // hw-normalized bracket the silicon penalty, ~×1.5 at 8→32).
+    val nHi = sys.env.getOrElse("SPARK_GRAFT_BENCH_N_HI", "8").toInt // 0 disables
+    val numPairsHi = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS_HI", "2").toInt
+    var hiPairs =
+      if (nHi > 0) (1 to numPairsHi).map(_ => runPair(nHi)).toVector
+      else Vector.empty[Pair]
+    while (nHi > 0 && hiPairs.count(!pairContended(_)) < 2
+        && hiPairs.size < numPairsHi + 2 && System.nanoTime() < retryDeadline) {
+      Thread.sleep(cooldownSec * 1000L)
+      hiPairs :+= runPair(nHi)
     }
     val stealPct = stealSince(stealBefore) // whole scaling-phase window
-    val clean = pairs.filterNot(pairContended)
-    // a window where < 2 pairs survived exclusion yields NO efficiency
-    // figure: averaging pairs the telemetry itself classified as measuring
-    // the neighbors would publish noise as signal (BENCH_r02's 0.044). The
-    // artifact says contended=true, efficiency=null instead.
-    val contended = clean.size < 2
-    val statsBase = if (contended) pairs else clean // throughput context only
-    val secN = median(statsBase.map(_.runN.sec))
-    val secN4 = median(statsBase.map(_.runN4.sec))
+    // Per-level-pair statistics, shared by the committed 2→8 pairs and
+    // the high-core 8→32 pairs:
+    //  - a window where < 2 pairs survived exclusion yields NO efficiency
+    //    figure: averaging pairs the telemetry itself classified as
+    //    measuring the neighbors would publish noise as signal
+    //    (BENCH_r02's 0.044) — the artifact says contended=true,
+    //    efficiency=null instead;
+    //  - effMin: fastest clean N over 4× fastest clean 4N — slow-drift
+    //    contention below the stall threshold inflates ONE half of a pair
+    //    (a 2-core run absorbing ~20 % background load still passes the
+    //    1.35× CPU-budget check), biasing pair ratios either direction;
+    //    best-vs-best pairs the two least-contended samples. Both figures
+    //    are published; they bracket the truth;
+    //  - cpuInflation: full-occupancy hardware penalty — identical work
+    //    burns MORE CPU-seconds at 4N concurrent threads than at N on
+    //    shared silicon (all-core turbo, DRAM/LLC contention); 1.0 on
+    //    separate nodes. effHw = what the same software would measure
+    //    where per-instruction cost is flat across levels (a cluster
+    //    whose 4N executors bring 4× the memory systems). Reported
+    //    alongside the raw figure, never substituted — and NULLED when
+    //    measured inflation exceeds the documented occupancy range
+    //    (≤ 1.6 at 8→32 threads): interference-driven inflation × a
+    //    contended ratio can multiply into an accidentally-plausible
+    //    number (BENCH_r02's 0.998).
+    val MaxCredibleInflation = 1.6
+    case class LevelStats(contended: Boolean, secN: Double, secN4: Double,
+        eff: Option[Double], effMin: Option[Double],
+        cpuInflation: Option[Double], effHw: Option[Double], clean: Int)
+    def levelStats(ps: Vector[Pair]): LevelStats = {
+      val cleanPs = ps.filterNot(pairContended)
+      val contended = cleanPs.size < 2
+      val base = if (contended) ps else cleanPs // throughput context only
+      val secN = median(base.map(_.runN.sec))
+      val secN4 = median(base.map(_.runN4.sec))
+      val eff: Option[Double] =
+        if (contended) None
+        else Some(median(cleanPs.map(p => p.runN.sec / (4.0 * p.runN4.sec))))
+      val effMin: Option[Double] =
+        if (contended) None
+        else Some(cleanPs.map(_.runN.sec).min / (4.0 * cleanPs.map(_.runN4.sec).min))
+      val cpuInflation: Option[Double] = {
+        val ratios = cleanPs.collect {
+          case p if p.runN.cpuSec > 0 && p.runN4.cpuSec > 0 => p.runN4.cpuSec / p.runN.cpuSec
+        }
+        if (contended || ratios.isEmpty) None else Some(median(ratios))
+      }
+      val effHw: Option[Double] = (eff, cpuInflation) match {
+        case (Some(e), Some(i)) if i <= MaxCredibleInflation => Some(e * i)
+        case _ => None
+      }
+      LevelStats(contended, secN, secN4, eff, effMin, cpuInflation, effHw, cleanPs.size)
+    }
+    val st = levelStats(pairs)
+    val contended = st.contended
+    val secN = st.secN
+    val secN4 = st.secN4
     val thrN = docs / secN
     val thrN4 = docs / secN4
     val allEffs = pairs.map(p => p.runN.sec / (4.0 * p.runN4.sec))
-    val eff: Option[Double] =
-      if (contended) None else Some(median(clean.map(p => p.runN.sec / (4.0 * p.runN4.sec))))
-    // companion estimator: fastest clean N over 4× fastest clean 4N. Slow-
-    // drift contention below the stall threshold inflates ONE half of a
-    // pair (a 2-core run absorbing a ~20 % background load still passes
-    // the 1.35× CPU-budget check), which biases individual pair ratios in
-    // either direction — best-vs-best pairs the two least-contended
-    // samples instead. Both figures are published; they bracket the truth.
-    val effMinRatio: Option[Double] =
-      if (contended) None
-      else Some(clean.map(_.runN.sec).min / (4.0 * clean.map(_.runN4.sec).min))
+    val eff = st.eff
+    val effMinRatio = st.effMin
+    val statsBase = if (contended) pairs else pairs.filterNot(pairContended)
     val hostScaling = median(statsBase.map(_.probe)) // 1.0 = host cores scale linearly
-    // full-occupancy hardware penalty: identical work burns MORE
-    // CPU-seconds at 4N concurrent threads than at N on shared silicon
-    // (all-core turbo, DRAM/LLC contention). 1.0 on separate nodes. The
-    // normalized figure = what the same software would measure if
-    // per-instruction cost were flat across levels — i.e., on a cluster
-    // where 4N executors bring 4× the memory systems. Reported alongside
-    // the raw figure, never substituted for it — and NULLED when the
-    // measured inflation exceeds the documented occupancy range (≤ 1.6 at
-    // 8→32 threads): interference-driven inflation × a contended ratio can
-    // multiply into an accidentally-plausible number (BENCH_r02's 0.998).
-    val MaxCredibleInflation = 1.6
-    val cpuInflation: Option[Double] = {
-      val ratios = clean.collect {
-        case p if p.runN.cpuSec > 0 && p.runN4.cpuSec > 0 => p.runN4.cpuSec / p.runN.cpuSec
-      }
-      if (contended || ratios.isEmpty) None else Some(median(ratios))
-    }
-    val effHwNormalized: Option[Double] = (eff, cpuInflation) match {
-      case (Some(e), Some(i)) if i <= MaxCredibleInflation => Some(e * i)
-      case _ => None
-    }
+    val cpuInflation = st.cpuInflation
+    val effHwNormalized = st.effHw
 
     // op-suite timings at full parallelism — failures are RECORDED, never
     // swallowed: a throwing query gets an error entry and fails the exit
@@ -407,6 +449,15 @@ object Bench {
     // distortion is a per-run quality number, like the other two ANN paths
     val pqRecall = graft.sim.Similarity.pqRecallAtK(
       embs, embs.filter(col("vec_id") < 10), 5, m = 16, ks = 64)
+    // IVF-PQ composite at BOTH gated configs — the residual-encoding
+    // baseline and the refine-stage (exact-rerank) config that holds
+    // ≥ 0.9 — published next to flat PQ so the trade is visible
+    val ivfPqRecall = graft.sim.Similarity.ivfPqRecallAtK(
+      embs, embs.filter(col("vec_id") < 10), 5,
+      numCells = ivfCells, nProbe = 4, m = 16, ks = 64)
+    val ivfPqRerankRecall = graft.sim.Similarity.ivfPqRerankRecallAtK(
+      embs, embs.filter(col("vec_id") < 10), 5,
+      numCells = ivfCells, nProbe = 8, m = 16, ks = 64, shortlist = 50)
     spark.stop()
 
     import graft.util.JsonFmt.d
@@ -432,13 +483,19 @@ object Bench {
     val detailFile = new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")).getAbsoluteFile
     val detail =
-      s"""{"sf":"$sfDir","cores_n":$n,"cores_4n":$n4,"replicate":$replicate,"queries":$qs,"efficiency_samples":[${allEffs.map(d(_, 3)).mkString(",")}],"pair_steal_pct":[${pairs.map(p => d(p.stealPct, 2)).mkString(",")}],"pair_excluded":[${pairs.map(pairContended).mkString(",")}],"runs":$runsJson,"util_floor":${d(UtilFloor, 2)},"cpusec_stall_factor":${d(CpuSecStallFactor, 2)},"host_cpu_scaling":${d(hostScaling, 3)},"cpu_steal_pct":${d(stealPct, 2)}}"""
+      s"""{"sf":"$sfDir","cores_n":$n,"cores_4n":$n4,"replicate":$replicate,"queries":$qs,"efficiency_samples":[${allEffs.map(d(_, 3)).mkString(",")}],"pair_steal_pct":[${pairs.map(p => d(p.stealPct, 2)).mkString(",")}],"pair_excluded":[${pairs.map(pairContended).mkString(",")}],"efficiency_samples_hi":[${hiPairs.map(p => d(p.runN.sec / (4.0 * p.runN4.sec), 3)).mkString(",")}],"pair_steal_pct_hi":[${hiPairs.map(p => d(p.stealPct, 2)).mkString(",")}],"pair_excluded_hi":[${hiPairs.map(pairContended).mkString(",")}],"runs":$runsJson,"util_floor":${d(UtilFloor, 2)},"cpusec_stall_factor":${d(CpuSecStallFactor, 2)},"host_cpu_scaling":${d(hostScaling, 3)},"cpu_steal_pct":${d(stealPct, 2)}}"""
     java.nio.file.Files.write(detailFile.toPath, (detail + "\n").getBytes("UTF-8"))
 
     val scaling =
-      s""""cores_n":$n,"cores_4n":$n4,"sec_n":${d(secN, 3)},"sec_4n":${d(secN4, 3)},"docs_per_sec_n":${d(thrN, 1)},"docs_per_sec_4n":${d(thrN4, 1)},"pairs_total":${pairs.size},"clean_pairs":${clean.size},"contended":$contended,"cpu_occupancy_inflation":${dOpt(cpuInflation, 3)},"efficiency_hw_normalized":${dOpt(effHwNormalized, 3)},"efficiency_min_ratio":${dOpt(effMinRatio, 3)},"detail_file":${js(detailFile.toString)},"efficiency":${dOpt(eff, 3)}"""
+      s""""cores_n":$n,"cores_4n":$n4,"sec_n":${d(secN, 3)},"sec_4n":${d(secN4, 3)},"docs_per_sec_n":${d(thrN, 1)},"docs_per_sec_4n":${d(thrN4, 1)},"pairs_total":${pairs.size},"clean_pairs":${st.clean},"contended":$contended,"cpu_occupancy_inflation":${dOpt(cpuInflation, 3)},"efficiency_hw_normalized":${dOpt(effHwNormalized, 3)},"efficiency_min_ratio":${dOpt(effMinRatio, 3)},"detail_file":${js(detailFile.toString)},"efficiency":${dOpt(eff, 3)}"""
+    val scalingHi =
+      if (hiPairs.isEmpty) "null"
+      else {
+        val h = levelStats(hiPairs)
+        s"""{"cores_n":$nHi,"cores_4n":${4 * nHi},"sec_n":${d(h.secN, 3)},"sec_4n":${d(h.secN4, 3)},"docs_per_sec_n":${d(docs / h.secN, 1)},"docs_per_sec_4n":${d(docs / h.secN4, 1)},"pairs_total":${hiPairs.size},"clean_pairs":${h.clean},"contended":${h.contended},"cpu_occupancy_inflation":${dOpt(h.cpuInflation, 3)},"efficiency_hw_normalized":${dOpt(h.effHw, 3)},"efficiency_min_ratio":${dOpt(h.effMin, 3)},"efficiency":${dOpt(h.eff, 3)}}"""
+      }
     println(
-      s"""{"metric":"total","value":${d(total, 3)},"unit":"sec","queries_total":${queries.size},"queries_ok":${queries.count(_._3.isEmpty)},"queries_sec":${d(queries.map(_._2).sum, 3)},"queries_slowest":$slowest,"query_errors":$qErrs,"sf":"$sfDir","extract":{"docs":$docs,"docs_per_sec":${d(thrN4, 1)},"sec":${d(secN4, 3)}},"quality":{"ann_planes":$annPlanes,"ann_recall_at_5":${d(annRecall, 3)},"ivf_cells":$ivfCells,"ivf_recall_at_5":${d(ivfRecall, 3)},"pq_recall_at_5":${d(pqRecall, 3)},"neardup_lsh_recall":${d(ndRecall, 3)},"neardup_pairs_exact":$ndExact,"neardup_pairs_lsh":$ndLsh},"scaling":{$scaling}}"""
+      s"""{"metric":"total","value":${d(total, 3)},"unit":"sec","queries_total":${queries.size},"queries_ok":${queries.count(_._3.isEmpty)},"queries_sec":${d(queries.map(_._2).sum, 3)},"queries_slowest":$slowest,"query_errors":$qErrs,"sf":"$sfDir","extract":{"docs":$docs,"docs_per_sec":${d(thrN4, 1)},"sec":${d(secN4, 3)}},"quality":{"ann_planes":$annPlanes,"ann_recall_at_5":${d(annRecall, 3)},"ivf_cells":$ivfCells,"ivf_recall_at_5":${d(ivfRecall, 3)},"pq_recall_at_5":${d(pqRecall, 3)},"ivfpq_recall_at_5":${d(ivfPqRecall, 3)},"ivfpq_rerank_recall_at_5":${d(ivfPqRerankRecall, 3)},"neardup_lsh_recall":${d(ndRecall, 3)},"neardup_pairs_exact":$ndExact,"neardup_pairs_lsh":$ndLsh},"scaling":{$scaling},"scaling_hi":$scalingHi}"""
     )
     if (queries.exists(_._3.isDefined)) sys.exit(1)
   }

@@ -1657,11 +1657,18 @@ object SparkEntry {
     "d_winnow_fp" -> ((s, dir) =>
       graft.dedup.Winnow.winnowFingerprints(docs(s, dir), "doc_id", "text", k = 5, w = 4)),
     // the pairing consumer: docs sharing ≥ 3 selected fingerprints —
-    // the copy-localization join at the winnowed row budget
-    "d_winnow_pairs" -> ((s, dir) =>
+    // the copy-localization join at the winnowed row budget. The
+    // corpus-wide gram-hash SELECTION pass runs ONCE and persists as the
+    // slim (id, pos, fp) relation (the BM25 scan/index twin pattern):
+    // pairing then joins the stored selection — join cost only, no
+    // second full-corpus md5 pass. Same oracle as the inline form.
+    "d_winnow_pairs" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-winnow-fp").toString
+      graft.dedup.Winnow.winnowFingerprints(docs(s, dir), "doc_id", "text", k = 5, w = 4)
+        .write.mode("overwrite").parquet(path)
       graft.dedup.Winnow.sharedPassagePairs(
-        graft.dedup.Winnow.winnowFingerprints(docs(s, dir), "doc_id", "text", k = 5, w = 4),
-        "doc_id", minShared = 3L, maxFpDocs = 50)),
+        s.read.parquet(path), "doc_id", minShared = 3L, maxFpDocs = 50)
+    }),
     // CCNet-style line-level boilerplate removal: slim (id, line_md5)
     // document-frequency catalog (bounded, broadcast as ONE array row),
     // then a map-only order-preserving cleanse — corpus text never
@@ -1915,11 +1922,25 @@ object SparkEntry {
     }),
     // IVF-PQ: the composition billion-scale indexes ship — coarse cells
     // prune candidates, PQ ADC ranks the survivors from bytes-per-vector
-    // codes; embeddings never enter the probe
+    // RESIDUAL codes (y − centroid(cell(y)), the Jégou §V/faiss IVFADC
+    // design) plus the probe's exact coarse dot; embeddings never enter
+    // the probe
     "s_ivfpq_topk" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10), 5,
         numCells = Similarity.cellsFor(e.count()), nProbe = 4, m = 16, ks = 64)
+        .select(col("qid"), col("vid"), col("score"), col("rn").cast("long").as("rn"))
+    }),
+    // the production-recall config: ADC shortlist (nProbe=8, 50 per
+    // query) + EXACT integer rerank — the faiss IndexRefineFlat pattern;
+    // holds recall@5 ≈ 0.98 at sf0.1 where every plain quantized config
+    // stays ≤ 0.84 (measured per-run by Bench next to the flat-PQ number
+    // so the quantization/rerank trade is visible)
+    "s_ivfpq_rerank" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfPqRerankTopK(e, e.filter(col("vec_id") < 10), 5,
+        numCells = Similarity.cellsFor(e.count()), nProbe = 8, m = 16, ks = 64,
+        shortlist = 50)
         .select(col("qid"), col("vid"), col("score"), col("rn").cast("long").as("rn"))
     }),
     "s_embed_neardup" -> ((s, dir) =>
@@ -2354,6 +2375,80 @@ object SparkEntry {
       |    (SELECT min(p) FROM (SELECT unnest(generate_series(1, 20)) AS p)
       |     WHERE (CAST(1 AS BIGINT) << p) >= rc))) AS p
       |  FROM (SELECT greatest(2, (count(*) + 9999) // 10000) AS rc FROM embeddings))""".stripMargin
+
+  /** Parameterized SQL twin of [[Similarity.ivfPqTopK]]: the s_ivf_topk
+    * coarse chain (no Lloyd) feeding the PQ seed/Lloyd/assignment chain —
+    * over RESIDUALS `fq[i] − centroid[i]` when `residual` (the published
+    * IVFADC design; the ADC score then adds the probe's exact coarse dot
+    * `cs`), over raw quantized vectors otherwise. One template serves
+    * every gated (m, ks, nProbe) config — identical integers step for
+    * step with the Spark path.
+    */
+  private def ivfPqSql(m: Int, ks: Int, nProbe: Int, residual: Boolean,
+                       k: Int = 5): String = {
+    val d = 64 / m
+    val rv =
+      if (residual)
+        s"""cq AS (SELECT ccid, list_transform(generate_series(1, 64), i ->
+           |  CAST(floor(CAST(cce[i] AS DOUBLE) * 1000) AS BIGINT)) AS cv FROM cent),
+           |rv AS (SELECT fq.vid, list_transform(generate_series(1, 64), i -> fv[i] - cv[i]) AS rq
+           |  FROM fq JOIN cellasn ON cellasn.avid = fq.vid JOIN cq ON cq.ccid = cellasn.cell)""".stripMargin
+      else "rv AS (SELECT vid, fv AS rq FROM fq)"
+    val scoreExpr =
+      if (residual) "CAST(qp.cs + sum(l.pdot) AS BIGINT)"
+      else "CAST(sum(l.pdot) AS BIGINT)"
+    s"""WITH cl AS (
+       |  SELECT least(65536, greatest(4,
+       |    CASE WHEN (c0+1)*(c0+1) <= n THEN c0+1 WHEN c0*c0 > n THEN c0-1 ELSE c0 END)) AS c
+       |  FROM (SELECT count(*) AS n, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS c0 FROM embeddings)),
+       |cent AS (SELECT vec_id AS ccid, embedding AS cce FROM embeddings, cl
+       |         QUALIFY row_number() OVER (ORDER BY vec_id) <= c),
+       |v AS (SELECT vec_id AS vid, embedding AS ve FROM embeddings),
+       |vsc AS (SELECT vid, ccid, ${qdotSql("ve", "cce")} AS cs FROM v, cent),
+       |cellasn AS (SELECT avid, ccid AS cell FROM (
+       |  SELECT vid AS avid, ccid, row_number() OVER (PARTITION BY vid ORDER BY cs DESC, ccid) AS rn FROM vsc) WHERE rn = 1),
+       |fq AS (SELECT vid, list_transform(generate_series(1, 64), i ->
+       |  CAST(floor(CAST(ve[i] AS DOUBLE) * 1000) AS BIGINT)) AS fv FROM v),
+       |$rv,
+       |ss AS (SELECT unnest(generate_series(0, ${m - 1})) AS s),
+       |vs AS (SELECT vid, ss.s, list_transform(generate_series(1, $d), i -> rq[ss.s * $d + i]) AS vq FROM rv, ss),
+       |seeds AS (SELECT vid, rq FROM rv QUALIFY row_number() OVER (ORDER BY vid) <= $ks),
+       |sd AS (SELECT row_number() OVER (ORDER BY vid) - 1 AS cid, rq AS e FROM seeds),
+       |cb0 AS (SELECT ss.s, sd.cid, list_transform(generate_series(1, $d), i -> e[ss.s * $d + i]) AS ce FROM sd, ss),
+       |d0 AS (SELECT vid, vs.s, cid,
+       |  list_sum(list_transform(generate_series(1, $d), i -> (vq[i] - ce[i]) * (vq[i] - ce[i]))) AS dist
+       |  FROM vs JOIN cb0 ON cb0.s = vs.s),
+       |a0 AS (SELECT vid, s, cid FROM (SELECT vid, s, cid,
+       |  row_number() OVER (PARTITION BY vid, s ORDER BY dist, cid) AS rn FROM d0) WHERE rn = 1),
+       |pm AS (SELECT vs.s, a0.cid, g.i AS dim,
+       |  CAST((sum(vq[g.i]) + count(*) * 1048576) // count(*) - 1048576 AS BIGINT) AS q
+       |  FROM vs JOIN a0 ON a0.vid = vs.vid AND a0.s = vs.s,
+       |       (SELECT unnest(generate_series(1, $d)) AS i) g
+       |  GROUP BY vs.s, a0.cid, g.i),
+       |cb AS (SELECT s, cid, list(q ORDER BY dim) AS ce FROM pm GROUP BY s, cid),
+       |d1 AS (SELECT vid, vs.s, cid,
+       |  list_sum(list_transform(generate_series(1, $d), i -> (vq[i] - ce[i]) * (vq[i] - ce[i]))) AS dist
+       |  FROM vs JOIN cb ON cb.s = vs.s),
+       |pqasn AS (SELECT vid, s, cid FROM (SELECT vid, s, cid,
+       |  row_number() OVER (PARTITION BY vid, s ORDER BY dist, cid) AS rn FROM d1) WHERE rn = 1),
+       |q0 AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+       |qs AS (SELECT qid, ss.s, list_transform(generate_series(1, $d), i ->
+       |  CAST(floor(CAST(qe[ss.s * $d + i] AS DOUBLE) * 1000) AS BIGINT)) AS qq FROM q0, ss),
+       |lut AS (SELECT qid, cb.s, cb.cid,
+       |  CAST(list_sum(list_transform(generate_series(1, $d), i -> qq[i] * ce[i])) AS BIGINT) AS pdot
+       |  FROM qs JOIN cb ON cb.s = qs.s),
+       |qsc AS (SELECT qid, ccid, ${qdotSql("qe", "cce")} AS cs FROM q0, cent),
+       |qp AS (SELECT qid, ccid AS cell, cs FROM (
+       |  SELECT qid, ccid, cs, row_number() OVER (PARTITION BY qid ORDER BY cs DESC, ccid) AS rn FROM qsc) WHERE rn <= $nProbe),
+       |sc AS (SELECT qp.qid, ca.avid AS vid, $scoreExpr AS score
+       |  FROM qp JOIN cellasn ca ON ca.cell = qp.cell
+       |  JOIN pqasn p ON p.vid = ca.avid
+       |  JOIN lut l ON l.qid = qp.qid AND l.s = p.s AND l.cid = p.cid
+       |  WHERE qp.qid <> ca.avid GROUP BY qp.qid, ca.avid, qp.cs)
+       |SELECT qid, vid, score, rn FROM (SELECT qid, vid, score,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, vid) AS rn FROM sc)
+       |WHERE rn <= $k""".stripMargin
+  }
 
   /** Top-k window wrapper shared by the similarity oracles. */
   private def topkSql(scoredCte: String): String =
@@ -4155,59 +4250,19 @@ object SparkEntry {
          |s AS (SELECT qid, vid, ${cosQSql("qe", "ve")} AS score
          |      FROM qp JOIN asn ON qp.cell = asn.cell JOIN v ON asn.avid = v.vid WHERE qid <> vid)""".stripMargin),
     // IVF-PQ twin: the s_ivf_topk coarse chain (no Lloyd) feeding the
-    // s_pq_topk codebook/LUT chain; candidates = probed cells' members,
-    // ranked by the same integer ADC sum
-    "s_ivfpq_topk" ->
-      s"""WITH cl AS (
-         |  SELECT least(65536, greatest(4,
-         |    CASE WHEN (c0+1)*(c0+1) <= n THEN c0+1 WHEN c0*c0 > n THEN c0-1 ELSE c0 END)) AS c
-         |  FROM (SELECT count(*) AS n, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS c0 FROM embeddings)),
-         |cent AS (SELECT vec_id AS ccid, embedding AS cce FROM embeddings, cl
-         |         QUALIFY row_number() OVER (ORDER BY vec_id) <= c),
-         |v AS (SELECT vec_id AS vid, embedding AS ve FROM embeddings),
-         |vsc AS (SELECT vid, ccid, ${qdotSql("ve", "cce")} AS cs FROM v, cent),
-         |cellasn AS (SELECT avid, ccid AS cell FROM (
-         |  SELECT vid AS avid, ccid, row_number() OVER (PARTITION BY vid ORDER BY cs DESC, ccid) AS rn FROM vsc) WHERE rn = 1),
-         |seeds AS (SELECT vec_id, embedding FROM embeddings
-         |  QUALIFY row_number() OVER (ORDER BY vec_id) <= 64),
-         |sd AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS e FROM seeds),
-         |ss AS (SELECT unnest(generate_series(0, 15)) AS s),
-         |cb0 AS (SELECT ss.s, sd.cid, list_transform(generate_series(1, 4), i ->
-         |  CAST(floor(CAST(e[ss.s * 4 + i] AS DOUBLE) * 1000) AS BIGINT)) AS ce FROM sd, ss),
-         |vs AS (SELECT vid, ss.s, list_transform(generate_series(1, 4), i ->
-         |  CAST(floor(CAST(ve[ss.s * 4 + i] AS DOUBLE) * 1000) AS BIGINT)) AS vq FROM v, ss),
-         |d0 AS (SELECT vid, vs.s, cid,
-         |  list_sum(list_transform(generate_series(1, 4), i -> (vq[i] - ce[i]) * (vq[i] - ce[i]))) AS dist
-         |  FROM vs JOIN cb0 ON cb0.s = vs.s),
-         |a0 AS (SELECT vid, s, cid FROM (SELECT vid, s, cid,
-         |  row_number() OVER (PARTITION BY vid, s ORDER BY dist, cid) AS rn FROM d0) WHERE rn = 1),
-         |pm AS (SELECT vs.s, a0.cid, g.i AS dim,
-         |  CAST((sum(vq[g.i]) + count(*) * 1048576) // count(*) - 1048576 AS BIGINT) AS q
-         |  FROM vs JOIN a0 ON a0.vid = vs.vid AND a0.s = vs.s,
-         |       (SELECT unnest(generate_series(1, 4)) AS i) g
-         |  GROUP BY vs.s, a0.cid, g.i),
-         |cb AS (SELECT s, cid, list(q ORDER BY dim) AS ce FROM pm GROUP BY s, cid),
-         |d1 AS (SELECT vid, vs.s, cid,
-         |  list_sum(list_transform(generate_series(1, 4), i -> (vq[i] - ce[i]) * (vq[i] - ce[i]))) AS dist
-         |  FROM vs JOIN cb ON cb.s = vs.s),
-         |pqasn AS (SELECT vid, s, cid FROM (SELECT vid, s, cid,
-         |  row_number() OVER (PARTITION BY vid, s ORDER BY dist, cid) AS rn FROM d1) WHERE rn = 1),
-         |q0 AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
-         |qs AS (SELECT qid, ss.s, list_transform(generate_series(1, 4), i ->
-         |  CAST(floor(CAST(qe[ss.s * 4 + i] AS DOUBLE) * 1000) AS BIGINT)) AS qq FROM q0, ss),
-         |lut AS (SELECT qid, cb.s, cb.cid,
-         |  CAST(list_sum(list_transform(generate_series(1, 4), i -> qq[i] * ce[i])) AS BIGINT) AS pdot
-         |  FROM qs JOIN cb ON cb.s = qs.s),
-         |qsc AS (SELECT qid, ccid, ${qdotSql("qe", "cce")} AS cs FROM q0, cent),
-         |qp AS (SELECT qid, ccid AS cell FROM (
-         |  SELECT qid, ccid, row_number() OVER (PARTITION BY qid ORDER BY cs DESC, ccid) AS rn FROM qsc) WHERE rn <= 4),
-         |sc AS (SELECT qp.qid, ca.avid AS vid, CAST(sum(l.pdot) AS BIGINT) AS score
-         |  FROM qp JOIN cellasn ca ON ca.cell = qp.cell
-         |  JOIN pqasn p ON p.vid = ca.avid
-         |  JOIN lut l ON l.qid = qp.qid AND l.s = p.s AND l.cid = p.cid
-         |  WHERE qp.qid <> ca.avid GROUP BY 1, 2)
+    // PQ codebook/LUT chain over RESIDUALS, ADC sum + exact coarse dot —
+    // one template ([[ivfPqSql]]) serves both gated configs
+    "s_ivfpq_topk" -> ivfPqSql(m = 16, ks = 64, nProbe = 4, residual = true),
+    // refine-stage twin: the same template shortlists 50 per query
+    // (nested CTE), then the exact integer rerank — faiss RefineFlat
+    "s_ivfpq_rerank" ->
+      s"""WITH base AS (${ivfPqSql(m = 16, ks = 64, nProbe = 8, residual = true, k = 50)}),
+         |e AS (SELECT vec_id AS vid, embedding AS ve FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |rr AS (SELECT base.qid, base.vid, CAST(${qdotSql("qe", "ve")} AS BIGINT) AS score
+         |       FROM base JOIN e ON e.vid = base.vid JOIN q ON q.qid = base.qid)
          |SELECT qid, vid, score, rn FROM (SELECT qid, vid, score,
-         |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, vid) AS rn FROM sc)
+         |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, vid) AS rn FROM rr)
          |WHERE rn <= 5""".stripMargin,
     // PQ twin: same seed/Lloyd/assignment chain per subspace (integer L2,
     // min-cid ties), LUT join + sum instead of the broadcast map probe —

@@ -377,19 +377,33 @@ object Similarity {
     * Lloyd mean runs on slim (s, cid, dim, component) quadruples.
     * Vectors never shuffle.
     */
-  def pqCodebooks(corpus: DataFrame, m: Int, ks: Int, dim: Int = 64): DataFrame = {
+  def pqCodebooks(corpus: DataFrame, m: Int, ks: Int, dim: Int = 64): DataFrame =
+    pqCodebooksQ(
+      corpus.select(col("vec_id").as("vid"), quantizeFull(col("embedding")).as("vq")),
+      m, ks, dim)
+
+  /** [[pqCodebooks]] over PRE-QUANTIZED full-length integer vectors
+    * `(vid, vq: array<long>)` — the shared core that lets the SAME
+    * seed + one-Lloyd-round trainer run on raw quantized vectors (flat
+    * PQ) or on coarse-cell RESIDUALS (IVF-PQ): seeds are the `ks`
+    * smallest-vid rows (TakeOrdered, never a global sort), assignment is
+    * integer L2 argmin against the broadcast codebook, the refinement
+    * mean runs on slim (s, cid, dim, component) quadruples. Values are
+    * identical to the float-input path (quantization commutes with the
+    * subspace slice).
+    */
+  def pqCodebooksQ(rows: DataFrame, m: Int, ks: Int, dim: Int = 64): DataFrame = {
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
     require(ks >= 1 && ks <= PqCidStride, s"ks=$ks out of range")
     val d = dim / m
-    val seeds = corpus.select(col("vec_id"), col("embedding"))
-      .orderBy(col("vec_id")).limit(ks)
+    val seeds = rows.orderBy(col("vid")).limit(ks)
       .withColumn("cid",
-        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("long"))
+        (row_number().over(Window.orderBy(col("vid"))) - 1).cast("long"))
     val cb0 = seeds.select(explode(array((0 until m).map(s =>
         struct(lit(s.toLong).as("s"), col("cid"),
-          qsub(col("embedding"), s, d).as("ce"))): _*)).as("e"))
+          slice(col("vq"), s * d + 1, d).as("ce"))): _*)).as("e"))
       .select(col("e.s").as("s"), col("e.cid").as("cid"), col("e.ce").as("ce"))
-    val subs = subVectors(corpus, m, d)
+    val subs = subVectorsQ(rows, m, d)
     val asn0 = pqAssign(subs, cb0)
     val perDim = subs.join(asn0, Seq("vid", "s"))
       .select(col("s"), col("cid"), posexplode(col("vq")).as(Seq("dim", "x")))
@@ -402,16 +416,19 @@ object Similarity {
       .select(col("s"), col("cid"), expr("transform(dq, p -> p.q)").as("ce"))
   }
 
-  /** Quantized subvector `s` (0-based) of a dim-`m·d` embedding. */
-  private def qsub(e: Column, s: Int, d: Int): Column =
-    transform(sequence(lit(s * d + 1), lit(s * d + d)),
-      i => floor(element_at(e, i.cast("int")).cast("double") * 1000).cast("long"))
+  /** Whole-vector quantization to the 1/1000 integer grid — the single
+    * map-only step every PQ path shares; slicing it per subspace equals
+    * quantizing each subvector directly.
+    */
+  def quantizeFull(e: Column): Column =
+    transform(e, x => floor(x.cast("double") * 1000).cast("long"))
 
-  /** (vid, s, vq) quantized subvector rows — map-only explode. */
-  private def subVectors(corpus: DataFrame, m: Int, d: Int): DataFrame =
-    corpus.select(col("vec_id").as("vid"), col("embedding").as("ve"))
-      .select(col("vid"), explode(array((0 until m).map(s =>
-        struct(lit(s.toLong).as("s"), qsub(col("ve"), s, d).as("vq"))): _*)).as("e"))
+  /** (vid, s, vq) integer subvector rows from full-length quantized
+    * vectors — map-only explode, total payload = one corpus width.
+    */
+  private def subVectorsQ(rows: DataFrame, m: Int, d: Int): DataFrame =
+    rows.select(col("vid"), explode(array((0 until m).map(s =>
+        struct(lit(s.toLong).as("s"), slice(col("vq"), s * d + 1, d).as("vq"))): _*)).as("e"))
       .select(col("vid"), col("e.s").as("s"), col("e.vq").as("vq"))
 
   /** Nearest codeword per (vector, subspace) by integer L2, ties to the
@@ -447,7 +464,15 @@ object Similarity {
     * where the exact scan pages through 100× the bytes.
     */
   def pqEncode(corpus: DataFrame, cb: DataFrame, m: Int, dim: Int = 64): DataFrame =
-    pqAssign(subVectors(corpus, m, dim / m), cb)
+    pqEncodeQ(
+      corpus.select(col("vec_id").as("vid"), quantizeFull(col("embedding")).as("vq")),
+      cb, m, dim)
+
+  /** [[pqEncode]] over pre-quantized integer rows `(vid, vq)` — shared by
+    * the flat and residual paths.
+    */
+  def pqEncodeQ(rows: DataFrame, cb: DataFrame, m: Int, dim: Int = 64): DataFrame =
+    pqAssign(subVectorsQ(rows, m, dim / m), cb)
       .groupBy(col("vid"))
       .agg(sort_array(collect_list(struct(col("s"), col("cid")))).as("sc"))
       .select(col("vid"), expr("transform(sc, p -> p.cid)").as("codes"))
@@ -475,82 +500,181 @@ object Similarity {
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              m: Int = 8, ks: Int = 16, dim: Int = 64): DataFrame = {
-    val d = dim / m
     val cb = pqCodebooks(corpus, m, ks, dim)
     val codes = pqEncode(corpus, cb, m, dim)
-    val qsubs = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      .select(col("qid"), explode(array((0 until m).map(s =>
-        struct(lit(s.toLong).as("s"), qsub(col("qe"), s, d).as("qq"))): _*)).as("e"))
-      .select(col("qid"), col("e.s").as("s"), col("e.qq").as("qq"))
-    val lut = qsubs.join(broadcast(cb), Seq("s"))
-      .select(col("qid"), (col("s") * lit(PqCidStride) + col("cid")).as("key"),
-        call_function(graft.functions.GraftFunctions.LDotName, col("qq"), col("ce"))
-          .as("pdot"))
-      .groupBy(col("qid"))
-      .agg(map_from_entries(collect_list(struct(col("key"), col("pdot")))).as("lut"))
+    val lut = adcLut(querySubsQ(queries, m, dim / m), cb)
     val scored = codes.crossJoin(broadcast(lut))
       .filter(col("qid") =!= col("vid"))
-      .select(col("qid"), col("vid"),
-        expr(s"aggregate(sequence(0, ${m - 1}), 0L, (acc, s) -> " +
-          s"acc + element_at(lut, s * ${PqCidStride}L + element_at(codes, CAST(s + 1 AS INT))))")
-          .as("score"))
+      .select(col("qid"), col("vid"), adcSum(m).as("score"))
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vid"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
-  /** IVF-PQ approximate top-k — the composition billion-scale indexes
-    * actually ship (faiss `IVFxx,PQyy`; Jégou et al. 2011 §V): the coarse
-    * quantizer ([[ivfAssign]]) prunes the corpus to `nProbe` cells per
-    * query, and the CANDIDATES are ranked by PQ asymmetric distance
-    * ([[pqTopK]]'s LUT scan) instead of exact scoring — so the probe
-    * touches only cell-pruned CODES (bytes per vector), never the
-    * embeddings. IVF buys sublinear candidate count, PQ buys a
-    * memory-resident scan of what remains; recall compounds both
-    * approximations (measured in SimilaritySpec and reported per-run by
-    * Bench for the parents; the composite trades recall for the smallest
-    * probe cost of the three paths).
-    *
-    * Scale shape: union of the parents' — centroids, codebooks, and
-    * per-query LUTs broadcast; assignment and encoding reduce to slim
-    * triples; the probe join is a broadcast hash join on cell id over
-    * (vid, cell, codes) rows; embeddings move exactly once (the
-    * cell-label join inside encoding's input). All integer, value-exact
-    * under the DuckDB oracle.
+  /** Query-side integer subvector rows `(qid, s, qq)`. */
+  private def querySubsQ(queries: DataFrame, m: Int, d: Int): DataFrame =
+    queries.select(col("vec_id").as("qid"), quantizeFull(col("embedding")).as("fq"))
+      .select(col("qid"), explode(array((0 until m).map(s =>
+        struct(lit(s.toLong).as("s"), slice(col("fq"), s * d + 1, d).as("qq"))): _*)).as("e"))
+      .select(col("qid"), col("e.s").as("s"), col("e.qq").as("qq"))
+
+  /** Per-query ADC lookup table: the m×ks exact partial dots between the
+    * query's integer subvectors and every codeword, packed into one map
+    * column keyed `s·stride + cid` — tiny, broadcast at the consumer.
     */
-  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                numCells: Int, nProbe: Int = 4,
-                m: Int = 16, ks: Int = 64, dim: Int = 64): DataFrame = {
-    val qd = qdotNative(corpus) _
-    val (cent, asn) = ivfAssign(corpus, numCells, lloydRounds = 0)
-    val cb = pqCodebooks(corpus, m, ks, dim)
-    val codes = pqEncode(corpus, cb, m, dim).join(asn.withColumnRenamed("vid", "vid2"),
-      col("vid") === col("vid2")).drop("vid2")
-    val d = dim / m
-    val qsubs = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      .select(col("qid"), col("qe"), explode(array((0 until m).map(s =>
-        struct(lit(s.toLong).as("s"), qsub(col("qe"), s, d).as("qq"))): _*)).as("e"))
-      .select(col("qid"), col("qe"), col("e.s").as("s"), col("e.qq").as("qq"))
-    val lut = qsubs.join(broadcast(cb), Seq("s"))
+  private def adcLut(qsubs: DataFrame, cb: DataFrame): DataFrame =
+    qsubs.join(broadcast(cb), Seq("s"))
       .select(col("qid"), (col("s") * lit(PqCidStride) + col("cid")).as("key"),
         call_function(graft.functions.GraftFunctions.LDotName, col("qq"), col("ce"))
           .as("pdot"))
       .groupBy(col("qid"))
       .agg(map_from_entries(collect_list(struct(col("key"), col("pdot")))).as("lut"))
+
+  /** The ADC sum `Σ_s lut[s][codes_v[s]]` over a `codes` column and a
+    * joined-in `lut` map column.
+    */
+  private def adcSum(m: Int): Column =
+    expr(s"aggregate(sequence(0, ${m - 1}), 0L, (acc, s) -> " +
+      s"acc + element_at(lut, s * ${PqCidStride}L + element_at(codes, CAST(s + 1 AS INT))))")
+
+  /** IVF-PQ approximate top-k — the composition billion-scale indexes
+    * actually ship (faiss `IVFxx,PQyy`; Jégou et al. 2011 §V): the coarse
+    * quantizer ([[ivfAssign]]) prunes the corpus to `nProbe` cells per
+    * query, and the CANDIDATES are ranked by PQ asymmetric distance over
+    * RESIDUAL codes — so the probe touches only cell-pruned codes (bytes
+    * per vector), never the embeddings.
+    *
+    * `residual = true` (the published design, §V's IVFADC): each vector
+    * is PQ-encoded as `v − centroid(cell(v))` in the integer domain
+    * (quantized components, exact subtraction), and the ADC score is
+    * `⟨q, c⟩ + Σ_s lut[s][codes_v[s]]` — the per-(query, cell) coarse
+    * dot the probe ALREADY computes, plus the residual ADC sum against
+    * ONE global residual codebook (faiss's default: codebooks shared
+    * across cells, so the LUT stays m·ks per query, not per cell). The
+    * coarse term is EXACT, so the ADC error reduces to the RESIDUAL's
+    * quantization error — zero when cells are tight (every vector its
+    * own centroid ⇒ score == exact quantized dot, recall 1.0,
+    * spec-pinned; near-duplicate clusters approach it), which is the
+    * regime a 10^9-vector corpus under √n cells actually sits in.
+    *
+    * MEASURED HONESTLY on the sandbox's near-uniform synthetic
+    * embeddings (sf0.1, 2000 vectors, 44 cells — the ANTI-regime:
+    * nearest-centroid cosine ≈ 0.3-0.4, so the residual's norm EXCEEDS
+    * the vector's and quantizes no finer): recall@5 at (m=16, ks=64,
+    * nProbe=4) is 0.34 residual vs 0.38 raw — residual encoding buys
+    * nothing here, exactly as the repo's earlier Lloyd-refinement
+    * finding (IvfRecallProbe) predicts for unclustered data. The
+    * recall path at production knobs is therefore the REFINE stage
+    * ([[ivfPqRerankTopK]], faiss IndexRefineFlat): ADC shortlist +
+    * exact rerank holds 0.94-0.98 at sf0.1 (gated `s_ivfpq_rerank`;
+    * Bench reports it per run next to the flat-PQ and composite
+    * numbers). `residual = false` keeps the raw-encoding variant as
+    * the measured comparison baseline.
+    *
+    * Scale shape: union of the parents' — centroids, codebooks, and
+    * per-query LUTs broadcast (LUT: m·ks longs per query; coarse terms:
+    * nProbe per query); assignment and encoding reduce to slim triples;
+    * the probe join is a broadcast hash join on cell id over
+    * (vid, cell, codes) rows; embeddings move exactly once (the
+    * cell-label join that forms residuals). All integer, value-exact
+    * under the DuckDB oracle.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                numCells: Int, nProbe: Int = 4,
+                m: Int = 16, ks: Int = 64, dim: Int = 64,
+                residual: Boolean = true): DataFrame = {
+    val qd = qdotNative(corpus) _
+    val (cent, asn) = ivfAssign(corpus, numCells, lloydRounds = 0)
+    val vq = corpus.select(col("vec_id").as("vid"), quantizeFull(col("embedding")).as("vq"))
+    val rows =
+      if (residual) {
+        val centQ = broadcast(
+          cent.select(col("cid").as("cell"), quantizeFull(col("ce")).as("cq")))
+        vq.join(asn, "vid").join(centQ, "cell")
+          .select(col("vid"), zip_with(col("vq"), col("cq"), (a, b) => a - b).as("vq"))
+      } else vq
+    val cb = pqCodebooksQ(rows, m, ks, dim)
+    val codes = pqEncodeQ(rows, cb, m, dim)
+      .join(asn.withColumnRenamed("vid", "vid2"), col("vid") === col("vid2")).drop("vid2")
+    val lut = adcLut(querySubsQ(queries, m, dim / m), cb)
     val qw = Window.partitionBy("qid").orderBy(col("cs").desc, col("cid"))
     val qp = broadcast(
       queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
         .crossJoin(cent)
         .select(col("qid"), col("cid"), qd(col("qe"), col("ce")).as("cs"))
         .withColumn("rn", row_number().over(qw)).filter(col("rn") <= nProbe)
-        .select(col("qid"), col("cid").as("cell"))
+        .select(col("qid"), col("cid").as("cell"), col("cs"))
         .join(lut, Seq("qid")))
     val scored = codes.join(qp, "cell").filter(col("qid") =!= col("vid"))
       .select(col("qid"), col("vid"),
-        expr(s"aggregate(sequence(0, ${m - 1}), 0L, (acc, s) -> " +
-          s"acc + element_at(lut, s * ${PqCidStride}L + element_at(codes, CAST(s + 1 AS INT))))")
-          .as("score"))
+        (if (residual) col("cs") + adcSum(m) else adcSum(m)).as("score"))
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vid"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** IVF-PQ with a REFINE stage — the recall-recovery pattern production
+    * indexes ship around PQ's quantization floor (faiss
+    * `IndexRefineFlat`): the ADC scan shortlists `shortlist` candidates
+    * per query, then the shortlist is re-ranked by the EXACT quantized
+    * dot. ADC only has to keep true neighbors inside the shortlist
+    * (easy: `shortlist` ≫ k absorbs the quantization noise band), and
+    * the exact pass restores their order — so recall converges to the
+    * IVF cell-recall ceiling (what nProbe covers) instead of the ADC
+    * distortion floor.
+    *
+    * Scale shape: the shortlist is k'·|queries| slim (qid, vid) rows;
+    * the refine join fetches exactly those vectors BY ID — the "read the
+    * full vectors for the candidates" lookup every refine stage does,
+    * nProbe·shortlist rows per query instead of the scan the exact path
+    * would need. Everything else inherits [[ivfPqTopK]]'s shapes. All
+    * integer, value-exact under the DuckDB oracle.
+    */
+  def ivfPqRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                      numCells: Int, nProbe: Int = 8,
+                      m: Int = 16, ks: Int = 64, dim: Int = 64,
+                      shortlist: Int = 25,
+                      residual: Boolean = true): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val qd = qdotNative(corpus) _
+    val short = ivfPqTopK(corpus, queries, shortlist, numCells, nProbe,
+        m, ks, dim, residual)
+      .select(col("qid"), col("vid"))
+    val e = corpus.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+    val q = broadcast(
+      queries.select(col("vec_id").as("qid"), col("embedding").as("qe")))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vid"))
+    short.join(e, "vid").join(q, "qid")
+      .select(col("qid"), col("vid"), qd(col("qe"), col("ve")).as("score"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** Recall@k of [[ivfPqRerankTopK]] against [[bruteForceTopK]] (same
+    * metric). Driver-side sizes only.
+    */
+  def ivfPqRerankRecallAtK(corpus: DataFrame, queries: DataFrame, k: Int,
+                           numCells: Int, nProbe: Int = 8,
+                           m: Int = 16, ks: Int = 64,
+                           shortlist: Int = 25): Double = {
+    val brute = bruteForceTopK(corpus, queries, k)
+      .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = ivfPqRerankTopK(corpus, queries, k, numCells, nProbe, m, ks,
+        shortlist = shortlist)
+      .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (brute.isEmpty) 1.0 else (got & brute).size.toDouble / brute.size
+  }
+
+  /** Recall@k of [[ivfPqTopK]] against [[bruteForceTopK]] on the
+    * quantized dot. Driver-side sizes only (k × #queries pairs).
+    */
+  def ivfPqRecallAtK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     numCells: Int, nProbe: Int = 4,
+                     m: Int = 16, ks: Int = 64,
+                     residual: Boolean = true): Double = {
+    val brute = bruteForceTopK(corpus, queries, k)
+      .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = ivfPqTopK(corpus, queries, k, numCells, nProbe, m, ks,
+        residual = residual)
+      .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (brute.isEmpty) 1.0 else (got & brute).size.toDouble / brute.size
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the

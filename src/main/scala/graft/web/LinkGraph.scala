@@ -115,7 +115,34 @@ object LinkGraph {
     * every few rounds bounds plan depth for large `iters`.
     */
   def domainRank(edges: DataFrame, iters: Int = 5,
-                 weightCap: Long = Long.MaxValue): DataFrame = {
+                 weightCap: Long = Long.MaxValue): DataFrame =
+    domainRankCore(edges, iters, weightCap, stopDelta = None)._1
+
+  /** [[domainRank]] plus CONVERGENCE TELEMETRY — the "did `iters`
+    * suffice" signal a fixed-iteration graph op is blind without at
+    * scale: alongside the rank vector, returns one `(iter, l1_delta)`
+    * row per executed round with `l1_delta = Σ_domains |rank_k(d) −
+    * rank_{k−1}(d)|` — ONE slim (domain, score)-keyed join + agg per
+    * round, nothing document-sized.
+    *
+    * Reading it at scale: deltas are integer mass units out of
+    * [[RankScale]] total, so `l1_delta DIV (RankScale DIV 10^6)` is the
+    * still-moving mass in ppm — damping contracts it by ~0.85 per round
+    * on any graph (spec-gated monotone non-increasing after round 1), so
+    * a run whose LAST delta is not ≪ its first needs more rounds.
+    * `stopDelta = Some(t)` stops early once `l1_delta ≤ t` (e.g.
+    * `RankScale / 10^6` = sub-ppm movement); the per-round agg is an
+    * eager action, which is exactly the checkpoint cadence the iterated
+    * plan wants anyway.
+    */
+  def domainRankWithDeltas(edges: DataFrame, iters: Int = 5,
+      weightCap: Long = Long.MaxValue,
+      stopDelta: Option[Long] = Some(0L)): (DataFrame, DataFrame) =
+    domainRankCore(edges, iters, weightCap,
+      stopDelta = Some(stopDelta.getOrElse(-1L)))
+
+  private def domainRankCore(edges: DataFrame, iters: Int,
+      weightCap: Long, stopDelta: Option[Long]): (DataFrame, DataFrame) = {
     require(iters >= 1 && iters <= 20, s"iters must be in [1, 20], got $iters")
     require(weightCap > 0, s"weightCap must be positive, got $weightCap")
     val capped =
@@ -141,7 +168,9 @@ object LinkGraph {
     // left_anti keeps null-domain rows, matching the oracle's NOT EXISTS)
     val srcs = e.select(col("src")).distinct().localCheckpoint(eager = false)
     var ranks = nodes.select(col("domain"), lit(init).as("rank_mass"))
-    for (k <- 1 to iters) {
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var stopped = false
+    for (k <- 1 to iters if !stopped) {
       val received = e.join(ranks, e("src") === ranks("domain"))
         .select(col("dst").as("domain"),
           // == (rank_mass * weight) DIV out_w, without the 10^19 product
@@ -154,7 +183,7 @@ object LinkGraph {
         // integer DIV, never `/`: double division loses exactness past
         // 2^53 and the oracle replays `//`
         .select(expr(s"sink_total DIV ${n}L").as("sink_share"))
-      ranks = nodes.join(received, Seq("domain"), "left")
+      val next = nodes.join(received, Seq("domain"), "left")
         .crossJoin(broadcast(sinkShare))
         .select(col("domain"),
           (lit(base) +
@@ -164,8 +193,19 @@ object LinkGraph {
         // the lazy checkpoint persists it once instead of doubling the
         // plan per round (and bounds lineage depth for large iters)
         .localCheckpoint(eager = false)
+      stopDelta.foreach { t =>
+        // one slim join of two (domain, score) vectors + one 1-row agg
+        val d = next
+          .join(ranks.select(col("domain"), col("rank_mass").as("_prev")), "domain")
+          .agg(coalesce(sum(abs(col("rank_mass") - col("_prev"))), lit(0L)))
+          .first().getLong(0)
+        deltas += ((k.toLong, d))
+        if (d <= t) stopped = true
+      }
+      ranks = next
     }
-    ranks
+    (ranks,
+      edges.sparkSession.createDataFrame(deltas.toSeq).toDF("iter", "l1_delta"))
   }
 
   /** Scale for [[hitsRank]]'s L1-normalized scores: 10^9 units of total
@@ -209,7 +249,34 @@ object LinkGraph {
     * head is what curation consumes), documented rather than hidden.
     */
   def hitsRank(edges: DataFrame, iters: Int = 3,
-               weightCap: Long = Long.MaxValue): DataFrame = {
+               weightCap: Long = Long.MaxValue): DataFrame =
+    hitsRankCore(edges, iters, weightCap, stopDelta = None)._1
+
+  /** [[hitsRank]] plus convergence telemetry — one
+    * `(iter, l1_delta_auth, l1_delta_hub)` row per executed round, each
+    * delta the L1 distance between consecutive renormalized score
+    * vectors (round 0 = the uniform [[HitsScale]] init both sides start
+    * from), via one slim join + 1-row agg per side per round. Deltas are
+    * units of ~[[HitsScale]] total mass — read them exactly as in
+    * [[domainRankWithDeltas]] (ppm = delta DIV (HitsScale DIV 10^6)).
+    * Power iteration contracts by the spectral gap, but the INTEGER
+    * renormalization (`raw DIV (total DIV Scale)`) admits a small limit
+    * cycle instead of a true fixpoint — measured on the spec graph:
+    * round-1 deltas ~1.7·10^10 collapse to a persistent jitter floor
+    * 1-2 % of Scale from round 2 on (spec-gated: every later delta
+    * < 1 % of round 1). Read "deltas collapsed to a stable floor ≪
+    * round 1" as converged; graphs that reach the exact fixpoint (e.g.
+    * pure-role stars) hit delta 0 and stop. `stopDelta = Some(t)` stops
+    * once BOTH sides' deltas are ≤ t.
+    */
+  def hitsRankWithDeltas(edges: DataFrame, iters: Int = 3,
+      weightCap: Long = Long.MaxValue,
+      stopDelta: Option[Long] = Some(0L)): (DataFrame, DataFrame) =
+    hitsRankCore(edges, iters, weightCap,
+      stopDelta = Some(stopDelta.getOrElse(-1L)))
+
+  private def hitsRankCore(edges: DataFrame, iters: Int,
+      weightCap: Long, stopDelta: Option[Long]): (DataFrame, DataFrame) = {
     require(iters >= 1 && iters <= 10, s"iters must be in [1, 10], got $iters")
     require(weightCap > 0, s"weightCap must be positive, got $weightCap")
     val capped =
@@ -228,31 +295,47 @@ object LinkGraph {
     // uniform init at full Scale per node: the first renormalization maps
     // total mass to ~Scale regardless of n, so no `Scale DIV n` underflow
     var hub = nodes.select(col("domain"), lit(HitsScale).as("hub"))
-    var auth: DataFrame = null
-    for (_ <- 1 to iters) {
+    var auth: DataFrame = nodes.select(col("domain"), lit(HitsScale).as("auth"))
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var stopped = false
+    def l1(next: DataFrame, prev: DataFrame, c: String): Long = next
+      .join(prev.select(col("domain"), col(c).as("_prev")), "domain")
+      .agg(coalesce(sum(abs(col(c) - col("_prev"))), lit(0L)))
+      .first().getLong(0)
+    for (k <- 1 to iters if !stopped) {
       val ar = e.join(hub, e("src") === hub("domain"))
         .select(col("dst"), (col("hub") * col("weight")).as("c"))
         .groupBy(col("dst").as("domain")).agg(sum(col("c")).as("raw"))
       val da = ar.agg(
         greatest(expr(s"sum(raw) DIV ${HitsScale}L"), lit(1L)).as("d"))
-      auth = nodes.join(ar, Seq("domain"), "left")
+      val nextAuth = nodes.join(ar, Seq("domain"), "left")
         .crossJoin(broadcast(da))
         .select(col("domain"),
           expr("coalesce(raw, CAST(0 AS BIGINT)) DIV d").as("auth"))
         .localCheckpoint(eager = false)
-      val hr = e.join(auth, e("dst") === auth("domain"))
+      val hr = e.join(nextAuth, e("dst") === nextAuth("domain"))
         .select(col("src"), (col("auth") * col("weight")).as("c"))
         .groupBy(col("src").as("domain")).agg(sum(col("c")).as("raw"))
       val dh = hr.agg(
         greatest(expr(s"sum(raw) DIV ${HitsScale}L"), lit(1L)).as("d"))
-      hub = nodes.join(hr, Seq("domain"), "left")
+      val nextHub = nodes.join(hr, Seq("domain"), "left")
         .crossJoin(broadcast(dh))
         .select(col("domain"),
           expr("coalesce(raw, CAST(0 AS BIGINT)) DIV d").as("hub"))
         .localCheckpoint(eager = false)
+      stopDelta.foreach { t =>
+        val dAuth = l1(nextAuth, auth, "auth")
+        val dHub = l1(nextHub, hub, "hub")
+        deltas += ((k.toLong, dAuth, dHub))
+        if (dAuth <= t && dHub <= t) stopped = true
+      }
+      auth = nextAuth
+      hub = nextHub
     }
-    auth.join(hub, Seq("domain"))
-      .select(col("domain"), col("auth"), col("hub"))
+    (auth.join(hub, Seq("domain"))
+       .select(col("domain"), col("auth"), col("hub")),
+     edges.sparkSession.createDataFrame(deltas.toSeq)
+       .toDF("iter", "l1_delta_auth", "l1_delta_hub"))
   }
 
   /** Per-domain link reciprocity — the link-exchange signal: what

@@ -22,9 +22,10 @@ import org.apache.spark.sql.functions._
   * after the budget (a cycle, or a chain longer than `2^rounds`) comes
   * back `resolved = false` with `hops = 2^rounds` — flagged, never
   * silently half-resolved. Multi-edge sources are rejected loudly (a
-  * url redirects to ONE place; duplicate conflicting edges are an
-  * upstream bug worth failing on, require-checked driver-side on the
-  * slim edge list).
+  * url redirects to ONE place; conflicting edges are an upstream bug
+  * worth failing on) via a `raise_error` branch INSIDE the first-round
+  * aggregate — the guard costs zero extra jobs and fires at first
+  * action; exact-duplicate edges dedupe in the same aggregate.
   *
   * Scale shape: every round is ONE equi-join of the (src, cur, hops)
   * relation with itself on `cur = src` — slim url pairs, never payloads —
@@ -37,12 +38,23 @@ object Redirects {
   def resolve(edges: DataFrame, srcCol: String, dstCol: String,
               rounds: Int = 6): DataFrame = {
     require(rounds >= 1 && rounds <= 16, s"rounds must be in [1, 16], got $rounds")
+    // the conflicting-edge guard rides INSIDE the first-round relation
+    // instead of costing its own eager driver job per call: one
+    // src-keyed aggregate both dedupes exact-duplicate edges and counts
+    // distinct targets, and a conflicting src raises LOUDLY (raise_error)
+    // when the plan first executes — same "a url redirects to ONE place"
+    // contract, one fewer Spark job in the trace (the failure now
+    // surfaces at first action rather than at resolve() call time)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint(eager = false)
-    val dup = e.groupBy("src").agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
-    require(dup == 0,
-      s"$dup source url(s) carry conflicting redirect edges — a url redirects " +
-        "to one place; dedupe upstream before resolving")
+      .groupBy("src")
+      .agg(count_distinct(col("dst")).as("_n"), max(col("dst")).as("dst"))
+      .select(col("src"),
+        when(col("_n") > 1, raise_error(concat(
+            lit("conflicting redirect edges — a url redirects to one " +
+              "place; dedupe upstream before resolving; src: "),
+            col("src"))))
+          .otherwise(col("dst")).as("dst"))
+      .localCheckpoint(eager = false)
     var f = e.select(col("src"), col("dst").as("cur"), lit(1L).as("hops"))
       .localCheckpoint(eager = false)
     for (_ <- 1 to rounds) {

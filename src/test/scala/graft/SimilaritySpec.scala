@@ -258,30 +258,91 @@ class SimilaritySpec extends AnyFunSuite {
     assert(gated >= 0.5, s"gated PQ recall@5 was $gated")
   }
 
-  test("ivfPqTopK: full probe equals the exhaustive PQ ADC scan; pruned probe holds recall") {
+  test("ivfPqTopK: raw-encoding full probe equals the exhaustive PQ ADC scan; pruned residual probe holds recall") {
     val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val q = e.filter(col("vec_id") < 10)
     val cells = Similarity.cellsFor(e.count())
-    // with every cell probed the candidate set is the whole corpus, so
-    // the composite must reproduce pqTopK's ranking bit-for-bit
+    // with every cell probed and RAW encoding the candidate set is the
+    // whole corpus under the same global codebooks, so the composite
+    // must reproduce pqTopK's ranking bit-for-bit
     val full = Similarity.ivfPqTopK(e, q, 5, numCells = cells, nProbe = cells,
-        m = 16, ks = 64)
+        m = 16, ks = 64, residual = false)
       .select("qid", "vid", "score").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val pq = Similarity.pqTopK(e, q, 5, m = 16, ks = 64)
       .select("qid", "vid", "score").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(full == pq, "full-probe IVF-PQ must equal exhaustive ADC")
-    // the gated pruned config: recall compounds both approximations —
-    // report it; floor below the PQ-alone 0.64 by the cell miss rate
+    assert(full == pq, "full-probe raw IVF-PQ must equal exhaustive ADC")
+    // the gated pruned config (residual encoding): recall compounds the
+    // approximations — report it with a collapse floor
     val brute = Similarity.bruteForceTopK(e, q, 5)
       .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val pruned = Similarity.ivfPqTopK(e, q, 5, numCells = cells, nProbe = 4,
         m = 16, ks = 64)
       .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (pruned & brute).size.toDouble / brute.size
-    info(s"IVF-PQ recall@5 at sf0.01 (cells=$cells, nProbe=4, m=16, ks=64): $recall")
+    info(s"residual IVF-PQ recall@5 at sf0.01 (cells=$cells, nProbe=4, m=16, ks=64): $recall")
     assert(recall >= 0.3, s"composite recall collapsed: $recall")
+  }
+
+  test("residual IVF-PQ is EXACT in the tight-cell regime; raw encoding is not") {
+    // 8 near-identical cluster centers (common base + one boosted
+    // component) each duplicated 3×: with numCells = 8 every member's
+    // centroid IS its vector, residuals are exactly zero, and the ADC
+    // score degenerates to the exact coarse dot — recall 1.0 with
+    // bit-identical scores. Raw encoding at ks=4 must fold 8 clusters
+    // onto 4 codewords and misrank — the measurable gap that makes
+    // residuals the published design's recall half (in the regime it
+    // assumes: tight cells, which 10^9 vectors under √n cells give).
+    val base = Array.tabulate(64)(i => (i + 1) / 100.0f)
+    def cvec(j: Int): Seq[Float] = {
+      val raw = Array.tabulate(64)(i => base(i) + (if (i == j) 0.15f else 0f))
+      val n = math.sqrt(raw.map(x => x.toDouble * x).sum).toFloat
+      raw.map(_ / n).toSeq
+    }
+    val rows = (0 until 8).map(j => j.toLong -> cvec(j)) ++
+      (0 until 8).map(j => (10 + j).toLong -> cvec(j)) ++
+      (0 until 8).map(j => (20 + j).toLong -> cvec(j))
+    val dup = vecs(rows: _*)
+    val q = dup.filter(col("vec_id") < 2)
+    val brute = Similarity.bruteForceTopK(dup, q, 5)
+      .select("qid", "vid", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val res = Similarity.ivfPqTopK(dup, q, 5, numCells = 8, nProbe = 8,
+        m = 16, ks = 4, residual = true)
+      .select("qid", "vid", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(res == brute,
+      s"zero residuals must reproduce the exact ranking AND scores:\n$res\n$brute")
+    val rawTop = Similarity.ivfPqTopK(dup, q, 5, numCells = 8, nProbe = 8,
+        m = 16, ks = 4, residual = false)
+      .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteIds = brute.map(t => (t._1, t._2))
+    val rawRecall = (rawTop & bruteIds).size.toDouble / bruteIds.size
+    info(s"raw-encoding recall on the clustered corpus (ks=4): $rawRecall")
+    assert(rawRecall < 1.0,
+      "raw encoding at ks=4 cannot be exact on 8 distinct clusters — " +
+        "if it is, this corpus no longer demonstrates the residual gap")
+  }
+
+  test("recall at sf0.1: residual vs raw measured honestly; the refine stage holds >= 0.9") {
+    val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    val cells = Similarity.cellsFor(e.count())
+    // the near-uniform corpus is the residual ANTI-regime (nearest
+    // centroid at cos ≈ 0.3-0.4 ⇒ residual norm exceeds vector norm):
+    // measured 0.34 residual vs 0.38 raw at the gated knobs — recorded
+    // as info, floored against collapse, NOT claimed as a residual win
+    val res = Similarity.ivfPqRecallAtK(e, q, 5, cells, 4, 16, 64, residual = true)
+    val raw = Similarity.ivfPqRecallAtK(e, q, 5, cells, 4, 16, 64, residual = false)
+    info(s"sf0.1 IVF-PQ recall@5 (cells=$cells, nProbe=4, m=16, ks=64): residual=$res raw=$raw")
+    assert(res >= 0.25 && raw >= 0.25, s"composite recall collapsed: res=$res raw=$raw")
+    // the production-recall path (gated s_ivfpq_rerank): ADC shortlist
+    // of 50 at nProbe=8 + exact integer rerank — measured 0.98
+    val rr = Similarity.ivfPqRerankRecallAtK(e, q, 5, cells, 8, 16, 64,
+      shortlist = 50)
+    info(s"sf0.1 IVF-PQ rerank recall@5 (nProbe=8, shortlist=50): $rr")
+    assert(rr >= 0.9, s"refine stage must hold >= 0.9, got $rr")
   }
 
   test("semDedup: within-cell duplicates collapse to the min id; distinct clusters untouched") {

@@ -474,6 +474,57 @@ class WebCorpusSpec extends AnyFunSuite {
     assert(graft.web.LinkGraph.hitsRank(farm, 2, weightCap = 5L).count() == 2)
   }
 
+  test("domainRankWithDeltas: per-round L1 telemetry contracts monotonically; fixpoint stops early; ranks unchanged") {
+    import spark.implicits._
+    val edges = (1 to 40).map(i => (s"s${i % 7}.com", s"d${i % 11}.org", (i % 3 + 1).toLong))
+      .toDF("src", "dst", "weight").groupBy("src", "dst")
+      .agg(org.apache.spark.sql.functions.sum("weight").as("weight"))
+    val (ranks, deltas) =
+      graft.web.LinkGraph.domainRankWithDeltas(edges, iters = 8, stopDelta = None)
+    val ds = deltas.orderBy("iter").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ds.map(_._1).toSeq == (1L to 8L) && ds.forall(_._2 >= 0))
+    // damping + sink leakage contract the moving mass geometrically
+    // (measured ratio ~0.33/round): STRICTLY decreasing on this graph
+    assert(ds.map(_._2).sliding(2).forall(p => p(1) < p(0)),
+      s"deltas must decrease monotonically: ${ds.toSeq}")
+    assert(ds.last._2 < ds.head._2 / 100, s"must contract: ${ds.toSeq}")
+    // telemetry must not change the answer
+    val plain = graft.web.LinkGraph.domainRank(edges, iters = 8)
+    assert(ranks.except(plain).count() == 0 && plain.except(ranks).count() == 0)
+    // a symmetric 2-cycle is AT its fixpoint: delta 0 in round 1 stops
+    // the default stopDelta=Some(0) run after a single round of 10
+    val sym = Seq(("a.com", "b.org", 1L), ("b.org", "a.com", 1L)).toDF("src", "dst", "weight")
+    val (_, sd) = graft.web.LinkGraph.domainRankWithDeltas(sym, iters = 10)
+    assert(sd.count() == 1, "exact fixpoint must stop after round 1")
+  }
+
+  test("hitsRankWithDeltas: deltas collapse to the documented jitter floor; exact-fixpoint graphs stop at zero") {
+    import spark.implicits._
+    val edges = (1 to 40).map(i => (s"s${i % 7}.com", s"d${i % 11}.org", (i % 3 + 1).toLong))
+      .toDF("src", "dst", "weight").groupBy("src", "dst")
+      .agg(org.apache.spark.sql.functions.sum("weight").as("weight"))
+    val (scores, deltas) =
+      graft.web.LinkGraph.hitsRankWithDeltas(edges, iters = 6, stopDelta = None)
+    val ds = deltas.orderBy("iter").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ds.map(_._1).toSeq == (1L to 6L))
+    // integer renormalization admits a limit cycle, not a fixpoint: the
+    // healthy signature is round-1 mass collapsing to a bounded floor
+    // (measured: 1.7e10 → ≤ 1.2e8 from round 2 on), NOT strict monotone
+    val floor = math.max(ds.head._2, ds.head._3) / 100
+    assert(ds.drop(1).forall(d => d._2 < floor && d._3 < floor),
+      s"post-round-1 deltas must sit under 1% of round 1: ${ds.toSeq}")
+    val plain = graft.web.LinkGraph.hitsRank(edges, iters = 6)
+    assert(scores.except(plain).count() == 0 && plain.except(scores).count() == 0)
+    // the pure-role star DOES reach the exact fixpoint: both deltas hit 0
+    // at round 5 and the default stopDelta=Some(0) run stops there
+    val star = (1 to 6).map(i => (s"leaf$i.com", "hub.org", 1L)).toDF("src", "dst", "weight")
+    val (_, hs) = graft.web.LinkGraph.hitsRankWithDeltas(star, iters = 6)
+    val last = hs.orderBy("iter").collect().last
+    assert(hs.count() == 5 && last.getLong(1) == 0L && last.getLong(2) == 0L,
+      "star graph must stop at the zero-delta round")
+  }
+
   test("domainRank: dangling mass redistributes — total conserved within the integer-remainder bound") {
     import spark.implicits._
     // hub.org is a pure sink (no outlinks): before the dangling term its
@@ -962,12 +1013,20 @@ class WebCorpusSpec extends AnyFunSuite {
     val r5 = graft.web.Redirects.resolve(long, "src", "dst", rounds = 5)
       .filter(col("src") === "n0").collect()(0)
     assert(r5.getBoolean(3) && r5.getString(1) == "n20" && r5.getLong(2) == 20L)
-    // conflicting sources fail loudly
+    // conflicting sources fail loudly — the guard now rides inside the
+    // first-round plan (raise_error at first action; no per-call eager
+    // driver job), so the failure surfaces when the result is consumed
     val conflict = Seq(("a", "b"), ("a", "c")).toDF("src", "dst")
-    val ex = intercept[IllegalArgumentException] {
-      graft.web.Redirects.resolve(conflict, "src", "dst")
+    val ex = intercept[Exception] {
+      graft.web.Redirects.resolve(conflict, "src", "dst").collect()
     }
     assert(ex.getMessage.contains("conflicting redirect"))
+    // exact-duplicate edges are NOT conflicts — they dedupe in the same
+    // aggregate that runs the guard
+    val dupEdge = Seq(("a", "b"), ("a", "b"), ("b", "c")).toDF("src", "dst")
+    val gd = graft.web.Redirects.resolve(dupEdge, "src", "dst", rounds = 3)
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(gd("a") == (("c", 2L, true)), s"got $gd")
   }
 
   test("url features: depth counts non-empty segments, params split on &, fragment/query never leak into depth") {
