@@ -8,18 +8,33 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * columns with typed metadata, processed by a typed `mapPartitions`
   * kernel (the Scala analog of `mapInPandas` batch UDFs).
   *
-  * The container has no image/audio codecs, so the DECODE STEP IS A STUB:
-  * [[decodeMeta]] derives deterministic fake metadata from the content's
-  * md5 (clearly marked below). Everything around it — the schema, the
-  * typed Dataset plumbing, the streaming per-partition iterator (bounded
-  * memory at any payload size), per-row error isolation, and the
-  * feature/resize/frame-sample signatures — is real and tested, so a real
-  * codec drops in by replacing one function.
+  * IMAGE DECODE IS REAL: payloads whose magic bytes say PNG or JPEG are
+  * decoded with the JDK's own `javax.imageio` (headless, no external
+  * codec needed) — true width/height/channels, per-row error isolation
+  * for corrupt-but-sniffed payloads, and a real pixel resize
+  * ([[resizePixels]], bilinear `Graphics2D`). Only PNG and JPEG are
+  * content-sniffed ON PURPOSE: their magics are non-ASCII, so a text
+  * payload can never collide; GIF's `GIF87a` and BMP's `BM` are plain
+  * ASCII prefixes a web corpus WILL reproduce in ordinary text, and
+  * misrouting a document into a decoder is worse than asking for
+  * container-level typing for those formats.
+  *
+  * Everything NOT decodable by the JDK stays a clearly-marked
+  * deterministic SURROGATE: audio/video metadata (no such codecs ship
+  * in any JDK), the embedding-shaped [[feature]] vector (a real
+  * CLIP/wav2vec model is an inference runtime, not a codec), and
+  * non-image payloads (md5-derived dims, engine-portable and
+  * oracle-replayable). The typed plumbing — schema, streaming
+  * per-partition iterators, error rows, batch shapes — is identical on
+  * both paths, so swapping a surrogate for a production decoder stays a
+  * one-function change.
   *
   * Scale notes: payloads stay opaque binary end-to-end (never shuffled
   * unless a downstream op requires it); metadata extraction is a row-local
   * map; frame sampling fans out rows (flatMap semantics) without
-  * materializing per-partition lists.
+  * materializing per-partition lists; `ImageIO` disk caching is OFF
+  * (in-memory streams — a per-decode temp file per row would dominate
+  * the kernel at corpus scale).
   */
 object MediaKernel {
 
@@ -61,10 +76,39 @@ object MediaKernel {
   private def hexInt(hex: String, from: Int, len: Int): Long =
     java.lang.Long.parseLong(hex.substring(from, from + len), 16)
 
-  /** STUB DECODE — deterministic fake in lieu of a real codec (none ships
-    * in this container). Dimensions/duration are pure functions of the
-    * content md5, so the op is testable, engine-portable, and replayable;
-    * swap this body for a real decoder (e.g. javax.imageio) in production.
+  // headless + no disk cache BEFORE any ImageIO/AWT class initializes on
+  // an executor (the property is read once at AWT init)
+  private lazy val imageIoReady: Unit = {
+    System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+  }
+
+  /** Magic-byte image sniff — PNG / JPEG only, deliberately (see class
+    * doc: those magics are non-ASCII, so text payloads can never
+    * collide; ASCII-magic formats need container-level typing).
+    */
+  def sniffImageFormat(b: Array[Byte]): Option[String] =
+    if (b.length >= 8 && b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+      Some("png")
+    else if (b.length >= 3 && b(0) == 0xFF.toByte && b(1) == 0xD8.toByte && b(2) == 0xFF.toByte)
+      Some("jpeg")
+    else None
+
+  /** REAL image decode via the JDK's ImageIO; None when the sniffed
+    * payload does not actually decode (truncation, corruption).
+    */
+  def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    imageIoReady
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: Exception => None }
+  }
+
+  /** Metadata decode: REAL for PNG/JPEG image payloads (javax.imageio —
+    * true dims and channel count; a sniffed-but-undecodable payload is an
+    * ERROR ROW, the same per-row isolation as the extraction kernel);
+    * deterministic md5-derived SURROGATE for everything the JDK has no
+    * codec for (audio/video, and non-image payloads — which keeps the op
+    * engine-portable and oracle-replayable on the synthetic corpus).
     */
   def decodeMeta(row: MediaRow): MediaMeta = {
     if (row.media == null || row.media.isEmpty)
@@ -73,18 +117,32 @@ object MediaKernel {
     val h = md5Hex(row.media)
     val isImage = row.kind == "image"
     val isAudio = row.kind == "audio"
-    MediaMeta(
-      url = row.url,
-      kind = row.kind,
-      size_bytes = row.media.length.toLong,
-      width = if (isAudio) -1 else 320 + hexInt(h, 0, 6) % 1024,
-      height = if (isAudio) -1 else 240 + hexInt(h, 6, 6) % 768,
-      channels = if (isAudio) 1 + hexInt(h, 12, 2) % 2 else 3,
-      duration_ms = if (isImage) -1 else 1000 + hexInt(h, 14, 6) % 600000,
-      content_md5 = h,
-      status = "ok",
-      error = null
-    )
+    sniffImageFormat(row.media) match {
+      case Some(fmt) if isImage =>
+        decodeImage(row.media) match {
+          case Some(img) =>
+            MediaMeta(row.url, row.kind, row.media.length.toLong,
+              img.getWidth.toLong, img.getHeight.toLong,
+              img.getColorModel.getNumComponents.toLong,
+              duration_ms = -1, content_md5 = h, status = "ok", error = null)
+          case None =>
+            MediaMeta(row.url, row.kind, row.media.length.toLong,
+              -1, -1, -1, -1, h, "error", s"ImageDecodeError: sniffed $fmt but undecodable")
+        }
+      case _ =>
+        MediaMeta(
+          url = row.url,
+          kind = row.kind,
+          size_bytes = row.media.length.toLong,
+          width = if (isAudio) -1 else 320 + hexInt(h, 0, 6) % 1024,
+          height = if (isAudio) -1 else 240 + hexInt(h, 6, 6) % 768,
+          channels = if (isAudio) 1 + hexInt(h, 12, 2) % 2 else 3,
+          duration_ms = if (isImage) -1 else 1000 + hexInt(h, 14, 6) % 600000,
+          content_md5 = h,
+          status = "ok",
+          error = null
+        )
+    }
   }
 
   /** STUB feature extraction: a unit-normalized dim-length vector derived
@@ -103,8 +161,40 @@ object MediaKernel {
     raw.map(v => (v / n).toFloat)
   }
 
-  /** STUB resize: recomputes target dims preserving aspect ratio (integer
-    * arithmetic); a real implementation would transform pixels.
+  /** REAL pixel resize for decodable PNG/JPEG payloads: bilinear
+    * `Graphics2D` scale to the [[resizeDims]] target, re-encoded as PNG.
+    * Returns None for payloads the JDK cannot decode (those keep the
+    * dims-only metadata path). Row-local, bounded by the decoded image —
+    * the mapPartitions consumer stays a streaming one-row-in-flight
+    * kernel.
+    */
+  def resizePixels(bytes: Array[Byte], maxSide: Int = 256): Option[(Array[Byte], Int, Int)] =
+    sniffImageFormat(if (bytes == null) Array.emptyByteArray else bytes).flatMap { _ =>
+      decodeImage(bytes).map { img =>
+        val (tw, th) = resizeDims(
+          MediaMeta("", "image", bytes.length.toLong, img.getWidth.toLong,
+            img.getHeight.toLong, 0, -1, "", "ok", null), maxSide.toLong)
+        if (tw == img.getWidth && th == img.getHeight) {
+          (bytes, img.getWidth, img.getHeight) // already within bounds: no-op
+        } else {
+          val out = new java.awt.image.BufferedImage(
+            tw.toInt, th.toInt, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, tw.toInt, th.toInt, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          (bos.toByteArray, tw.toInt, th.toInt)
+        }
+      }
+    }
+
+  /** Aspect-preserving target dims (integer arithmetic) — the metadata
+    * half of resize, shared by the dims-only relational op and the real
+    * pixel path above.
     */
   def resizeDims(meta: MediaMeta, maxSide: Long): (Long, Long) = {
     val w = meta.width; val h = meta.height

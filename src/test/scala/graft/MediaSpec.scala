@@ -90,6 +90,76 @@ class MediaSpec extends AnyFunSuite {
     assert(ref.values.toSet.size > 90)
   }
 
+  // ---- real image decode (javax.imageio — JDK-shipped, headless) ----
+
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach(x => img.setRGB(x, 0, x * 7919))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("decodeMeta: REAL dims/channels for PNG and JPEG payloads; duration -1; md5 carried") {
+    val png = pngBytes(37, 21)
+    val m = MediaKernel.decodeMeta(MediaRow("u", "image", png))
+    assert((m.width, m.height, m.channels, m.duration_ms, m.status) ==
+      ((37L, 21L, 3L, -1L, "ok")), s"got $m")
+    assert(m.content_md5 == md5Hex(png) && m.size_bytes == png.length)
+    val j = MediaKernel.decodeMeta(MediaRow("u", "image", jpegBytes(64, 48)))
+    assert((j.width, j.height, j.status) == ((64L, 48L, "ok")), s"got $j")
+  }
+
+  test("decodeMeta: sniffed-but-corrupt image is an ERROR ROW; text payloads keep the surrogate path") {
+    // PNG magic + garbage: the decoder must isolate the row, not throw
+    val corrupt = pngBytes(8, 8).take(20) ++ Array.fill[Byte](30)(0x41)
+    val m = MediaKernel.decodeMeta(MediaRow("u", "image", corrupt))
+    assert(m.status == "error" && m.error.startsWith("ImageDecodeError"), s"got $m")
+    // non-image bytes under kind=image: the md5-derived surrogate,
+    // unchanged — this is what keeps the synthetic-corpus oracle stable
+    val h = md5Hex(img.media)
+    val s = MediaKernel.decodeMeta(img)
+    assert(s.width == 320 + java.lang.Long.parseLong(h.substring(0, 6), 16) % 1024)
+    assert(s.status == "ok")
+    // ASCII prefixes that LOOK like weak image magics must NOT sniff
+    // (the PNG/JPEG-only policy): plain text rows never enter a decoder
+    assert(MediaKernel.sniffImageFormat("BM25 ranking notes".getBytes(UTF_8)).isEmpty)
+    assert(MediaKernel.sniffImageFormat("GIF87a was a format".getBytes(UTF_8)).isEmpty)
+  }
+
+  test("resizePixels: real bilinear downscale to the aspect-preserving target; no-op within bounds; None for non-images") {
+    val (outBytes, w, h) = MediaKernel.resizePixels(pngBytes(800, 300), 256).get
+    assert((w, h) == ((256, 96)))
+    // the emitted bytes are a REAL image of exactly those dims
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(outBytes))
+    assert(back.getWidth == 256 && back.getHeight == 96)
+    // portrait orientation clamps the other side
+    assert(MediaKernel.resizePixels(pngBytes(300, 800), 256).map(t => (t._2, t._3)).get == ((96, 256)))
+    // already small → identical bytes back (no decode-reencode churn)
+    val small = pngBytes(40, 30)
+    val (sb, sw, sh) = MediaKernel.resizePixels(small, 256).get
+    assert((sw, sh) == ((40, 30)) && (sb sameElements small))
+    assert(MediaKernel.resizePixels("not an image".getBytes(UTF_8), 256).isEmpty)
+  }
+
+  test("decodeAll: mixed real-image + surrogate rows through the typed Dataset pass") {
+    implicit val s = spark
+    import s.implicits._
+    val rows = Seq(
+      MediaRow("real", "image", pngBytes(50, 40)),
+      img, aud, vid)
+    val got = MediaKernel.decodeAll(rows.toDS()).collect().map(m => m.url -> m).toMap
+    assert((got("real").width, got("real").height, got("real").status) == ((50L, 40L, "ok")))
+    assert(got("u1").status == "ok" && got("u2").width == -1L)
+  }
+
   test("batched inference: bookkeeping marks real batch boundaries and the short tail") {
     implicit val s = spark
     import s.implicits._
