@@ -1215,6 +1215,15 @@ object SparkEntry {
         graft.web.LinkGraph.domainEdges(
           docs(s, dir).select(synthUrl.as("url"), outlinkText.as("text")), "url", "text"),
         iters = 5, weightCap = 3L)),
+    // the convergence-telemetry twin of the same 5-round run: one slim
+    // (domain, score) join + 1-row agg per round emits (iter, l1_delta);
+    // the oracle recomputes every |r_k − r_{k−1}| sum from the unrolled
+    // chain, so the telemetry integers themselves are driver-gated
+    "w_rank_deltas" -> ((s, dir) =>
+      graft.web.LinkGraph.domainRankWithDeltas(
+        graft.web.LinkGraph.domainEdges(
+          docs(s, dir).select(synthUrl.as("url"), outlinkText.as("text")), "url", "text"),
+        iters = 5, weightCap = 3L, stopDelta = None)._2),
     // HITS hubs & authorities over the same harvested graph: per round,
     // two slim joins + integer L1 renormalization — aggregators earn hub
     // without inlinks, cited references earn auth without outlinks (the
@@ -2215,7 +2224,22 @@ object SparkEntry {
     * semantics) divided by the node count, added to every node's received
     * mass before damping.
     */
-  private def domainRankSql(iters: Int): String = {
+  private def domainRankSql(iters: Int): String =
+    domainRankChain(iters) + s"\nSELECT domain, rank_mass FROM r$iters"
+
+  /** Convergence-telemetry twin ([[graft.web.LinkGraph.domainRankWithDeltas]]):
+    * the SAME unrolled chain, then one |r_k − r_{k−1}| L1 sum per round —
+    * so the driver gate proves the telemetry integers, not just the
+    * final vector.
+    */
+  private def domainRankDeltasSql(iters: Int): String =
+    domainRankChain(iters) + "\n" + (1 to iters).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS iter,
+         |  CAST(sum(abs(a.rank_mass - b.rank_mass)) AS BIGINT) AS l1_delta
+         |  FROM r$k a JOIN r${k - 1} b ON b.domain = a.domain""".stripMargin
+    }.mkString(" UNION ALL ")
+
+  private def domainRankChain(iters: Int): String = {
     val head =
       s"""WITH $linkEdgesCte,
          |capped AS (SELECT src, dst, CAST(least(weight, 3) AS BIGINT) AS weight FROM edges),
@@ -2232,7 +2256,7 @@ object SparkEntry {
          |  FROM nodes n LEFT JOIN (SELECT e2.dst AS domain, CAST(sum((r.rank_mass * e2.weight) // e2.out_w) AS BIGINT) AS s
          |    FROM e2 JOIN r${k - 1} r ON r.domain = e2.src GROUP BY 1) c ON n.domain = c.domain)""".stripMargin
     }.mkString
-    head + iterCtes + s"\nSELECT domain, rank_mass FROM r$iters"
+    head + iterCtes
   }
 
   /** Unrolled fixed-iteration HITS (twin of
@@ -2909,6 +2933,7 @@ object SparkEntry {
       s"""WITH $linkEdgesCte
          |SELECT src, dst, weight FROM edges""".stripMargin,
     "w_domain_rank" -> domainRankSql(5),
+    "w_rank_deltas" -> domainRankDeltasSql(5),
     "w_hits" -> hitsSql(3),
     // reciprocity twin: distinct non-loop pairs left-joined to their own
     // reversal, per-source rollup

@@ -203,6 +203,16 @@ object GraftFunctions {
     CdcCutsExpression(children.head, children(1), children(2))
   }
 
+  val PqArgminName = "graft_pq_argmin"
+  private val pqArgminInfo =
+    new ExpressionInfo(classOf[PqArgminExpression].getName, PqArgminName)
+
+  val pqArgminBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 3,
+      s"$PqArgminName takes exactly 3 arguments, got ${children.length}")
+    PqArgminExpression(children.head, children(1), children(2))
+  }
+
   val SortedContainsName = "graft_sorted_contains"
   private val sortedContainsInfo =
     new ExpressionInfo(classOf[SortedContainsExpression].getName, SortedContainsName)
@@ -238,6 +248,7 @@ object GraftFunctions {
     reg.registerFunction(FunctionIdentifier(CdcCutsName), cdcCutsInfo, cdcCutsBuilder)
     reg.registerFunction(FunctionIdentifier(LDotName), ldotInfo, ldotBuilder)
     reg.registerFunction(FunctionIdentifier(SortedContainsName), sortedContainsInfo, sortedContainsBuilder)
+    reg.registerFunction(FunctionIdentifier(PqArgminName), pqArgminInfo, pqArgminBuilder)
     reg.registerFunction(FunctionIdentifier(FixMojibakeName), fixMojibakeInfo, fixMojibakeBuilder)
     reg.registerFunction(FunctionIdentifier(MojibakeName), mojibakeInfo, mojibakeBuilder)
     // optimizer surface parity with GraftExtensions (idempotent: guard
@@ -315,6 +326,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier(GraftFunctions.SortedContainsName),
         new ExpressionInfo(classOf[SortedContainsExpression].getName, GraftFunctions.SortedContainsName),
         GraftFunctions.sortedContainsBuilder))
+    ext.injectFunction(
+      (FunctionIdentifier(GraftFunctions.PqArgminName),
+        new ExpressionInfo(classOf[PqArgminExpression].getName, GraftFunctions.PqArgminName),
+        GraftFunctions.pqArgminBuilder))
     ext.injectOptimizerRule(_ => CollapseIdempotentNormalization)
   }
 }

@@ -432,28 +432,30 @@ object Similarity {
       .select(col("vid"), col("e.s").as("s"), col("e.vq").as("vq"))
 
   /** Nearest codeword per (vector, subspace) by integer L2, ties to the
-    * smallest cid — min-struct argmin with map-side partials.
-    *
-    * The distance is computed as `ssq(c) − 2·⟨v, c⟩` via the native
-    * codegen'd `graft_ldot` — equal to `Σ(v−c)² − ssq(v)` exactly, and
-    * `ssq(v)` is constant per (vid, s), so the argmin AND its (dist, cid)
-    * tie structure are identical to the plain L2 form (every distance
-    * shifts by the same constant). The HOF zip_with/aggregate form this
-    * replaces ran interpreted per (subvector, codeword) pair and
-    * dominated the benched assignment cost; `ssq(c)` is precomputed once
-    * on the tiny codebook side.
+    * smallest cid — ONE row per (vid, s) through the native codegen'd
+    * [[graft.functions.PqArgminExpression]]: the subspace's codebook
+    * rides the broadcast join as a flattened `array<long>` (ascending-
+    * cid blocks) + cid list, and the argmin is a tight two-level loop
+    * in whole-stage codegen. Same arithmetic as the min-struct form it
+    * replaces (`ssq(c) − 2·⟨v,c⟩` — argmin- and tie-equivalent to plain
+    * L2 since `ssq(v)` is constant per row; ascending-cid strict-`<`
+    * keeps the smallest cid on ties), at 1/ks of the join rows and with
+    * NO post-join aggregate — the join-explode form pushed n·m·ks rows
+    * through the exchange-side partial min and dominated the benched
+    * codebook-build cost.
     */
   private def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(subs.sparkSession)
-    val ldot = graft.functions.GraftFunctions.LDotName
-    val cbq = cb.withColumn("_ssq", call_function(ldot, col("ce"), col("ce")))
-    subs.join(broadcast(cbq), Seq("s"))
-      .select(col("vid"), col("s"), col("cid"),
-        (col("_ssq") - lit(2L) * call_function(ldot, col("vq"), col("ce")))
-          .as("dist"))
-      .groupBy(col("vid"), col("s"))
-      .agg(min(struct(col("dist"), col("cid"))).as("b"))
-      .select(col("vid"), col("s"), col("b.cid").as("cid"))
+    val cbFlat = broadcast(cb
+      .groupBy(col("s"))
+      .agg(sort_array(collect_list(struct(col("cid"), col("ce")))).as("cw"))
+      .select(col("s"),
+        expr("transform(cw, p -> p.cid)").as("cids"),
+        flatten(expr("transform(cw, p -> p.ce)")).as("cbflat")))
+    subs.join(cbFlat, Seq("s"))
+      .select(col("vid"), col("s"),
+        call_function(graft.functions.GraftFunctions.PqArgminName,
+          col("vq"), col("cbflat"), col("cids")).as("cid"))
   }
 
   /** Encode the corpus against `cb`: one `codes` array per vector

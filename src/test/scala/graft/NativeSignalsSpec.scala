@@ -312,6 +312,45 @@ class NativeSignalsSpec extends AnyFunSuite {
     assert(r.getLong(0) == 20L && r.getLong(1) == 56L, s"got $r")
   }
 
+  test("graft_pq_argmin: parity with the join-explode min-struct argmin on random codebooks incl. ties and cid dropouts") {
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(11)
+    val d = 4
+    // non-contiguous cids (Lloyd dropouts) and a deliberate duplicate
+    // codeword (cids 7 and 12 identical) so the smallest-cid tie rule is
+    // actually exercised
+    val sharedCw = Seq.fill(d)(rnd.nextLong() % 1000L)
+    val cws: Seq[(Long, Seq[Long])] =
+      Seq(0L, 2L, 7L, 12L, 31L).map { cid =>
+        cid -> (if (cid == 7L || cid == 12L) sharedCw
+                else Seq.fill(d)(rnd.nextLong() % 1000L))
+      }
+    val flat = cws.sortBy(_._1).flatMap(_._2)
+    val cids = cws.map(_._1).sorted
+    val vqs = (0 until 300).map(_ => Seq.fill(d)(rnd.nextLong() % 2000L))
+    val df = vqs.toDF("vq")
+    val got = df.select(call_function("graft_pq_argmin",
+        col("vq"), lit(flat.toArray), lit(cids.toArray)).as("cid"))
+      .collect().map(_.getLong(0)).toSeq
+    // reference: plain integer L2 over the same codewords, min dist then
+    // min cid — the semantics the min-struct join form had
+    val ref = vqs.map { v =>
+      cws.map { case (cid, cw) =>
+        (v.zip(cw).map { case (x, c) => (x - c) * (x - c) }.sum, cid)
+      }.min._2
+    }
+    assert(got == ref)
+    assert(got.contains(7L) || ref.forall(_ != 12L),
+      "tie rule: the duplicate codeword must always resolve to cid 7, never 12")
+    assert(!got.contains(12L))
+    // malformed shapes and empties → NULL, never a wrong assignment
+    val bad = df.limit(1).select(
+      call_function("graft_pq_argmin", col("vq"), lit(flat.take(7).toArray), lit(cids.toArray)).as("a"),
+      call_function("graft_pq_argmin", col("vq"), lit(flat.toArray), lit(Array.empty[Long])).as("b"))
+      .collect()(0)
+    assert(bad.isNullAt(0) && bad.isNullAt(1))
+  }
+
   test("graft_sorted_contains: parity with array_contains on a 32768-entry vocab; UTF-8 byte order; nulls; empty array") {
     graft.functions.GraftFunctions.register(spark)
     // vocabulary crossing the UTF-16-vs-UTF-8 ordering trap: U+FFFF sorts

@@ -104,6 +104,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"codes must never sort-merge:\n$plan")
   }
 
+  test("IVF-PQ rerank: small sides broadcast, no cartesian anywhere, rerank scores on the native expression") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val df = graft.sim.Similarity.ivfPqRerankTopK(e, e.filter(col("vec_id") < 3), 2,
+      numCells = graft.sim.Similarity.cellsFor(e.count()), nProbe = 4,
+      m = 8, ks = 8, shortlist = 4)
+    val plan = finalPlan(df)
+    // centroids / codebooks / per-query LUT+probe rows all broadcast; the
+    // residual join and the probe join are hash joins; the refine stage
+    // fetches shortlist vectors BY ID — at no point may the composite
+    // fall back to an unbounded pairwise scan
+    assert(plan.contains("BroadcastHashJoin"), s"probe/rerank sides must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no unbounded pairwise scan anywhere in the composite:\n$plan")
+    assert(plan.contains("graft_qdot"),
+      s"the exact rerank must run on the native codegen'd expression:\n$plan")
+  }
+
   test("stratified sampling is a broadcast join + map-only filter (no corpus shuffle)") {
     val df = SparkEntry.queries("q_sample_stratified")(spark, sfDir)
     val plan = finalPlan(df)
