@@ -1228,6 +1228,15 @@ object SparkEntry {
     // two slim joins + integer L1 renormalization — aggregators earn hub
     // without inlinks, cited references earn auth without outlinks (the
     // signal PageRank's single score conflates). weightCap = 3 as above.
+    // HITS convergence telemetry over the same 3-round run: the oracle
+    // recomputes both sides' per-round L1 sums from the unrolled chain
+    // (round 0 = the uniform init), so the documented jitter-floor
+    // behavior is gated as integers, mirroring w_rank_deltas
+    "w_hits_deltas" -> ((s, dir) =>
+      graft.web.LinkGraph.hitsRankWithDeltas(
+        graft.web.LinkGraph.domainEdges(
+          docs(s, dir).select(synthUrl.as("url"), outlinkText.as("text")), "url", "text"),
+        iters = 3, weightCap = 3L, stopDelta = None)._2),
     "w_hits" -> ((s, dir) =>
       graft.web.LinkGraph.hitsRank(
         graft.web.LinkGraph.domainEdges(
@@ -2266,13 +2275,32 @@ object SparkEntry {
     * side does, so the hash match proves the integer normalization
     * semantics, not just the fixpoint direction.
     */
-  private def hitsSql(iters: Int): String = {
+  private def hitsSql(iters: Int): String =
+    hitsChain(iters) +
+      s"\nSELECT a.domain, a.auth, h.hub FROM a$iters a JOIN h$iters h ON h.domain = a.domain"
+
+  /** HITS convergence-telemetry twin ([[graft.web.LinkGraph.hitsRankWithDeltas]]):
+    * the SAME unrolled chain, then per-round L1 sums for both sides
+    * (round 0 = the uniform init both vectors start from) — the jitter-
+    * floor behavior the spec documents becomes driver-gated integers.
+    */
+  private def hitsDeltasSql(iters: Int): String =
+    hitsChain(iters) + "\n" + (1 to iters).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS iter,
+         |  (SELECT CAST(sum(abs(x.auth - y.auth)) AS BIGINT)
+         |     FROM a$k x JOIN a${k - 1} y ON y.domain = x.domain) AS l1_delta_auth,
+         |  (SELECT CAST(sum(abs(x.hub - y.hub)) AS BIGINT)
+         |     FROM h$k x JOIN h${k - 1} y ON y.domain = x.domain) AS l1_delta_hub""".stripMargin
+    }.mkString(" UNION ALL ")
+
+  private def hitsChain(iters: Int): String = {
     val sc = graft.web.LinkGraph.HitsScale
     val head =
       s"""WITH $linkEdgesCte,
          |capped AS (SELECT src, dst, CAST(least(weight, 3) AS BIGINT) AS weight FROM edges),
          |nodes AS (SELECT DISTINCT domain FROM (SELECT src AS domain FROM capped UNION ALL SELECT dst AS domain FROM capped) t),
-         |h0 AS (SELECT domain, CAST($sc AS BIGINT) AS hub FROM nodes)""".stripMargin
+         |h0 AS (SELECT domain, CAST($sc AS BIGINT) AS hub FROM nodes),
+         |a0 AS (SELECT domain, CAST($sc AS BIGINT) AS auth FROM nodes)""".stripMargin
     val iterCtes = (1 to iters).map { k =>
       s""",
          |ar$k AS (SELECT e.dst AS domain, CAST(sum(h.hub * e.weight) AS BIGINT) AS raw
@@ -2286,8 +2314,7 @@ object SparkEntry {
          |h$k AS (SELECT n.domain, CAST(COALESCE(hr.raw, 0) // (SELECT d FROM dh$k) AS BIGINT) AS hub
          |  FROM nodes n LEFT JOIN hr$k hr ON hr.domain = n.domain)""".stripMargin
     }.mkString
-    head + iterCtes +
-      s"\nSELECT a.domain, a.auth, h.hub FROM a$iters a JOIN h$iters h ON h.domain = a.domain"
+    head + iterCtes
   }
 
   /** Space-joined word-8-gram over a token-array column `ws` at position
@@ -2935,6 +2962,7 @@ object SparkEntry {
     "w_domain_rank" -> domainRankSql(5),
     "w_rank_deltas" -> domainRankDeltasSql(5),
     "w_hits" -> hitsSql(3),
+    "w_hits_deltas" -> hitsDeltasSql(3),
     // reciprocity twin: distinct non-loop pairs left-joined to their own
     // reversal, per-source rollup
     "w_link_recip" ->
