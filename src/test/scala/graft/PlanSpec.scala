@@ -104,6 +104,42 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"codes must never sort-merge:\n$plan")
   }
 
+  test("AQE splits a skewed join key at runtime — the self-healing the hot-cell/hot-bucket claims rely on") {
+    // several operators (SemDeDup cell pairing, LSH buckets, mirror fp
+    // joins) document "hot keys are ordinary skewed join keys — AQE
+    // splits them" instead of hand-salting. That claim is load-bearing
+    // at 100×, so gate it: a join with one mega-key must come back
+    // with the SortMergeJoin marked skew=true under the session's AQE.
+    val conf = spark.conf
+    val prevB = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevT = conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+    val prevA = conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // thresholds scaled down so a ~4 MB hot partition counts as skewed
+      // without needing GBs of test data; payloads must be INCOMPRESSIBLE
+      // (shuffle stats are post-compression bytes — a constant pad
+      // compresses below any threshold and hides the skew)
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384")
+      import spark.implicits._
+      val rnd = new scala.util.Random(7)
+      def pad(): String = rnd.alphanumeric.take(200).mkString
+      val left = (1 to 20000).map(i => (if (i % 100 == 0) i.toLong else 1L, pad())).toDF("k", "p")
+      val right = (1L to 2000L).map(i => (i, pad())).toDF("k", "q")
+      // keep the payloads LIVE through the join (a bare key projection
+      // would prune them out of the shuffle and erase the skew)
+      val plan = finalPlan(left.join(right, "k")
+        .select((length(col("p")) + length(col("q"))).as("n")))
+      assert(plan.contains("skew=true"),
+        s"AQE must split the mega-key partition (skew=true missing):\n$plan")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", prevT)
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", prevA)
+    }
+  }
+
   test("IVF-PQ rerank: small sides broadcast, no cartesian anywhere, rerank scores on the native expression") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val df = graft.sim.Similarity.ivfPqRerankTopK(e, e.filter(col("vec_id") < 3), 2,
