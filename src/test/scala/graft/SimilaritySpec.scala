@@ -345,6 +345,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rr >= 0.9, s"refine stage must hold >= 0.9, got $rr")
   }
 
+  test("residual IVF-PQ and the rerank are deterministic across corpus partitioning") {
+    // the 1000-executor invariant: seeds are TakeOrdered on unique ids,
+    // every argmin/argmax breaks ties on the smaller id, every window
+    // orders with a full tiebreak — so nothing may depend on which
+    // partition a vector happens to land in
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    val cells = Similarity.cellsFor(e.count())
+    def run(df: org.apache.spark.sql.DataFrame) = Similarity
+      .ivfPqRerankTopK(df, q, 3, cells, nProbe = 4, m = 8, ks = 8, shortlist = 6)
+      .select("qid", "vid", "score", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val r1 = run(e.repartition(1))
+    val r7 = run(e.repartition(7))
+    assert(r1 == r7, s"partitioning changed the result:\n$r1\n$r7")
+  }
+
   test("semDedup: within-cell duplicates collapse to the min id; distinct clusters untouched") {
     // v0 == v10 (exact duplicates → same cell, qdot 10^6 ≥ threshold);
     // v2 and v3 are far from everything — all three survivors expected

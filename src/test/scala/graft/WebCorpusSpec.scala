@@ -498,6 +498,22 @@ class WebCorpusSpec extends AnyFunSuite {
     assert(sd.count() == 1, "exact fixpoint must stop after round 1")
   }
 
+  test("convergence deltas are deterministic across edge-list partitioning") {
+    import spark.implicits._
+    val edges = (1 to 40).map(i => (s"s${i % 7}.com", s"d${i % 11}.org", (i % 3 + 1).toLong))
+      .toDF("src", "dst", "weight").groupBy("src", "dst")
+      .agg(org.apache.spark.sql.functions.sum("weight").as("weight"))
+    def prd(df: org.apache.spark.sql.DataFrame) =
+      graft.web.LinkGraph.domainRankWithDeltas(df, iters = 4, stopDelta = None)
+        ._2.orderBy("iter").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(prd(edges.repartition(1)) == prd(edges.repartition(8)))
+    def hd(df: org.apache.spark.sql.DataFrame) =
+      graft.web.LinkGraph.hitsRankWithDeltas(df, iters = 3, stopDelta = None)
+        ._2.orderBy("iter").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(hd(edges.repartition(1)) == hd(edges.repartition(8)))
+  }
+
   test("hitsRankWithDeltas: deltas collapse to the documented jitter floor; exact-fixpoint graphs stop at zero") {
     import spark.implicits._
     val edges = (1 to 40).map(i => (s"s${i % 7}.com", s"d${i % 11}.org", (i % 3 + 1).toLong))
